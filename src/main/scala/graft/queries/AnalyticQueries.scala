@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The analytic surface over the TPC-H-ish star schema (SURVEY.md §7 phase
+  * 7): hash aggregation, broadcast / shuffle joins, semi/anti joins, top-k,
+  * rollup, set ops, ranking and rolling windows. These are the capabilities
+  * Spark gives the event engine for free (SURVEY.md §2.4-§2.7) — declared
+  * here so Catalyst plans them (broadcast hints on dimension tables, top-k
+  * as TakeOrderedAndProject, partial aggregation map-side).
+  */
+object AnalyticQueries {
+
+  private val dec = "decimal(18,2)"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: the canonical scan→partial-agg→
+    // final-agg pipeline. DECIMAL sums are exact ⇒ shuffle-order-proof.
+    "q01_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(dec)).cast("decimal(38,2)").as("sum_qty"),
+          sum($"l_extendedprice".cast(dec)).cast("decimal(38,2)").as("sum_base_price"),
+          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          round(sum($"l_quantity".cast(dec)).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // Broadcast dimension join: orders ⨝ customer (150–15k rows ⇒ broadcast;
+    // at 100 TB the dim side stays small relative to facts, same hint holds).
+    "q11_join_segment_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(dec)).cast("decimal(38,2)").as("revenue"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Star join across 4 tables: fact ⨝ fact (shuffle) then broadcast dims.
+    "q12_star_nation_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy($"n_name")
+    }),
+
+    // Left-semi join — EXISTS (customers with at least one 'F' order).
+    "q13_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).where($"o_orderstatus" === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // Left-anti join — NOT EXISTS (customers with no orders at all).
+    "q14_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Top-k: plans as TakeOrderedAndProject — no global sort at scale.
+    "q15_topk_orders" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // Ranking window: top-3 orders per customer (dense fan-out safe: the
+    // window partitions by customer ⇒ shuffle on o_custkey only).
+    "q16_rank_per_customer" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rk")
+    }),
+
+    // Rolling window: 7-row moving sum of event value per user.
+    "q17_rolling_sum" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("rolling7",
+          sum($"value".cast(dec)).over(w).cast("decimal(38,2)"))
+        .select($"event_id", $"user_id", $"rolling7")
+        .orderBy($"event_id")
+    }),
+
+    // Rollup — grouping-set aggregation the reference lacks entirely.
+    "q18_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(dec)).cast("decimal(38,2)").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Set operation: customers active in 1995 but not 1996 (EXCEPT ≡ anti).
+    "q19_except_custkeys" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val y1995 = o.where(year($"o_orderdate") === 1995).select($"o_custkey")
+      val y1996 = o.where(year($"o_orderdate") === 1996).select($"o_custkey")
+      y1995.except(y1996).orderBy($"o_custkey")
+    }),
+
+    // Distinct cardinalities (exact; approx_count_distinct is bench-only —
+    // its HLL estimate has no cross-engine oracle).
+    "q20_distinct_counts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"))
+    }),
+
+    // Tumbling event-time window (1 day) — SURVEY.md §2.9 T12 added surface.
+    // date_trunc keys the window identically in Spark and DuckDB.
+    "q21_tumbling_daily" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(dec)).cast("decimal(38,2)").as("total"))
+        .orderBy($"day", $"event_type")
+    }),
+
+    // Session windows (30-min gap) via gaps-and-islands: new session when the
+    // gap from the previous event of the same user is > 30 min. Equivalent to
+    // Structured Streaming session_window semantics; expressed relationally
+    // so DuckDB can oracle it.
+    "q22_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"))
+        .orderBy($"user_id", $"session_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_join_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q12_star_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q16_rank_per_customer" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q17_rolling_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS rolling7
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q19_except_custkeys" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q20_distinct_counts" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
+    "q21_tumbling_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q22_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Queries expressing the reference's own operator surface (SURVEY.md §2)
+  * over the driver's `events` table: scan/filter/sort/limit (getEvents),
+  * retention counting, DLQ ordering, exists, the event-sourcing fold, and
+  * the version counter. Each has a DuckDB oracle.
+  *
+  * Determinism rules used throughout the query packs:
+  *   - every query ends in a total ORDER BY (ties broken by a unique key);
+  *   - double sums go through DECIMAL casts (exact, order-insensitive);
+  *   - integer sums are final-cast to BIGINT on the DuckDB side (its sum()
+  *     widens to HUGEINT);
+  *   - averages are round(exact_sum::double / count, 6).
+  */
+object CoreQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1+F2+O1+O3 — the reference's getEvents scan: ts-range + type-set →
+    // sort asc → limit (reference: src/persistence.ts:37-68). Plans as
+    // parquet scan w/ pushed filters + TakeOrderedAndProject.
+    "q02_events_scan" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .where($"event_type".isin("click", "purchase") &&
+          $"ts" >= lit("2024-01-05").cast("timestamp") &&
+          $"ts" <= lit("2024-01-10").cast("timestamp"))
+        .orderBy($"ts".asc, $"event_id".asc)
+        .limit(100)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    }),
+
+    // F2/F5 — type routing fan-out counts (topic.ts:122-129 analog).
+    "q03_type_counts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        .orderBy($"event_type")
+    }),
+
+    // S5/A4 — retention: deleted = count(ts < cutoff), kept = rest
+    // (reference: src/persistence.ts:74-93 returns initial − remaining).
+    "q04_retention_counts" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("total"),
+        count(when($"ts" < cutoff, 1)).as("deleted"),
+        count(when($"ts" >= cutoff, 1)).as("kept"))
+    }),
+
+    // O2+O3 — DLQ ordering: newest-first + limit
+    // (reference: src/deadletter.ts:62-68).
+    "q05_dlq_recent" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .where($"event_type" === "error")
+        .orderBy($"ts".desc, $"event_id".desc)
+        .limit(50)
+        .select($"event_id", $"ts", $"user_id", $"value")
+    }),
+
+    // A6 — exists / any-match per group (reference: src/sourcing.ts:227-231).
+    "q06_exists" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg((count(when($"value" > 400, 1)) > 0).as("has_large"))
+        .orderBy($"event_type")
+    }),
+
+    // A1 — event-sourcing fold per aggregate id (reference: src/sourcing.ts:53-62):
+    // version = event count, last state = value of latest event, plus an
+    // order-insensitive fold (sum). max_by(ts) is the order-sensitive part.
+    "q07_fold_state" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("version"),
+          max_by($"value", $"ts").as("last_value"),
+          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        .orderBy($"user_id")
+    }),
+
+    // A2 — aggregateVersion stamping = row_number per aggregate ordered by
+    // event time (reference: src/sourcing.ts:94-118; SURVEY.md §2.6).
+    "q08_versions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .withColumn("version", row_number().over(w))
+        .select($"event_id", $"user_id", $"version")
+        .orderBy($"event_id")
+    }),
+
+    // X2 — JSON payload access (reference JSON-stringifies payloads,
+    // src/persistence.ts:144; JSONB path filters, deadletter.ts:366-378).
+    "q09_json_payload" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          sum($"k").as("sum_k"),
+          round(sum($"k").cast("double") / count($"k"), 6).as("avg_k"))
+        .orderBy($"event_type")
+    }),
+
+    // T7 — replay count: ordered ranged replay returns the delivered count
+    // (reference: src/broker.ts:144-161).
+    "q10_replay_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .where($"ts" >= lit("2024-01-10").cast("timestamp") &&
+          $"ts" <= lit("2024-01-20").cast("timestamp") &&
+          $"event_type".isin("signup", "error"))
+        .agg(count(lit(1)).as("replayed"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q02_events_scan" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE event_type IN ('click','purchase')
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY ts ASC, event_id ASC LIMIT 100""".stripMargin,
+    "q03_type_counts" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q04_retention_counts" ->
+      """SELECT count(*) AS total,
+        |  count(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS deleted,
+        |  count(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS kept
+        |FROM events""".stripMargin,
+    "q05_dlq_recent" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin,
+    "q06_exists" ->
+      """SELECT event_type,
+        |  count(CASE WHEN value > 400 THEN 1 END) > 0 AS has_large
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q07_fold_state" ->
+      """SELECT user_id, count(*) AS version,
+        |  arg_max(value, ts) AS last_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q08_versions" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) AS version
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q09_json_payload" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q10_replay_count" ->
+      """SELECT count(*) AS replayed FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_type IN ('signup','error')""".stripMargin
+  )
+}

@@ -34,13 +34,17 @@ object SparkEntry {
       .orderBy(col("revenue").desc)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the north-star
+    * LLM-pipeline surface (dedup, similarity, text analysis, multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ AnalyticQueries.defs
+    CoreQueries.defs ++ AnalyticQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ AnalyticQueries.oracles
+    CoreQueries.oracles ++ AnalyticQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles
 }

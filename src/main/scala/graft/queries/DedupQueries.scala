@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators — the north-star training-data-pipeline surface
+  * (BASELINE.json): exact dedup, content-hash grouping, MinHash+LSH
+  * candidate generation, SimHash fingerprints, and LSH→exact-Jaccard
+  * verification. The reference engine has no dedup at all (its closest op is
+  * DLQ upsert-by-event-id, reference: src/deadletter.ts:315-340); this pack
+  * is pure added capability.
+  *
+  * Scale shape (100 TB): every pipeline here is
+  *   per-row expression → shuffle on a SHORT derived key (hex hash /
+  *   signature band) → narrow self-join within buckets,
+  * never an all-pairs product. Candidate pair counts are bounded by band
+  * collision counts; skewed bands (a boilerplate shingle shared by millions
+  * of docs) would be handled by AQE skew-join + a bucket-size cap, noted
+  * inline.
+  */
+object DedupQueries {
+
+  private val K = 8 // minhash functions; bands of 1 row (b=8, r=1)
+
+  /** (doc_id, shingle) exploded word-3-grams. The token array is
+    * MATERIALIZED in its own projection first: inlining `tokens(text)` into
+    * the shingle lambda would re-run the regex split once per element_at —
+    * ~5× tokens per doc (verified via explain: the Generate carried five
+    * `split(trim(text))` calls before this projection boundary).
+    */
+  private def shingles(s: SparkSession, dir: String, distinctSet: Boolean): DataFrame = {
+    import s.implicits._
+    val df = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", explode(wordShingles($"toks", 3)).as("shingle"))
+    if (distinctSet) df.distinct() else df
+  }
+
+  /** MinHash signature rows (doc_id, i, mh): mh = lexicographic min of the
+    * i-th keyed md5 over the doc's shingles.
+    *
+    * All K minhashes are computed in ONE pass over the shingle rows (K agg
+    * columns, partial-min map-side) instead of exploding each shingle K
+    * ways — the shuffle carries one 8-column row per doc, and the K× row
+    * inflation never exists. The wide row is then `stack`ed to (doc, i, mh)
+    * band rows for the bucket join, and cached: both sides of the LSH
+    * self-join read the 40k-row signature table, not the shingle pipeline.
+    */
+  private def signatures(s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    val mins = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), $"shingle").cast("binary"))).as(s"mh_$i"))
+    val wide = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val stackArgs = (0 until K).map(i => s"$i, mh_$i").mkString(", ")
+    wide.select($"doc_id", expr(s"stack($K, $stackArgs)").as(Seq("i", "mh")))
+  }
+
+  /** Candidate near-dup pairs: docs agreeing on >= minMatch of K single-row
+    * bands. Self-join keyed on (band index, minhash) — bucket join, not
+    * cross join. At 100 TB the only risk is band skew (a boilerplate
+    * shingle minhash shared by millions of docs); AQE skew-join plus a
+    * bucket-size cap (drop bands with > N docs — they carry no dedup
+    * signal) is the production guard.
+    */
+  private def lshCandidates(s: SparkSession, sh: DataFrame, minMatch: Int): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, sh).cache()
+    sig.as("a").join(sig.as("b"),
+        $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("n_match"))
+      .where($"n_match" >= minMatch)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup, keep-first: one survivor per (user_id, event_type) by
+    // event time. The canonical hash-groupBy dedup — plans as one shuffle on
+    // the dedup key + a rank filter.
+    "q30_exact_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+        .orderBy($"event_id")
+    }),
+
+    // MinHash + LSH candidate pairs with the signature-agreement estimate of
+    // Jaccard (n_match / K). minMatch=2 ⇒ est J >= 0.25 candidates.
+    "q31_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      lshCandidates(s, shingles(s, dir, distinctSet = false), 2)
+        .select($"a_id", $"b_id", $"n_match",
+          round($"n_match" / lit(K.toDouble), 6).as("est_jaccard"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // 16-bit SimHash per document over word occurrences: bit b set when the
+    // signed sum of per-word hash-bit contributions is >= 0. One shuffle
+    // (groupBy doc) carrying 16 partial sums.
+    "q32_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+      val sumCols = (0 until 16).map(b => sum(simhashContrib(b, $"tok")).as(s"s_$b"))
+      val sums = words.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
+      val simhash = (0 until 16)
+        .map(b => when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      sums.select($"doc_id", simhash.cast("long").as("simhash")).orderBy($"doc_id")
+    }),
+
+    // The production near-dup pipeline: LSH candidates (cheap, recall-y)
+    // verified with EXACT word-3-gram Jaccard (precise), threshold 0.8.
+    // The verify join is candidate-driven: shingle sets are joined only for
+    // pairs the LSH stage proposed — at 100 TB this is the difference
+    // between O(candidates · doc_len) and O(n²).
+    "q33_lsh_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      // One shingle scan feeds BOTH the signature path and the verify path.
+      val sh = shingles(s, dir, distinctSet = false).cache()
+      val shD = sh.distinct().cache()
+      val card = shD.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      val cand = lshCandidates(s, sh, 2)
+      val inter = cand
+        .join(shD.as("sa"), $"a_id" === $"sa.doc_id")
+        .join(shD.as("sb"), $"b_id" === $"sb.doc_id" && $"sb.shingle" === $"sa.shingle")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("i"))
+      val jac = ($"i" * lit(1.0)) / ($"ca.c" + $"cb.c" - $"i")
+      inter
+        .join(card.as("ca"), $"a_id" === $"ca.doc_id")
+        .join(card.as("cb"), $"b_id" === $"cb.doc_id")
+        .where(jac >= 0.8)
+        .select($"a_id", $"b_id", round(jac, 6).as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // Content-hash grouping: distribution of exact-duplicate group sizes.
+    // (This corpus is all-distinct ⇒ {1, n_docs}; the query proves the law.)
+    "q35_content_hash_groups" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text".cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"n".as("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy($"group_size")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val simhashSums = (0 until 16)
+      .map(b => s"sum(CASE WHEN substr(md5('$b:' || tok), 1, 1) >= '8' THEN 1 ELSE -1 END) s_$b")
+      .mkString(",\n        |    ")
+    val simhashVal = (0 until 16)
+      .map(b => s"(CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    Map(
+      "q30_exact_dedup" ->
+        """WITH r AS (
+          |  SELECT event_id, user_id, event_type, ts,
+          |    row_number() OVER (PARTITION BY user_id, event_type
+          |                       ORDER BY ts ASC, event_id ASC) rn
+          |  FROM events)
+          |SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+          |ORDER BY event_id""".stripMargin,
+      "q31_minhash_lsh" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |sh AS (SELECT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
+           |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
+           |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
+           |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
+           |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_match
+           |          FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT a_id, b_id, n_match, round(n_match / $K.0, 6) AS est_jaccard
+           |FROM pairs WHERE n_match >= 2 ORDER BY a_id, b_id""".stripMargin,
+      "q32_simhash" ->
+        s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) tok FROM documents),
+           |s AS (SELECT doc_id,
+           |    $simhashSums
+           |  FROM w GROUP BY doc_id)
+           |SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
+      "q33_lsh_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
+           |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
+           |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
+           |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
+           |cand AS (SELECT a.doc_id a_id, b.doc_id b_id
+           |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2 HAVING count(*) >= 2),
+           |card AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+           |inter AS (SELECT c.a_id, c.b_id, count(*) i
+           |          FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.a_id
+           |          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+           |          GROUP BY 1, 2)
+           |SELECT i.a_id, i.b_id,
+           |  round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) AS jaccard
+           |FROM inter i
+           |JOIN card ca ON ca.doc_id = i.a_id
+           |JOIN card cb ON cb.doc_id = i.b_id
+           |WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q35_content_hash_groups" ->
+        """SELECT n AS group_size, count(*) AS n_groups
+          |FROM (SELECT md5(text) h, count(*) n FROM documents GROUP BY 1)
+          |GROUP BY 1 ORDER BY group_size""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column queries (north-star surface). Real media bytes don't
+  * exist in the driver tables (and no codec libs exist in this container),
+  * so the SQL-expressible slice treats the document text's bytes as the
+  * opaque `binary` payload: metadata extraction and fixed-stride frame
+  * sampling are structure-only operations that behave identically on real
+  * media. The full binary pipeline (typed metadata, batched decode stub,
+  * feature extraction) lives in [[graft.multimodal.MediaPipeline]] with its
+  * own spec; these queries gate the Spark-side semantics against DuckDB.
+  */
+object MultimodalQueries {
+
+  private val FrameBytes = 32  // bytes per sampled frame
+  private val FrameStride = 128 // sample every 4th 32-byte block
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Media catalog row: kind from id, payload size, content digest, frame
+    // count at the sampling stride. Pure per-row projection — the shape of
+    // a 100 TB media-manifest scan (never decodes, never shuffles bytes).
+    "q60_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      val kind = element_at(
+        typedLit(Seq("image", "audio", "video")), ($"doc_id" % 3).cast("int") + 1)
+      Tables.documents(s, dir).select(
+          $"doc_id",
+          kind.as("kind"),
+          octet_length($"text").as("n_bytes"),
+          md5($"text".cast("binary")).as("content_md5"),
+          (floor((octet_length($"text") - 1) / lit(FrameStride.toDouble)) + 1)
+            .cast("int").as("n_frames"))
+        .orderBy($"doc_id")
+    }),
+
+    // Frame sampling: every FrameStride-th window of FrameBytes, digested.
+    // Explode-by-sequence keeps it one narrow generator per row — the plan
+    // a video-frame sampler over binary columns would use.
+    "q61_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .where($"doc_id" % 3 === 2)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0),
+            floor((octet_length($"text") - 1) / lit(FrameStride.toDouble)).cast("int")))
+            .as("frame_no"))
+        .select($"doc_id", $"frame_no",
+          md5($"text".substr($"frame_no" * FrameStride + 1, lit(FrameBytes))
+            .cast("binary")).as("frame_md5"))
+        .orderBy($"doc_id", $"frame_no")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q60_media_meta" ->
+      s"""SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+         |  md5(text) AS content_md5,
+         |  CAST(floor((octet_length(text::BLOB) - 1) / $FrameStride.0) + 1 AS INT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q61_frame_sample" ->
+      s"""WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+         |f AS (SELECT doc_id, text, j AS frame_no
+         |      FROM v, unnest(range(CAST(floor((octet_length(text::BLOB) - 1) / $FrameStride.0) AS BIGINT) + 1)) AS u(j))
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         |  md5(substr(text, CAST(frame_no * $FrameStride + 1 AS INT), $FrameBytes)) AS frame_md5
+         |FROM f ORDER BY doc_id, frame_no""".stripMargin
+  )
+}

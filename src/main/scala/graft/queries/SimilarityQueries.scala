@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.functions.expressions.GraftFunctions
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (north-star surface):
+  * brute-force cosine top-k as the exactness baseline, signed-hyperplane
+  * LSH bucketing as the scale path, label-blocked nearest-neighbor as the
+  * near-dup reporter.
+  *
+  * Scale shape (100 TB): the brute-force paths broadcast the (small) query
+  * set against the (huge) corpus — one scan, no shuffle of the corpus, then
+  * a per-query top-k (`row_number` window partitioned by query id, which
+  * shuffles only (query, candidate, score) tuples, not vectors). The LSH
+  * path first buckets the corpus (narrow projection), then joins bucket-to-
+  * bucket — probe cost proportional to bucket size, not corpus size. An IVF
+  * upgrade (k-means coarse quantizer) would slot into the same bucket-join
+  * shape.
+  */
+object SimilarityQueries {
+
+  private val Planes = 6 // 64 LSH buckets
+  private val Dim = 64
+  private val NQueries = 10 // vec_id < 10 are the query set
+  private val TopK = 10
+
+  /** Corpus projected once to (vec_id, label, v: array<double>, nrm): the
+    * cast and the L2 norm are per-VECTOR work and must not be recomputed
+    * per candidate pair.
+    */
+  private def normalized(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.embeddings(s, dir).select($"vec_id", $"label",
+      $"embedding".cast("array<double>").as("v"),
+      sqrt(dot($"embedding", $"embedding")).as("nrm"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-k: query set × corpus, rank per query.
+    // Norms are computed ONCE per vector in a projection (not per pair),
+    // so each candidate pair costs exactly one codegen'd dot product.
+    "q41_knn_brute" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= TopK)
+        .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
+        .orderBy($"q_id", $"rk")
+    }),
+
+    // LSH bucket histogram: corpus bucketed by the sign sketch. The
+    // distribution is what you'd monitor before trusting the ANN path.
+    "q42_lsh_buckets" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.embeddings(s, dir)
+        .select(lshBucket($"embedding", Planes, Dim).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
+    // ANN via LSH: probe only the query's bucket, exact cosine within it,
+    // top-3 per query. Recall < 1 by design; the point is the plan shape —
+    // bucket-equality join instead of cross product.
+    "q43_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+        .select($"vec_id", $"v", $"nrm", lshBucket($"v", Planes, Dim).as("bucket"))
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qb"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      e.join(broadcast(q), $"bucket" === $"qb" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
+        .orderBy($"q_id", $"rk")
+    }),
+
+    // Embedding near-dup report: each vector's nearest neighbor within its
+    // label block (blocking bounds the pair space the way LSH bands do for
+    // text). On this corpus no pair exceeds cosine 0.48 — the report IS the
+    // evidence there are no embedding-level dups.
+    "q34_embedding_nn" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
+      e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"a_id".as("vec_id"), $"b_id".as("nn_id"), round($"cos", 6).as("cosine"))
+        .orderBy($"vec_id")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    // The ±1 hyperplane sign vectors, embedded as literals so the SQL and
+    // the Catalyst plan share one definition (generated from the same code).
+    def signList(p: Int): String =
+      hyperplaneSigns(p, Dim).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bucketExpr = (0 until Planes)
+      .map(p => s"(CASE WHEN list_dot_product(v, ${signList(p)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    Map(
+      "q41_knn_brute" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |p AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos
+           |      FROM e a JOIN (SELECT * FROM e WHERE vec_id < $NQueries) b
+           |        ON a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, nn_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS INT) rk
+           |      FROM p)
+           |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= $TopK
+           |ORDER BY q_id, rk""".stripMargin,
+      "q42_lsh_buckets" ->
+        s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
+           |SELECT $bucketExpr AS bucket, count(*) AS n
+           |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q43_ann_lsh" ->
+        s"""WITH e AS (SELECT vec_id, v, $bucketExpr AS bucket
+           |           FROM (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)),
+           |p AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos
+           |      FROM e a JOIN (SELECT * FROM e WHERE vec_id < $NQueries) b
+           |        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, nn_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS INT) rk
+           |      FROM p)
+           |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
+           |ORDER BY q_id, rk""".stripMargin,
+      "q34_embedding_nn" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $cos cos
+           |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+           |r AS (SELECT a_id, b_id, cos,
+           |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) rn
+           |      FROM p)
+           |SELECT a_id AS vec_id, b_id AS nn_id, round(cos, 6) AS cosine FROM r WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin
+    )
+  }
+}

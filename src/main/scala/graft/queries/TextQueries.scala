@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (north-star surface): token
+  * counting (whitespace + BPE-ish regex), n-gram-heuristic language ID,
+  * quality scoring, and winnowing-style document fingerprinting.
+  *
+  * All per-document math is narrow (no explode where a higher-order
+  * function over the token array suffices), so the only shuffles are the
+  * final small aggregations. At 100 TB each of these runs as a single scan
+  * with map-side partial aggregation.
+  */
+object TextQueries {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un"))
+
+  /** Count of tokens contained in a fixed stopword list — `filter` + `size`
+    * over the token array, no explode.
+    */
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting, two tokenizers: whitespace split and a BPE-ish
+    // word/punct regex. Per-language rollup.
+    "q50_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang",
+          size(tokens($"text")).as("ws_toks"),
+          bpeTokenCount($"text").as("bpe_toks"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"ws_toks").as("sum_ws_toks"),
+          sum($"bpe_toks").as("sum_bpe_toks"),
+          round(sum($"ws_toks") * lit(1.0) / count(lit(1)), 6).as("avg_ws_toks"),
+          max($"ws_toks").as("max_ws_toks"))
+        .orderBy($"lang")
+    }),
+
+    // Language ID: stopword-hit scores per candidate language + a CJK
+    // codepoint count for zh, argmax with a fixed priority order for ties.
+    // Reported as a confusion matrix against the labeled lang. (This corpus
+    // is synthetic English-vocabulary soup for every label — the matrix
+    // shows exactly that, which is the honest output of a real lang-ID run.)
+    "q51_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select($"lang", $"text", tokens($"text").as("toks")) // materialize: one split per doc
+        .select(
+          $"lang",
+          stopCount($"toks", stop("en")).as("s_en"),
+          stopCount($"toks", stop("de")).as("s_de"),
+          stopCount($"toks", stop("es")).as("s_es"),
+          stopCount($"toks", stop("fr")).as("s_fr"),
+          regexp_count($"text", lit("[\\x{4e00}-\\x{9fff}]")).as("s_zh"))
+      val pred = when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
+        .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
+        .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+        .when($"s_fr" >= $"s_zh", "fr")
+        .otherwise("zh")
+      scored.withColumn("pred_lang", pred)
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
+    // Quality scoring: doc length, average token length, stopword ratio →
+    // bounded composite score. Pure per-row arithmetic; ints divide into
+    // doubles identically in both engines.
+    "q52_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("toks")) // materialize: one split per doc
+        .select(
+          $"doc_id",
+          size($"toks").as("n_tok"),
+          aggregate($"toks", lit(0), (acc, t) => acc + length(t)).as("sum_len"),
+          stopCount($"toks", stop("en")).as("n_stop"))
+      val avgLen = $"sum_len" * lit(1.0) / $"n_tok"
+      val stopRatio = $"n_stop" * lit(1.0) / $"n_tok"
+      val score = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * stopRatio +
+        lit(0.2) * least(avgLen / 6.0, lit(1.0))
+      base.select($"doc_id", $"n_tok",
+          round(avgLen, 6).as("avg_tok_len"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(score, 6).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Winnowing-style fingerprint (Schleimer et al.: select the minimum
+    // hash over a doc's k-grams): min md5 of word-5-gram shingles. Docs
+    // sharing a fingerprint are near-dup clusters — the rolling-hash
+    // analogue of q31's MinHash with k=1.
+    "q53_fingerprint_clusters" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("toks")) // materialize: one split per doc
+        .select($"doc_id", explode(wordShingles($"toks", 5)).as("sh"))
+        .groupBy($"doc_id")
+        .agg(min(md5($"sh".cast("binary"))).as("fingerprint"))
+        .groupBy($"fingerprint")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+        .where($"n_docs" > 1)
+        .orderBy($"fingerprint")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    def sc(lang: String) =
+      s"len(list_filter(toks, t -> t IN (${inList(stop(lang))})))"
+    Map(
+      "q50_token_stats" ->
+        """WITH d AS (SELECT lang,
+          |    len(string_split_regex(trim(text), '\s+')) ws_toks,
+          |    len(regexp_extract_all(text, '\w+|[^\w\s]')) bpe_toks
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(ws_toks) AS BIGINT) AS sum_ws_toks,
+          |  CAST(sum(bpe_toks) AS BIGINT) AS sum_bpe_toks,
+          |  round(sum(ws_toks) * 1.0 / count(*), 6) AS avg_ws_toks,
+          |  CAST(max(ws_toks) AS INT) AS max_ws_toks
+          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+      "q51_lang_id" ->
+        s"""WITH t AS (SELECT lang, string_split_regex(trim(text), '\\s+') toks, text FROM documents),
+           |s AS (SELECT lang,
+           |    ${sc("en")} s_en, ${sc("de")} s_de, ${sc("es")} s_es, ${sc("fr")} s_fr,
+           |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) s_zh
+           |  FROM t),
+           |p AS (SELECT lang,
+           |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |         WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+           |  FROM s)
+           |SELECT lang, pred_lang, count(*) AS n_docs FROM p
+           |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+      "q52_quality_score" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |b AS (SELECT doc_id,
+           |    len(toks) n_tok,
+           |    list_sum(list_transform(toks, t -> len(t))) sum_len,
+           |    ${"len(list_filter(toks, t -> t IN (" + inList(stop("en")) + ")))"} n_stop
+           |  FROM t)
+           |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+           |  round(sum_len * 1.0 / n_tok, 6) AS avg_tok_len,
+           |  round(n_stop * 1.0 / n_tok, 6) AS stop_ratio,
+           |  round(0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+           |      + 0.3 * (n_stop * 1.0 / n_tok)
+           |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0), 6) AS quality
+           |FROM b ORDER BY doc_id""".stripMargin,
+      "q53_fingerprint_clusters" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |sh AS (SELECT doc_id,
+          |    toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5] AS sh
+          |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+          |fp AS (SELECT doc_id, min(md5(sh)) fingerprint FROM sh GROUP BY doc_id)
+          |SELECT fingerprint, count(*) AS n_docs,
+          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM fp GROUP BY fingerprint HAVING count(*) > 1
+          |ORDER BY fingerprint""".stripMargin
+    )
+  }
+}

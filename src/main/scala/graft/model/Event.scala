@@ -61,10 +61,24 @@ object Event {
 
   val DefaultSchemaVersion = "1.0" // reference: src/broker.ts:105
 
-  /** Event id. The reference formats `<epochms base36>-<11 hex>-<counter>`
-    * (reference: src/utils.ts:13-40, counter there is a per-call-closure bug
-    * we do not reproduce); a UUID serves the same uniqueness contract and is
-    * generated distributedly by Spark's own `uuid()` when batching.
+  private val idCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Event id: `<epochms base36, 9 chars>-<counter 6>-<random 8 hex>`.
+    *
+    * The reference formats `<epochms base36>-<11 hex>-<counter>` with a
+    * per-call-closure bug that pins the counter at "000001"
+    * (reference: src/utils.ts:13-40). Ours keeps the time-prefixed shape but
+    * makes the counter actually monotonic, which buys a property the engine
+    * relies on: ids are lexicographically CHRONOLOGICAL within a process, so
+    * the pinned `(timestamp, id)` replay order (SURVEY.md §7.2) degrades to
+    * publish order on same-millisecond ties instead of random UUID order.
+    * Distributed batch writers use Spark's `uuid()` instead — uniqueness
+    * without coordination; per-partition ordering comes from the sort.
     */
-  def generateId(): String = java.util.UUID.randomUUID().toString
+  def generateId(): String = {
+    val ts = java.lang.Long.toString(System.currentTimeMillis(), 36).reverse.padTo(9, '0').reverse
+    val counter = f"${idCounter.getAndIncrement() % 1000000}%06d"
+    val rand = f"${scala.util.Random.nextInt(Int.MaxValue)}%08x"
+    s"$ts-$counter-$rand"
+  }
 }

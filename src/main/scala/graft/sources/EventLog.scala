@@ -54,6 +54,12 @@ final class EventLog(spark: SparkSession, val path: String) {
   def appendDF(events: DataFrame): Unit =
     append(events.as[EventRow])
 
+  /** Driver-side batch append (the pub/sub hot path publishes small batches
+    * built on the driver; one log append per batch).
+    */
+  def appendRows(events: Seq[EventRow]): Unit =
+    append(spark.createDataset(events))
+
   /** Whole-log view. Explicit schema: partition discovery infers `topic` from
     * the directory layout; pinning the schema keeps `topic` a StringType.
     */

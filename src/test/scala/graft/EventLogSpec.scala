@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.model.EventRow
+import graft.sources.{EventLog, ScanOptions}
+
+/** The reference's store laws over the parquet log
+  * (reference: src/persistence.ts:14-93; SURVEY.md §2.1-§2.3).
+  */
+class EventLogSpec extends SparkSpec {
+
+  private def row(id: String, tpe: String, topic: String, ms: Long) =
+    EventRow(id, tpe, topic, new Timestamp(ms), "1.0", "{}", Map.empty)
+
+  private def seeded(): EventLog = {
+    val log = new EventLog(spark, tmpDir("log"))
+    log.appendRows(Seq(
+      row("e1", "click", "web", 1000),
+      row("e2", "view", "web", 2000),
+      row("e3", "click", "web", 3000),
+      row("e4", "click", "app", 1500),
+      row("e5", "purchase", "web", 4000)))
+    log
+  }
+
+  test("getEvents: topic pruning + ts-range + type filter + order + limit (persistence.ts:37-68)") {
+    val log = seeded()
+    val all = log.getEventsTyped("web").collect()
+    assert(all.map(_.id).toSeq == Seq("e1", "e2", "e3", "e5")) // ts asc, app excluded
+    val ranged = log.getEventsTyped("web",
+      ScanOptions(fromTimestamp = Some(2000), toTimestamp = Some(3000))).collect()
+    assert(ranged.map(_.id).toSeq == Seq("e2", "e3")) // inclusive bounds (F1)
+    val typed = log.getEventsTyped("web",
+      ScanOptions(eventTypes = Seq("click"))).collect()
+    assert(typed.map(_.id).toSeq == Seq("e1", "e3"))
+    val limited = log.getEventsTyped("web", ScanOptions(limit = Some(2))).collect()
+    assert(limited.map(_.id).toSeq == Seq("e1", "e2")) // limit AFTER sort = top-k
+  }
+
+  test("hasEvents short-circuits (sourcing.ts:227-231)") {
+    val log = seeded()
+    assert(log.hasEvents("web"))
+    assert(!log.hasEvents("missing-topic"))
+  }
+
+  test("deleteEvents removes strictly-older rows of ONE topic, returns count (persistence.ts:74-93)") {
+    val log = seeded()
+    val deleted = log.deleteEvents("web", olderThanMillis = 3000)
+    assert(deleted == 2) // e1, e2; e3 at the cutoff survives (ts >= cutoff kept)
+    assert(log.getEventsTyped("web").collect().map(_.id).toSeq == Seq("e3", "e5"))
+    assert(log.getEventsTyped("app").collect().map(_.id).toSeq == Seq("e4")) // untouched
+  }
+
+  test("append after delete keeps the log usable") {
+    val log = seeded()
+    log.deleteEvents("web", 5000) // delete all web
+    assert(!log.hasEvents("web"))
+    log.appendRows(Seq(row("e6", "click", "web", 6000)))
+    assert(log.getEventsTyped("web").collect().map(_.id).toSeq == Seq("e6"))
+  }
+}

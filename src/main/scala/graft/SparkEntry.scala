@@ -38,13 +38,15 @@ object SparkEntry {
     * LLM-pipeline surface (dedup, similarity, text analysis, multimodal).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ AnalyticQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
+    CoreQueries.defs ++ AnalyticQueries.defs ++ ExtendedQueries.defs ++
+      DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
+      MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ AnalyticQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles
+    CoreQueries.oracles ++ AnalyticQueries.oracles ++ ExtendedQueries.oracles ++
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
+      MultimodalQueries.oracles
 }

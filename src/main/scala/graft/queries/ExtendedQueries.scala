@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second analytic wave: sliding windows (T12), lag/lead navigation,
+  * CUBE grouping sets, as-of join (the time-series operator the reference's
+  * event streams beg for), and sketch aggregates. The as-of join is the
+  * WINDOW spelling — one shuffle on user_id, no per-row range probe —
+  * which is the only shape that survives 100 TB (a range-join nested loop
+  * does not).
+  */
+object ExtendedQueries {
+
+  private val dec = "decimal(18,2)"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sliding window by composition: daily totals, then a 3-bucket rolling
+    // sum per type. Two narrow shuffles (day-agg, then window by type).
+    "q23_sliding_window" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(sum($"value".cast(dec)).cast("decimal(38,2)").as("daily_total"))
+      val w = Window.partitionBy($"event_type").orderBy($"day".asc).rowsBetween(-2, 0)
+      daily
+        .withColumn("sliding3", sum($"daily_total").over(w).cast("decimal(38,2)"))
+        .orderBy($"day", $"event_type")
+    }),
+
+    // Lag/lead navigation per user stream: value delta vs previous event,
+    // type of the next one.
+    "q24_lag_lead" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id",
+          round($"value" - lag($"value", 1).over(w), 6).as("delta_prev"),
+          lead($"event_type", 1).over(w).as("next_type"))
+        .orderBy($"event_id")
+    }),
+
+    // CUBE: all 4 grouping sets in one pass (reference has no grouping at
+    // all — SURVEY.md §2.5 close).
+    "q26_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(dec)).cast("decimal(38,2)").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // As-of join: each purchase matched to the user's most recent PRIOR
+    // click. Window spelling: last(ignoreNulls) over an unbounded-to-(-1)
+    // frame — single shuffle on user_id, works at any scale; equal
+    // timestamps break by event_id (the pinned law).
+    "q27_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("click_ts", when($"event_type" === "click", $"ts"))
+        .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"last_click_ts",
+          (unix_millis($"ts") - unix_millis($"last_click_ts")).as("ms_since_click"))
+        .orderBy($"event_id")
+    }),
+
+    // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
+    // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
+    // the driver records a rows-only check. At 100 TB these sketches are
+    // the difference between a mergeable one-pass answer and a full
+    // shuffle-the-world distinct/sort.
+    "q28_approx_sketches" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_q"))
+        .select($"approx_orders", $"approx_parts",
+          $"price_q" (0).as("p50"), $"price_q" (1).as("p95"), $"price_q" (2).as("p99"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q23_sliding_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS daily_total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, daily_total,
+        |  CAST(sum(daily_total) OVER (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS sliding3
+        |FROM daily ORDER BY day, event_type""".stripMargin,
+    "q24_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  round(value - lag(value, 1) OVER w, 6) AS delta_prev,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q27_asof_join" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts, last_click_ts,
+        |  epoch_ms(ts) - epoch_ms(last_click_ts) AS ms_since_click
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+    // q28_approx_sketches: intentionally no oracle (estimator-specific).
+  )
+}

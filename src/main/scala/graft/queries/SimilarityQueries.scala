@@ -90,6 +90,43 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rk")
     }),
 
+    // IVF-style ANN: a coarse quantizer (centroid per label — deterministic
+    // "training", the k-means analogue with fixed seeds) partitions the
+    // corpus into cells; queries probe ONLY their nearest cell (nprobe=1)
+    // and rank exact cosine inside it. The 100 TB shape: centroids are a
+    // broadcast-sized table; the corpus shuffles ONCE on cell id at index
+    // build; each probe touches one cell partition.
+    "q44_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      // centroid[label][pos] = avg of component pos across the label
+      val comp = e.select($"label", posexplode($"v"))
+      val cent = comp.groupBy($"label", $"pos").agg(avg($"col").as("c"))
+        .groupBy($"label").agg(
+          transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
+            .as("cv"))
+        .select($"label".as("cl"), $"cv",
+          sqrt(dot($"cv", $"cv")).as("cnrm"))
+      // assign every vector to its nearest centroid by cosine
+      val wAsn = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
+      val cells = e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"v", $"nrm", $"cl",
+          (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("ccos"))
+        .withColumn("rn", row_number().over(wAsn))
+        .where($"rn" === 1)
+        .select($"vec_id", $"v", $"nrm", $"cl".as("cell"))
+      val q = cells.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell".as("qc"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      cells.join(broadcast(q), $"cell" === $"qc" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
+        .orderBy($"q_id", $"rk")
+    }),
+
     // Embedding near-dup report: each vector's nearest neighbor within its
     // label block (blocking bounds the pair space the way LSH bands do for
     // text). On this corpus no pair exceeds cosine 0.48 — the report IS the
@@ -140,6 +177,28 @@ object SimilarityQueries {
            |p AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos
            |      FROM e a JOIN (SELECT * FROM e WHERE vec_id < $NQueries) b
            |        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, nn_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS INT) rk
+           |      FROM p)
+           |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
+           |ORDER BY q_id, rk""".stripMargin,
+      "q44_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |u AS (SELECT label, unnest(v) AS val, unnest(range(len(v))) AS pos FROM e),
+           |cp AS (SELECT label, pos, avg(val) c FROM u GROUP BY label, pos),
+           |cent AS (SELECT label AS cl, list(c ORDER BY pos) cv FROM cp GROUP BY label),
+           |asn AS (SELECT e.vec_id, e.v, cent.cl,
+           |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |            list_dot_product(e.v, cent.cv) /
+           |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+           |            cent.cl ASC) rn
+           |        FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cl AS cell FROM asn WHERE rn = 1),
+           |q AS (SELECT vec_id q_id, v qv, cell qc FROM cells WHERE vec_id < $NQueries),
+           |p AS (SELECT q.q_id, c.vec_id nn_id,
+           |        list_dot_product(q.qv, c.v) /
+           |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) cos
+           |      FROM cells c JOIN q ON c.cell = q.qc AND c.vec_id <> q.q_id),
            |r AS (SELECT q_id, nn_id, cos,
            |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS INT) rk
            |      FROM p)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -99,6 +100,30 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // TF-IDF: term frequency per doc × ln(N / doc-frequency) over the whole
+    // corpus, top-3 terms for the first 20 docs. Plan shape at scale: one
+    // explode → two hash aggs (tf by (doc,term), df by term) → broadcast
+    // the scalar N — the df table is vocabulary-sized, NOT corpus-sized.
+    "q54_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", explode($"toks").as("term"))
+      val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df_ = words.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+      tf.join(df_, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", $"tf" * log($"n_docs" * lit(1.0) / $"df"))
+        .where($"doc_id" < 20)
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"doc_id", $"rk", $"term", round($"score", 6).as("tfidf"))
+        .orderBy($"doc_id", $"rk")
+    }),
+
     // Winnowing-style fingerprint (Schleimer et al.: select the minimum
     // hash over a doc's k-grams): min md5 of word-5-gram shingles. Docs
     // sharing a fingerprint are near-dup clusters — the rolling-hash
@@ -163,6 +188,21 @@ object TextQueries {
            |      + 0.3 * (n_stop * 1.0 / n_tok)
            |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0), 6) AS quality
            |FROM b ORDER BY doc_id""".stripMargin,
+      "q54_tfidf" ->
+        """WITH words AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) term FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) tf FROM words GROUP BY 1, 2),
+          |df AS (SELECT term, count(*) df FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1),
+          |n AS (SELECT count(*) n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+          |  FROM tf JOIN df USING (term) CROSS JOIN n
+          |  WHERE tf.doc_id < 20),
+          |r AS (SELECT doc_id, term, score,
+          |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) rk
+          |      FROM scored)
+          |SELECT doc_id, rk, term, round(score, 6) AS tfidf FROM r WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin,
       "q53_fingerprint_clusters" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
           |sh AS (SELECT doc_id,

@@ -29,10 +29,19 @@ object TextFunctions {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]`. Empty array when the
-    * document has fewer than `n` tokens (guard required: Spark's
-    * `sequence(0, negative)` would generate a DESCENDING range).
+    * document has fewer than `n` tokens. Routed through the codegen'd
+    * native expression [[graft.functions.expressions.ShinglesExpr]];
+    * callers must have run `GraftFunctions.register(spark)` (idempotent).
     */
   def wordShingles(toks: Column, n: Int): Column =
+    call_function("graft_shingles", toks, lit(n))
+
+  /** The pure-builtin spelling of [[wordShingles]] (higher-order transform,
+    * no custom expression). Kept as the semantic reference: the spec
+    * asserts both produce identical shingle arrays. Guard required: Spark's
+    * `sequence(0, negative)` would generate a DESCENDING range.
+    */
+  def wordShinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         j => concat_ws(" ", (1 to n).map(k => element_at(toks, j + k)): _*)))

@@ -88,5 +88,14 @@ object GraftFunctions {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductD(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          ShinglesExpr(toks, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(tokens, n) requires a literal integer n")
+      })
   }
 }

@@ -34,6 +34,7 @@ object DedupQueries {
     */
   private def shingles(s: SparkSession, dir: String, distinctSet: Boolean): DataFrame = {
     import s.implicits._
+    graft.functions.expressions.GraftFunctions.register(s)
     val df = Tables.documents(s, dir)
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", explode(wordShingles($"toks", 3)).as("shingle"))

@@ -130,6 +130,7 @@ object TextQueries {
     // analogue of q31's MinHash with k=1.
     "q53_fingerprint_clusters" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("toks")) // materialize: one split per doc
         .select($"doc_id", explode(wordShingles($"toks", 5)).as("sh"))

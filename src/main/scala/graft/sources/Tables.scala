@@ -16,6 +16,12 @@ object Tables {
     * rejects. Read nanos as Long and truncate to micros (integer div — same
     * truncation DuckDB applies when it narrows ns→µs), so oracle comparisons
     * see identical values.
+    *
+    * Scale note: because the timestamp passes through `timestamp_micros(...)`,
+    * time-RANGE predicates in queries don't reach the parquet scan (only the
+    * type/topic filters push; verified via explain). This is a quirk of the
+    * ns-typed test fixture — a production log written by [[EventLog]] stores
+    * TimestampType directly and gets full min/max row-group pruning.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -244,6 +244,17 @@ final class EventBroker(
     events.length.toLong
   }
 
+  /** Streaming subscription on this broker's log — the scale path of
+    * [[subscribe]]: a checkpointed StreamingQuery tails the topic with
+    * pushed-down filters, bounded retry and this broker's DLQ
+    * (graft.streaming.StreamingSubscription).
+    */
+  def subscribeStreaming(topicName: String, checkpointDir: String,
+      handler: EventRow => Unit,
+      options: SubscriptionOptions = SubscriptionOptions()): graft.streaming.StreamingSubscription =
+    new graft.streaming.StreamingSubscription(
+      spark, logPath, checkpointDir, handler, dlq, Some(topicName), options)
+
   /** DLQ re-dispatch (reference: src/broker.ts:166-183): look up the failed
     * event's subscription and re-deliver through it.
     */

@@ -26,6 +26,14 @@ object DedupQueries {
 
   private val K = 8 // minhash functions; bands of 1 row (b=8, r=1)
 
+  /** Band-size cap: bands shared by more than this many docs are dropped
+    * before pair generation. A band this popular is boilerplate (its minhash
+    * is a corpus-common shingle) — it carries no dedup signal and at 100 TB
+    * would alone generate O(n²) candidate pairs. This is the skew guard
+    * that makes the LSH self-join's worst case linear in corpus size.
+    */
+  private val MaxBand = 100
+
   /** (doc_id, shingle) exploded word-3-grams. The token array is
     * MATERIALIZED in its own projection first: inlining `tokens(text)` into
     * the shingle lambda would re-run the regex split once per element_at —
@@ -69,7 +77,12 @@ object DedupQueries {
     */
   private def lshCandidates(s: SparkSession, sh: DataFrame, minMatch: Int): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, sh).cache()
+    val bandCount = Window.partitionBy($"i", $"mh")
+    val sig = signatures(s, sh)
+      .withColumn("bc", count(lit(1)).over(bandCount))
+      .where($"bc" <= MaxBand)
+      .drop("bc")
+      .cache()
     sig.as("a").join(sig.as("b"),
         $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
@@ -177,8 +190,10 @@ object DedupQueries {
         s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
            |sh AS (SELECT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
            |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
-           |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
+           |sig0 AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
            |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
+           |sig AS (SELECT doc_id, i, mh FROM (
+           |        SELECT *, count(*) OVER (PARTITION BY i, mh) bc FROM sig0) WHERE bc <= $MaxBand),
            |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_match
            |          FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
            |          GROUP BY 1, 2)
@@ -194,8 +209,10 @@ object DedupQueries {
         s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
            |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
            |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
-           |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
+           |sig0 AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
            |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
+           |sig AS (SELECT doc_id, i, mh FROM (
+           |        SELECT *, count(*) OVER (PARTITION BY i, mh) bc FROM sig0) WHERE bc <= $MaxBand),
            |cand AS (SELECT a.doc_id a_id, b.doc_id b_id
            |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
            |         GROUP BY 1, 2 HAVING count(*) >= 2),

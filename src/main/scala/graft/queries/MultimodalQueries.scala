@@ -52,6 +52,24 @@ object MultimodalQueries {
           md5($"text".substr($"frame_no" * FrameStride + 1, lit(FrameBytes))
             .cast("binary")).as("frame_md5"))
         .orderBy($"doc_id", $"frame_no")
+    }),
+
+    // Batched decode through MediaPipeline.mapPartitions (the real
+    // multimodal plumbing) rolled up per kind. Not SQL-expressible (the
+    // decode stub is imperative) → no oracle; the driver records a
+    // rows-only check, and MultimodalSpec pins the decode law.
+    "q62_media_features" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaPipeline
+      val feats = MediaPipeline.decode(
+        MediaPipeline.assetsFromDocuments(Tables.documents(s, dir)))
+      feats.toDF()
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"),
+          sum($"n_bytes").as("total_bytes"),
+          round(avg($"width"), 6).as("avg_width"),
+          round(avg(element_at($"features", 1)), 6).as("avg_f0"))
+        .orderBy($"kind")
     })
   )
 

@@ -52,6 +52,21 @@ class EventLogSpec extends SparkSpec {
     assert(log.getEventsTyped("app").collect().map(_.id).toSeq == Seq("e4")) // untouched
   }
 
+  test("scan plan: topic partition pruning + type filter pushed to parquet (SURVEY.md §4.1)") {
+    val log = seeded()
+    val plan = log.getEvents("web",
+        graft.sources.ScanOptions(eventTypes = Seq("click"), fromTimestamp = Some(1000)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("topic"),
+      s"expected topic partition pruning in:\n$plan")
+    // single-element isin plans as EqualTo; the rendered filter list may be
+    // width-truncated, so assert on the DataFilters spelling
+    assert(plan.contains("PushedFilters") && plan.contains("(type#"),
+      s"expected pushed type filter in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(timestamp"),
+      s"expected pushed timestamp range in:\n$plan")
+  }
+
   test("append after delete keeps the log usable") {
     val log = seeded()
     log.deleteEvents("web", 5000) // delete all web

@@ -23,6 +23,14 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+    // Untimed warmup: JIT + codegen + parquet file-index the inputs once so
+    // the per-query numbers measure the queries, not first-touch JVM cost
+    // (measured ~4s attributed to whichever query happened to run first).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => graft.sources.Tables.table(spark, sfDir, t).count())
+    graft.sources.Tables.events(spark, sfDir).count()
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
     val results = selected.map { case (name, fn) =>
       if (explain) {
         println(s"===== $name =====")

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions.{DotProductD, ShinglesExpr}
+
+/** SparkSessionExtensions injection point for graft's native expressions —
+  * enable with:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`. Equivalent
+  * to the imperative `GraftFunctions.register(spark)` (which the query pack
+  * calls for harness sessions that were built without extensions); this is
+  * the deployment-grade path — functions exist in every session derived
+  * from the config, including Thrift/Connect servers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductD(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, Literal(n: Int, _)) => ShinglesExpr(toks, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(tokens, n) requires a literal integer n")
+      }))
+  }
+}

@@ -1,10 +1,12 @@
 package graft.sources
 
 import java.net.URI
+import java.security.MessageDigest
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 import graft.model.{Event, EventRow}
 
@@ -21,35 +23,74 @@ final case class ScanOptions(
     limit: Option[Int] = None
 )
 
-/** The append-only event log: one parquet dataset partitioned by `topic`.
+/** The append-only event log: one parquet dataset, partitioned for pruning.
   *
   * This single table subsumes the reference's three stores (InMemory / File /
   * Postgres, reference: src/persistence.ts) — they differ only in durability,
-  * not semantics (SURVEY.md §7.0). At 100 TB the layout is what matters:
+  * not semantics (SURVEY.md §7.0). At 100 TB the layout is what matters, and
+  * it is chosen by `topicBuckets`:
   *
-  *   - `partitionBy("topic")` → topic scans touch one directory (partition
-  *     pruning), the moral equivalent of the reference's per-topic Map key /
-  *     per-topic directory / `WHERE topic` index.
-  *   - parquet min/max stats on `timestamp` → time-range predicates prune row
-  *     groups without custom indexing (the reference builds a
-  *     (topic,timestamp) btree, reference: src/persistence.ts:281-288).
-  *   - appends are new files; no compaction logic here (a real deployment
-  *     would layer Delta/Iceberg for that — out of scope, semantics equal).
+  *   - `topicBuckets = None` (default): `partitionBy("topic")`. Topic scans
+  *     touch one directory — the moral equivalent of the reference's
+  *     per-topic Map key / per-topic directory / `WHERE topic` index
+  *     (reference: src/persistence.ts:281-288). Right for FEW, FAT topics.
+  *   - `topicBuckets = Some(n)`: `partitionBy("topic_bucket")` where the
+  *     bucket is a stable hash of the topic mod n; `topic` stays a data
+  *     column with parquet min/max stats. Right for MANY topics — the
+  *     event-sourcing pattern mints one topic per aggregate
+  *     (`aggregate.<type>.<id>`, reference: src/sourcing.ts:272-274), and a
+  *     per-topic directory layout would melt down at millions of
+  *     aggregates (small files, listing cost, metastore pressure). A topic
+  *     scan prunes to 1/n of the data by partition, then row-group stats on
+  *     the sorted-ish topic column prune within the bucket.
+  *
+  * Appends are new files; no compaction logic here (a real deployment would
+  * layer Delta/Iceberg for that — out of scope, semantics equal).
   */
-final class EventLog(spark: SparkSession, val path: String) {
+final class EventLog(
+    spark: SparkSession,
+    val path: String,
+    val topicBuckets: Option[Int] = None) {
   import spark.implicits._
+
+  def this(spark: SparkSession, path: String) = this(spark, path, None)
+
+  private val BucketCol = "topic_bucket"
 
   private def fs: FileSystem =
     FileSystem.get(URI.create(path), spark.sparkContext.hadoopConfiguration)
 
   def exists: Boolean = fs.exists(new Path(path))
 
+  /** Stable topic→bucket hash: first 8 hex chars of md5, mod n. Computed
+    * identically driver-side (for scan pruning) and as a Column (for
+    * writes) — no dependence on JVM/Spark hash implementations.
+    */
+  def bucketOf(topic: String): Int = {
+    val n = topicBuckets.getOrElse(return 0)
+    val hex = MessageDigest.getInstance("MD5").digest(topic.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % n).toInt
+  }
+
+  private def bucketColumn(topic: Column): Column = {
+    val n = topicBuckets.get
+    pmod(conv(substring(md5(topic.cast("binary")), 1, 8), 16, 10).cast("long"), lit(n))
+      .cast("int")
+  }
+
   /** Append events. Store-then-forward ordering (reference: src/topic.ts:112-115)
     * is structural here: the log IS the delivery source, so anything a
     * subscription sees has already been persisted.
     */
-  def append(events: Dataset[EventRow]): Unit =
-    events.write.mode(SaveMode.Append).partitionBy("topic").parquet(path)
+  def append(events: Dataset[EventRow]): Unit = topicBuckets match {
+    case None =>
+      events.write.mode(SaveMode.Append).partitionBy("topic").parquet(path)
+    case Some(_) =>
+      events.toDF()
+        .withColumn(BucketCol, bucketColumn(col("topic")))
+        .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(path)
+  }
 
   def appendDF(events: DataFrame): Unit =
     append(events.as[EventRow])
@@ -60,11 +101,29 @@ final class EventLog(spark: SparkSession, val path: String) {
   def appendRows(events: Seq[EventRow]): Unit =
     append(spark.createDataset(events))
 
-  /** Whole-log view. Explicit schema: partition discovery infers `topic` from
-    * the directory layout; pinning the schema keeps `topic` a StringType.
+  private def readSchema = topicBuckets match {
+    case None => Event.schema
+    case Some(_) => Event.schema.add(BucketCol, IntegerType, nullable = true)
+  }
+
+  private def allRaw: DataFrame = spark.read.schema(readSchema).parquet(path)
+
+  /** Whole-log view (bucket column, if any, hidden — the public shape is
+    * always the §1.2 envelope). Explicit schema: pinning it keeps partition
+    * columns typed predictably.
     */
-  def all: DataFrame =
-    spark.read.schema(Event.schema).parquet(path)
+  def all: DataFrame = topicBuckets match {
+    case None => allRaw
+    case Some(_) => allRaw.drop(BucketCol)
+  }
+
+  /** One topic's rows with the layout-appropriate pruning predicate. */
+  private def topicDF(topic: String): DataFrame = topicBuckets match {
+    case None => allRaw.where($"topic" === topic)
+    case Some(_) =>
+      allRaw.where(col(BucketCol) === bucketOf(topic) && $"topic" === topic)
+        .drop(BucketCol)
+  }
 
   /** The reference's scan: filter(F1 ts-range, F2 type-set) → sort by
     * timestamp ASC (O1) → limit (O3) (reference: src/persistence.ts:37-68).
@@ -74,7 +133,7 @@ final class EventLog(spark: SparkSession, val path: String) {
     * global sort) and pushes every predicate to the parquet scan.
     */
   def getEvents(topic: String, opts: ScanOptions = ScanOptions()): DataFrame = {
-    var df = all.where($"topic" === topic)
+    var df = topicDF(topic)
     opts.fromTimestamp.foreach(ms => df = df.where($"timestamp" >= timestampMillis(ms)))
     opts.toTimestamp.foreach(ms => df = df.where($"timestamp" <= timestampMillis(ms)))
     if (opts.eventTypes.nonEmpty) df = df.where($"type".isin(opts.eventTypes: _*))
@@ -89,39 +148,47 @@ final class EventLog(spark: SparkSession, val path: String) {
     * check). Spark short-circuits via CollectLimit.
     */
   def hasEvents(topic: String): Boolean =
-    !all.where($"topic" === topic).limit(1).isEmpty
+    !topicDF(topic).limit(1).isEmpty
 
   /** Retention delete (reference: src/persistence.ts:74-93): drop events with
     * `timestamp < cutoff` in one topic, return the deleted count
     * (initialCount − remaining, reference: src/persistence.ts:83-91).
     *
-    * Implemented as a partition rewrite: only the one topic partition is
-    * rewritten (dynamic partition overwrite), everything else is untouched —
-    * at scale this is a per-partition maintenance job, not a full-table scan.
+    * Implemented as a partition rewrite: only the affected partition
+    * directory (the topic's own dir, or its hash bucket) is rewritten —
+    * at scale this is a per-partition maintenance job, not a full-table
+    * rewrite.
     */
   def deleteEvents(topic: String, olderThanMillis: Long): Long = {
-    val part = all.where($"topic" === topic).cache()
+    val cutoff = timestampMillis(olderThanMillis)
+    val (partDirName, partData) = topicBuckets match {
+      case None => (s"topic=$topic", topicDF(topic).drop("topic"))
+      case Some(_) =>
+        (s"$BucketCol=${bucketOf(topic)}",
+          allRaw.where(col(BucketCol) === bucketOf(topic)).drop(BucketCol))
+    }
+    val part = partData.cache()
     try {
-      val before = part.count()
-      val kept = part.where($"timestamp" >= timestampMillis(olderThanMillis))
+      val isTopic: Column = topicBuckets.fold(lit(true))(_ => $"topic" === topic)
+      val before = part.where(isTopic).count()
+      val kept = part.where(!(isTopic && $"timestamp" < cutoff))
+      val keptTopicCount = kept.where(isTopic).count()
       val keptCount = kept.count()
-      val staging = path.stripSuffix("/") + s"/.staging_${topic.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val staging = path.stripSuffix("/") +
+        s"/.staging_${partDirName.replaceAll("[^A-Za-z0-9._=-]", "_")}"
       // Rewrite via staging dir: parquet can't overwrite a path it is reading.
-      // `topic` is a partition column — drop it from the data files so the
-      // re-read doesn't see it twice (dir + file).
-      kept.drop("topic").write.mode(SaveMode.Overwrite).parquet(staging)
-      val topicDir = new Path(path, s"topic=$topic")
-      fs.delete(topicDir, true)
+      kept.write.mode(SaveMode.Overwrite).parquet(staging)
+      val partDir = new Path(path, partDirName)
+      fs.delete(partDir, true)
       if (keptCount > 0) {
-        fs.mkdirs(topicDir)
-        val stagingPath = new Path(staging)
-        fs.listStatus(stagingPath).foreach { st =>
+        fs.mkdirs(partDir)
+        fs.listStatus(new Path(staging)).foreach { st =>
           if (st.getPath.getName.startsWith("part-"))
-            fs.rename(st.getPath, new Path(topicDir, st.getPath.getName))
+            fs.rename(st.getPath, new Path(partDir, st.getPath.getName))
         }
       }
       fs.delete(new Path(staging), true)
-      before - keptCount
+      before - keptTopicCount
     } finally part.unpersist()
   }
 
@@ -131,4 +198,6 @@ final class EventLog(spark: SparkSession, val path: String) {
 
 object EventLog {
   def apply(spark: SparkSession, path: String): EventLog = new EventLog(spark, path)
+  def bucketed(spark: SparkSession, path: String, buckets: Int): EventLog =
+    new EventLog(spark, path, Some(buckets))
 }

@@ -16,6 +16,7 @@ import graft.sources.{EventLog, ScanOptions}
   * reference's one true "UDAF" (SURVEY.md §2.11).
   */
 abstract class EventSourcedEntity[S](initialState: S) extends Serializable {
+  private val initial: S = initialState
   protected var state: S = initialState
   private var _version: Int = 0
   private val history = mutable.Buffer.empty[EventRow]
@@ -32,9 +33,18 @@ abstract class EventSourcedEntity[S](initialState: S) extends Serializable {
     _version += 1
   }
 
+  /** Reset, then re-apply in sequence. NOTE a deliberate divergence: the
+    * reference resets history/version but NOT state (reference:
+    * src/sourcing.ts:53-62) — unobservable through its repository (which
+    * always folds on a factory-fresh instance, src/sourcing.ts:208-211) but
+    * a double-fold footgun on a dirty entity. We reset state to the initial
+    * value, which is the semantics `getById` observes either way (pinned by
+    * the rehydrate-idempotence ScalaCheck law).
+    */
   final def rehydrate(events: Seq[EventRow]): Unit = {
     history.clear()
     _version = 0
+    state = initial
     events.foreach(apply)
   }
 }

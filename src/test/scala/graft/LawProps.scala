@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.model.{Event, EventRow}
+import graft.schema.SchemaRegistry
+
+/** ScalaCheck properties for the engine's algebraic laws (SURVEY.md §5) —
+  * driver-side only (no SparkSession), so hundreds of samples stay cheap.
+  */
+object LawProps extends Properties("graft-laws") {
+
+  private val genEvent: Gen[EventRow] = for {
+    id <- Gen.uuid.map(_.toString)
+    tpe <- Gen.oneOf("a", "b", "c")
+    ms <- Gen.chooseNum(0L, 1000000L)
+    v <- Gen.chooseNum(-100, 100)
+  } yield EventRow(id, tpe, "t", new Timestamp(ms), "1.0", s"""{"v":$v}""", Map.empty)
+
+  private final class Summer(id: String)
+      extends graft.sourcing.AggregateRoot[Long](id, 0L) {
+    override protected def applyEvent(e: EventRow): Unit = {
+      val v = e.payload.replaceAll("[^-0-9]", "").toLong
+      state = state + v
+    }
+  }
+
+  property("rehydrate = fold: version == n, state == commutative sum, replay idempotent") =
+    forAll(Gen.listOf(genEvent)) { events =>
+      val agg = new Summer("x")
+      agg.rehydrate(events)
+      val expected = events.map(_.payload.replaceAll("[^-0-9]", "").toLong).sum
+      val firstState = agg.getState
+      agg.rehydrate(events) // re-rehydrate resets — no accumulation
+      (agg.getVersion == events.size) :| "version" &&
+        (firstState == expected) :| "state" &&
+        (agg.getState == expected) :| "idempotent"
+    }
+
+  property("fold order law: sorting by (ts, id) makes any permutation agree") =
+    forAll(Gen.listOf(genEvent)) { events =>
+      def foldSorted(evs: Seq[EventRow]): Seq[String] = {
+        val agg = new Summer("x")
+        agg.rehydrate(evs.sortBy(e => (e.timestamp.getTime, e.id)))
+        agg.getEvents.map(_.id)
+      }
+      foldSorted(events) == foldSorted(scala.util.Random.shuffle(events))
+    }
+
+  property("generateId is unique and lexicographically non-decreasing in time") =
+    Prop {
+      val ids = (1 to 500).map(_ => Event.generateId())
+      ids.distinct.size == ids.size && ids.sliding(2).forall {
+        case Seq(a, b) => a.take(9) <= b.take(9) // time prefix monotone
+        case _ => true
+      }
+    }
+
+  private val reg = {
+    val r = new SchemaRegistry
+    r.registerSchema("a",
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer"}}}""", "1.0")
+    r
+  }
+
+  property("schema law: integer accepts exactly whole numbers; missing k rejects; extras pass") =
+    forAll(Gen.chooseNum(-1e6, 1e6), Gen.alphaStr) { (d: Double, extra: String) =>
+      def ev(payload: String) =
+        EventRow("i", "a", "t", new Timestamp(0), "1.0", payload, Map.empty)
+      val whole = d == math.floor(d) && !d.isInfinite
+      (reg.validate(ev(s"""{"k":$d}""")) == whole) :| s"k=$d whole=$whole" &&
+        Prop(!reg.validate(ev(s"""{"x":1}"""))) :| "missing required" &&
+        Prop(reg.validate(ev(s"""{"k":1,"extra":"$extra"}"""))) :| "extra props pass"
+    }
+
+  property("retention predicate law: deleted+kept == total, nothing >= cutoff deleted") =
+    forAll(Gen.listOf(genEvent), Gen.chooseNum(0L, 1000000L)) { (events, cutoff) =>
+      val (deleted, kept) = events.partition(_.timestamp.getTime < cutoff)
+      deleted.size + kept.size == events.size &&
+        deleted.forall(_.timestamp.getTime < cutoff) &&
+        kept.forall(_.timestamp.getTime >= cutoff)
+    }
+}

@@ -71,6 +71,53 @@ object ExtendedQueries {
         .orderBy($"event_id")
     }),
 
+    // Pivot: event_type → columns, one hash agg (Spark plans pivot-on-
+    // known-values as a single aggregate pass, no per-column scans).
+    "q37_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy($"day")
+    }),
+
+    // UNION (distinct) of two event slices.
+    "q38_union_users" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      e.where($"event_type" === "click").select($"user_id")
+        .union(e.where($"event_type" === "purchase").select($"user_id"))
+        .distinct()
+        .orderBy($"user_id")
+    }),
+
+    // INTERSECT: customers ordering in both years.
+    "q39_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      o.where(year($"o_orderdate") === 1995).select($"o_custkey")
+        .intersect(o.where(year($"o_orderdate") === 1996).select($"o_custkey"))
+        .orderBy($"o_custkey")
+    }),
+
+    // Exact percentiles (linear interpolation, same type-7 law as DuckDB's
+    // quantile_cont). The EXACT form sorts per group — q28's t-digest is
+    // the scale path; this is the small-group precise one.
+    "q40_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+        .select($"event_type",
+          round($"q" (0), 6).as("p25"),
+          round($"q" (1), 6).as("p50"),
+          round($"q" (2), 6).as("p75"))
+        .orderBy($"event_type")
+    }),
+
     // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
     // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
     // the driver records a rows-only check. At 100 TB these sketches are
@@ -109,6 +156,30 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q37_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q38_union_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "q39_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q40_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_asof_join" ->
       """WITH t AS (
         |  SELECT event_id, user_id, ts, event_type,

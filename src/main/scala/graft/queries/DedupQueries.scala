@@ -138,8 +138,11 @@ object DedupQueries {
     // between O(candidates · doc_len) and O(n²).
     "q33_lsh_jaccard" -> ((s, dir) => {
       import s.implicits._
-      // One shingle scan feeds BOTH the signature path and the verify path.
-      val sh = shingles(s, dir, distinctSet = false).cache()
+      // The shingle pipeline is codegen'd and cheap to recompute; caching it
+      // would serialize a materialization barrier before either consumer
+      // starts. Cache only the DISTINCT set (used three times, and its
+      // shuffle is the expensive part).
+      val sh = shingles(s, dir, distinctSet = false)
       val shD = sh.distinct().cache()
       val card = shD.groupBy($"doc_id").agg(count(lit(1)).as("c"))
       val cand = lshCandidates(s, sh, 2)

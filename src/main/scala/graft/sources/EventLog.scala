@@ -161,12 +161,7 @@ final class EventLog(
     */
   def deleteEvents(topic: String, olderThanMillis: Long): Long = {
     val cutoff = timestampMillis(olderThanMillis)
-    val (partDirName, partData) = topicBuckets match {
-      case None => (s"topic=$topic", topicDF(topic).drop("topic"))
-      case Some(_) =>
-        (s"$BucketCol=${bucketOf(topic)}",
-          allRaw.where(col(BucketCol) === bucketOf(topic)).drop(BucketCol))
-    }
+    val (partDirName, partData) = partitionFor(topic)
     val part = partData.cache()
     try {
       val isTopic: Column = topicBuckets.fold(lit(true))(_ => $"topic" === topic)
@@ -174,22 +169,60 @@ final class EventLog(
       val kept = part.where(!(isTopic && $"timestamp" < cutoff))
       val keptTopicCount = kept.where(isTopic).count()
       val keptCount = kept.count()
-      val staging = path.stripSuffix("/") +
-        s"/.staging_${partDirName.replaceAll("[^A-Za-z0-9._=-]", "_")}"
-      // Rewrite via staging dir: parquet can't overwrite a path it is reading.
-      kept.write.mode(SaveMode.Overwrite).parquet(staging)
-      val partDir = new Path(path, partDirName)
-      fs.delete(partDir, true)
-      if (keptCount > 0) {
-        fs.mkdirs(partDir)
-        fs.listStatus(new Path(staging)).foreach { st =>
-          if (st.getPath.getName.startsWith("part-"))
-            fs.rename(st.getPath, new Path(partDir, st.getPath.getName))
-        }
-      }
-      fs.delete(new Path(staging), true)
+      rewritePartition(partDirName, kept, keepAny = keptCount > 0)
       before - keptTopicCount
     } finally part.unpersist()
+  }
+
+  /** Small-file maintenance: rewrite one topic's partition (its own dir, or
+    * its hash bucket) into `targetFiles` files. The pub/sub hot path
+    * appends a file per publish batch (reference analog: one JSON file per
+    * EVENT, reference: src/persistence.ts:143-144) — compaction is the
+    * periodic job that keeps scan/listing cost flat. Returns the file-count
+    * delta (before − after).
+    */
+  def compact(topic: String, targetFiles: Int = 1): Long = {
+    val (partDirName, partData) = partitionFor(topic)
+    val partDir = new Path(path, partDirName)
+    if (!fs.exists(partDir)) return 0L
+    def fileCount = fs.listStatus(partDir).count(_.getPath.getName.startsWith("part-"))
+    val before = fileCount
+    val part = partData.cache()
+    try {
+      val nonEmpty = part.limit(1).count() > 0
+      rewritePartition(partDirName, part.coalesce(math.max(targetFiles, 1)),
+        keepAny = nonEmpty)
+      before - fileCount
+    } finally part.unpersist()
+  }
+
+  /** (partition dir name, partition data as written on disk — minus the
+    * partition column itself).
+    */
+  private def partitionFor(topic: String): (String, DataFrame) = topicBuckets match {
+    case None => (s"topic=$topic", topicDF(topic).drop("topic"))
+    case Some(_) =>
+      (s"$BucketCol=${bucketOf(topic)}",
+        allRaw.where(col(BucketCol) === bucketOf(topic)).drop(BucketCol))
+  }
+
+  /** Replace one partition directory's contents with `df`, via a staging
+    * dir (parquet can't overwrite a path it is reading).
+    */
+  private def rewritePartition(partDirName: String, df: DataFrame, keepAny: Boolean): Unit = {
+    val staging = path.stripSuffix("/") +
+      s"/.staging_${partDirName.replaceAll("[^A-Za-z0-9._=-]", "_")}"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val partDir = new Path(path, partDirName)
+    fs.delete(partDir, true)
+    if (keepAny) {
+      fs.mkdirs(partDir)
+      fs.listStatus(new Path(staging)).foreach { st =>
+        if (st.getPath.getName.startsWith("part-"))
+          fs.rename(st.getPath, new Path(partDir, st.getPath.getName))
+      }
+    }
+    fs.delete(new Path(staging), true)
   }
 
   private def timestampMillis(ms: Long) =

@@ -67,6 +67,18 @@ class EventLogSpec extends SparkSpec {
       s"expected pushed timestamp range in:\n$plan")
   }
 
+  test("compact merges per-append small files without changing contents") {
+    val log = new EventLog(spark, tmpDir("log"))
+    // five separate appends = five (or more) files in the topic partition
+    (1 to 5).foreach(i => log.appendRows(Seq(row(s"e$i", "click", "web", i * 1000L))))
+    val before = log.getEventsTyped("web").collect().map(_.id).toSeq
+    val delta = log.compact("web")
+    assert(delta > 0) // fewer files than before
+    assert(log.getEventsTyped("web").collect().map(_.id).toSeq == before)
+    log.appendRows(Seq(row("e9", "view", "web", 9000)))
+    assert(log.getEventsTyped("web").collect().map(_.id).last == "e9")
+  }
+
   test("append after delete keeps the log usable") {
     val log = seeded()
     log.deleteEvents("web", 5000) // delete all web

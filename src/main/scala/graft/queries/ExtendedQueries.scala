@@ -118,6 +118,38 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // Range join: clicks within the hour before each purchase, same user.
+    // The equi key (user_id) carries the join — Spark plans SMJ on user
+    // with the range as a post-filter, so the pair space is bounded per
+    // user, not quadratic in the table. (A pure range join with NO equi key
+    // is the case needing binning/bucketed ranges at scale.)
+    "q45_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val p = e.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts".as("pts"))
+      val c = e.where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("cts"))
+      p.join(c, $"user_id" === $"c_user" &&
+          $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" < $"pts", "left")
+        .groupBy($"event_id")
+        .agg(count($"cts").as("n_clicks_1h"))
+        .orderBy($"event_id")
+    }),
+
+    // Statistical aggregates: sample stddev/variance + correlation —
+    // both engines use numerically-stable central-moment formulations.
+    "q46_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+          round(var_samp($"l_discount"), 6).as("var_disc"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
     // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
     // the driver records a rows-only check. At 100 TB these sketches are
@@ -156,6 +188,19 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q45_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts pts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id c_user, ts cts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, count(c.cts) AS n_clicks_1h
+        |FROM p LEFT JOIN c ON p.user_id = c.c_user
+        |  AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q46_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q37_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

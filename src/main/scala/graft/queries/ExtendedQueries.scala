@@ -150,6 +150,19 @@ object ExtendedQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Window-function family in one pass: dense_rank, quartile bucket,
+    // cumulative distribution per market segment (one shuffle, one sort).
+    "q47_window_family" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment",
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"c_custkey")
+    }),
+
     // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
     // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
     // the driver records a rows-only check. At 100 TB these sketches are
@@ -188,6 +201,14 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q47_window_family" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(dense_rank() OVER w AS INT) AS drk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
     "q45_range_join" ->
       """WITH p AS (SELECT event_id, user_id, ts pts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id c_user, ts cts FROM events WHERE event_type = 'click')

@@ -163,6 +163,32 @@ object ExtendedQueries {
         .orderBy($"c_custkey")
     }),
 
+    // Scalar string-function surface (§2.8): regex extraction/replacement,
+    // case/trim/pad ops — all codegen'd builtins, per-row narrow.
+    "q48_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .select($"p_partkey",
+          upper(substring($"p_name", 1, 8)).as("name_prefix"),
+          length($"p_name").as("name_len"),
+          regexp_replace($"p_brand", "[^0-9]", "").as("brand_num"),
+          regexp_extract($"p_type", "^(\\w+)", 1).as("type_head"),
+          lpad($"p_size".cast("string"), 4, "0").as("size_pad"))
+        .orderBy($"p_partkey")
+    }),
+
+    // Scalar date/time surface (§2.8 X3): truncation, parts, intervals.
+    "q49_date_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          date_trunc("month", $"o_orderdate").cast("date").as("order_month"),
+          dayofweek($"o_orderdate").as("dow"),
+          quarter($"o_orderdate").as("qtr"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).cast("date").as("due_date"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
     // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
     // the driver records a rows-only check. At 100 TB these sketches are
@@ -201,6 +227,21 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q48_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS name_prefix,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q49_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q47_window_family" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(dense_rank() OVER w AS INT) AS drk,

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.EventRow
+
+/** Migration importer for the reference's FileEventStore layout
+  * (reference: src/persistence.ts:141-145): `baseDir/<topic>/<ts>_<id>.json`,
+  * one JSON-stringified Event per file. Lets a reference deployment move its
+  * persisted history into the parquet event log in one batch job:
+  *
+  * {{{
+  * log.appendRows(...)  // live traffic
+  * FileStoreImporter.read(spark, "/old/deno/store").pipe(log.append)
+  * }}}
+  *
+  * Parsing is Jackson-per-partition rather than `from_json`/`get_json_object`
+  * because the payload must survive VERBATIM as JSON text: `get_json_object`
+  * unquotes string payloads and `from_json` coerces typed ones — both lose
+  * the exact byte representation our payload column (and the reference's
+  * `JSON.stringify` round-trip) preserves. Import is a cold path; exactness
+  * beats codegen here. Metadata values are stringified (the reference allows
+  * arbitrary JSON values; our envelope pins Map[String,String] — documented
+  * in SURVEY.md §1.2).
+  */
+object FileStoreImporter {
+
+  def read(spark: SparkSession, baseDir: String): Dataset[EventRow] = {
+    import spark.implicits._
+    spark.read.textFile(s"${baseDir.stripSuffix("/")}/*/*.json")
+      .mapPartitions { lines =>
+        val mapper = new ObjectMapper() // one parser per partition
+        lines.flatMap { line =>
+          val t = line.trim
+          if (t.isEmpty) None
+          else {
+            val n = mapper.readTree(t)
+            Some(EventRow(
+              id = n.get("id").asText(),
+              `type` = n.get("type").asText(),
+              topic = n.get("topic").asText(),
+              timestamp = new Timestamp(n.get("timestamp").asLong()),
+              schemaVersion =
+                if (n.hasNonNull("schemaVersion")) n.get("schemaVersion").asText() else "1.0",
+              payload =
+                if (n.has("payload")) mapper.writeValueAsString(n.get("payload")) else "null",
+              metadata =
+                if (n.hasNonNull("metadata")) {
+                  val it = n.get("metadata").fields()
+                  val b = Map.newBuilder[String, String]
+                  while (it.hasNext) {
+                    val e = it.next()
+                    b += (e.getKey -> (if (e.getValue.isTextual) e.getValue.asText()
+                                       else mapper.writeValueAsString(e.getValue)))
+                  }
+                  b.result()
+                } else Map.empty[String, String]))
+          }
+        }
+      }
+  }
+
+  /** Read the reference store and append it to a parquet log. */
+  def importInto(spark: SparkSession, baseDir: String, log: EventLog): Long = {
+    val events = read(spark, baseDir)
+    val n = events.count()
+    log.append(events)
+    n
+  }
+}

@@ -54,6 +54,20 @@ class BucketedEventLogSpec extends SparkSpec {
       s"expected pushed topic filter in:\n$plan")
   }
 
+  test("streaming subscription tails a bucketed log (topic is a data column there)") {
+    import graft.broker.SubscriptionOptions
+    import graft.dlq.InMemoryDeadLetterQueue
+    import graft.streaming.StreamingSubscription
+    val log = seeded()
+    val seen = scala.collection.mutable.Buffer.empty[String]
+    val sub = new StreamingSubscription(spark, log.path, tmpDir("bckpt"),
+      e => seen += e.id, new InMemoryDeadLetterQueue,
+      topicName = Some("web"),
+      options = SubscriptionOptions(eventTypes = Seq("click")))
+    sub.runAvailable()
+    assert(seen.toSeq == Seq("e1", "e3"))
+  }
+
   test("deleteEvents rewrites only the bucket, counts only the topic") {
     val log = seeded()
     val deleted = log.deleteEvents("web", olderThanMillis = 3000)

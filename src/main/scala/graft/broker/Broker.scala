@@ -114,6 +114,15 @@ final class Topic(
     val options: TopicOptions) {
 
   private val subs = new java.util.concurrent.ConcurrentHashMap[String, Subscription]()
+  // Retry-only handlers: streaming subscriptions live OUTSIDE the sync
+  // fan-out (their delivery is the StreamingQuery), but DLQ re-dispatch
+  // still needs a handler keyed by subscription id (broker.ts:166-183).
+  private val retryOnly = new java.util.concurrent.ConcurrentHashMap[String, EventRow => Unit]()
+
+  def registerRetryHandler(id: String, handler: EventRow => Unit): Unit =
+    retryOnly.put(id, handler)
+
+  def retryHandler(id: String): Option[EventRow => Unit] = Option(retryOnly.get(id))
 
   def subscribe(handler: EventRow => Unit,
       opts: SubscriptionOptions = SubscriptionOptions()): Subscription = {
@@ -251,9 +260,14 @@ final class EventBroker(
     */
   def subscribeStreaming(topicName: String, checkpointDir: String,
       handler: EventRow => Unit,
-      options: SubscriptionOptions = SubscriptionOptions()): graft.streaming.StreamingSubscription =
-    new graft.streaming.StreamingSubscription(
+      options: SubscriptionOptions = SubscriptionOptions()): graft.streaming.StreamingSubscription = {
+    val sub = new graft.streaming.StreamingSubscription(
       spark, logPath, checkpointDir, handler, dlq, Some(topicName), options)
+    // Route DLQ re-dispatch for this subscription id through the same
+    // handler (retry-only — live delivery stays with the StreamingQuery).
+    createTopic(topicName).registerRetryHandler(sub.id, handler)
+    sub
+  }
 
   /** DLQ re-dispatch (reference: src/broker.ts:166-183): look up the failed
     * event's subscription and re-deliver through it.
@@ -263,10 +277,14 @@ final class EventBroker(
       val topic = topics.getOrElse(event.topic,
         throw new IllegalStateException(
           s"Topic ${event.topic} not found for retry of event $eventId"))
-      val sub = topic.subscriptions.find(_.id == subscriptionId).getOrElse(
-        throw new IllegalStateException(
-          s"Subscription $subscriptionId not found for retry of event $eventId"))
-      sub.deliver(event)
+      topic.subscriptions.find(_.id == subscriptionId) match {
+        case Some(sub) => sub.deliver(event)
+        case None =>
+          val handler = topic.retryHandler(subscriptionId).getOrElse(
+            throw new IllegalStateException(
+              s"Subscription $subscriptionId not found for retry of event $eventId"))
+          handler(event) // a throw here → retryEvent bumps attempts (deadletter.ts:93-103)
+      }
       true
     })
 }

@@ -38,6 +38,7 @@ final class StreamingSubscription(
     options: SubscriptionOptions = SubscriptionOptions()) {
 
   private val subscriptionId = options.name.getOrElse(Event.generateId())
+  def id: String = subscriptionId
   @volatile private var query: Option[StreamingQuery] = None
 
   /** The filtered source stream: type/topic predicates are pushed into the

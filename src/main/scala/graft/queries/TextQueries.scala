@@ -124,6 +124,37 @@ object TextQueries {
         .orderBy($"doc_id", $"rk")
     }),
 
+    // The composed curation pipeline — what this engine exists for at
+    // 100 TB: quality-score every doc, drop near-dup clusters (keep the
+    // lowest doc_id per winnowing fingerprint), keep docs above the quality
+    // bar, roll up the surviving corpus per language. One scan, one window
+    // over the fingerprint, one final rollup.
+    "q55_corpus_curation" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val w = Window.partitionBy($"fp")
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .select($"doc_id", $"lang",
+          size($"toks").as("n_tok"),
+          aggregate($"toks", lit(0), (acc, t) => acc + length(t)).as("sum_len"),
+          stopCount($"toks", stop("en")).as("n_stop"),
+          array_min(transform(wordShingles($"toks", 5),
+            x => md5(x.cast("binary")))).as("fp"))
+      val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+        lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+      scored
+        .withColumn("quality", quality)
+        .withColumn("keeper", $"fp".isNull || $"doc_id" === min($"doc_id").over(w))
+        .where($"keeper" && $"quality" >= 0.5)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          round(avg($"quality"), 6).as("avg_quality"))
+        .orderBy($"lang")
+    }),
+
     // Winnowing-style fingerprint (Schleimer et al.: select the minimum
     // hash over a doc's k-grams): min md5 of word-5-gram shingles. Docs
     // sharing a fingerprint are near-dup clusters — the rolling-hash
@@ -204,6 +235,27 @@ object TextQueries {
           |      FROM scored)
           |SELECT doc_id, rk, term, round(score, 6) AS tfidf FROM r WHERE rk <= 3
           |ORDER BY doc_id, rk""".stripMargin,
+      "q55_corpus_curation" ->
+        """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |b AS (SELECT doc_id, lang,
+          |    len(toks) n_tok,
+          |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+          |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) n_stop,
+          |    list_min(list_transform(
+          |      [list_aggregate(toks[j+1:j+5], 'string_agg', ' ') FOR j IN range(greatest(len(toks)-4, 0))],
+          |      s -> md5(s))) fp
+          |  FROM t),
+          |q AS (SELECT *,
+          |    0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+          |      + 0.3 * (n_stop * 1.0 / n_tok)
+          |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0) AS quality,
+          |    (fp IS NULL OR doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keeper
+          |  FROM b)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+          |  round(avg(quality), 6) AS avg_quality
+          |FROM q WHERE keeper AND quality >= 0.5
+          |GROUP BY lang ORDER BY lang""".stripMargin,
       "q53_fingerprint_clusters" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
           |sh AS (SELECT doc_id,

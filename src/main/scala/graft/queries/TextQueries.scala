@@ -155,6 +155,23 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
+    // Deterministic sampling + train/val/test split: hash the stable key
+    // into a percentile (first 4 md5 hex chars / 65536), assign
+    // 80/10/10. Reproducible across engines, runs, and partitionings —
+    // the only sampling law a training pipeline should use (TABLESAMPLE
+    // and rand() are neither portable nor stable). Pure per-row narrow op.
+    "q56_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      val pct = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("double") / 65536.0
+      val split = when(pct < 0.8, "train").when(pct < 0.9, "val").otherwise("test")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", split.as("split"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+        .orderBy($"split", $"lang")
+    }),
+
     // Winnowing-style fingerprint (Schleimer et al.: select the minimum
     // hash over a doc's k-grams): min md5 of word-5-gram shingles. Docs
     // sharing a fingerprint are near-dup clusters — the rolling-hash
@@ -256,6 +273,14 @@ object TextQueries {
           |  round(avg(quality), 6) AS avg_quality
           |FROM q WHERE keeper AND quality >= 0.5
           |GROUP BY lang ORDER BY lang""".stripMargin,
+      "q56_hash_split" ->
+        """WITH s AS (SELECT doc_id, lang,
+          |    CASE WHEN pct < 0.8 THEN 'train' WHEN pct < 0.9 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT doc_id, lang,
+          |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+          |        FROM documents))
+          |SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc
+          |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
       "q53_fingerprint_clusters" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
           |sh AS (SELECT doc_id,

@@ -129,6 +129,47 @@ class BrokerSpec extends SparkSpec {
     assert(seen.toSeq == Seq("1", "3"))
   }
 
+  test("fan-out to multiple subscribers with per-subscriber error isolation (topic.ts:117-143)") {
+    val b = newBroker()
+    val seenA = mutable.Buffer.empty[String]
+    val seenB = mutable.Buffer.empty[String]
+    b.subscribe("fan", e => seenA += e.id, SubscriptionOptions(name = Some("a")))
+    b.subscribe("fan", { e => seenB += e.id; throw new RuntimeException("b dies") },
+      SubscriptionOptions(name = Some("b"), maxRetries = 1, retryDelayMillis = 0))
+    val r = b.publish("fan", "x", "{}")
+    assert(r.success && r.receiverCount == 2) // thrower still counted as receiver
+    assert(seenA.size == 1 && seenB.size == 1) // b's failure never reached a or the publisher
+  }
+
+  test("unsubscribe stops delivery; topic catalog ops (broker.ts:55-82)") {
+    val b = newBroker()
+    val seen = mutable.Buffer.empty[String]
+    val sub = b.subscribe("cat", e => seen += e.id, SubscriptionOptions(name = Some("s1")))
+    b.publish("cat", "x", "{}")
+    assert(b.getTopic("cat").get.unsubscribe(sub.id))
+    b.publish("cat", "x", "{}")
+    assert(seen.size == 1) // second publish had no receivers
+    assert(b.topicNames.contains("cat"))
+    assert(b.deleteTopic("cat") && !b.deleteTopic("cat"))
+    assert(b.getTopic("cat").isEmpty)
+  }
+
+  test("topic retention policy sweeps only old events of its own topic (topic.ts:156-163)") {
+    val b = newBroker()
+    val old = System.currentTimeMillis() - 100000
+    b.log.appendRows(Seq(
+      EventRow("old1", "x", "ret", new Timestamp(old), "1.0", "{}", Map.empty),
+      EventRow("new1", "x", "ret", new Timestamp(System.currentTimeMillis()), "1.0", "{}", Map.empty)))
+    val t = b.createTopic("ret", TopicOptions(retentionPeriodMillis = 60000))
+    assert(t.applyRetentionPolicy() == 1) // old1 swept
+    assert(b.log.getEventsTyped("ret").collect().map(_.id).toSeq == Seq("new1"))
+    // period 0 = keep forever (topic.ts:31-33): sweep is a no-op
+    val keep = b.createTopic("keep") // default retention 0
+    b.publish("keep", "x", "{}")
+    assert(keep.applyRetentionPolicy() == 0)
+    assert(b.log.hasEvents("keep"))
+  }
+
   test("DLQ retry re-dispatches through the original subscription (broker.ts:166-183)") {
     val dlq = new InMemoryDeadLetterQueue
     val b = new EventBroker(spark, tmpDir("log"), dlq)

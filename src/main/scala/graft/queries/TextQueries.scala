@@ -172,6 +172,29 @@ object TextQueries {
         .orderBy($"split", $"lang")
     }),
 
+    // Bigram LM statistics: P(w2|w1) over the corpus — the n-gram language
+    // model table a classic lang-ID/perplexity scorer trains. Top-3
+    // continuations of the 5 most frequent head words; counts are exact
+    // integers so the conditional probabilities divide identically.
+    "q57_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val bigrams = Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select(explode(wordShingles($"toks", 2)).as("bg"))
+        .select(split($"bg", " ")(0).as("w1"), split($"bg", " ")(1).as("w2"))
+      val counts = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+      val heads = counts.groupBy($"w1").agg(sum($"n12").as("n1"))
+      val topHeads = heads.orderBy($"n1".desc, $"w1".asc).limit(5)
+      val w = Window.partitionBy($"w1").orderBy($"n12".desc, $"w2".asc)
+      counts.join(broadcast(topHeads), "w1")
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"w1", $"rk", $"w2",
+          round($"n12" * lit(1.0) / $"n1", 6).as("p_cond"))
+        .orderBy($"w1", $"rk")
+    }),
+
     // Winnowing-style fingerprint (Schleimer et al.: select the minimum
     // hash over a doc's k-grams): min md5 of word-5-gram shingles. Docs
     // sharing a fingerprint are near-dup clusters — the rolling-hash
@@ -281,6 +304,18 @@ object TextQueries {
           |        FROM documents))
           |SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc
           |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+      "q57_bigram_lm" ->
+        """WITH t AS (SELECT string_split_regex(trim(text), '\s+') toks FROM documents),
+          |bg AS (SELECT toks[j+1] w1, toks[j+2] w2
+          |       FROM t, unnest(range(greatest(len(toks)-1, 0))) AS u(j)),
+          |c AS (SELECT w1, w2, count(*) n12 FROM bg GROUP BY 1, 2),
+          |h AS (SELECT w1, sum(n12) n1 FROM c GROUP BY 1),
+          |top5 AS (SELECT w1, n1 FROM h ORDER BY n1 DESC, w1 ASC LIMIT 5),
+          |r AS (SELECT c.w1, c.w2, c.n12, top5.n1,
+          |        CAST(row_number() OVER (PARTITION BY c.w1 ORDER BY c.n12 DESC, c.w2 ASC) AS INT) rk
+          |      FROM c JOIN top5 USING (w1))
+          |SELECT w1, rk, w2, round(n12 * 1.0 / n1, 6) AS p_cond
+          |FROM r WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
       "q53_fingerprint_clusters" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
           |sh AS (SELECT doc_id,

@@ -189,6 +189,26 @@ object ExtendedQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Salted two-phase aggregation: groupBy(key, salt) partial → groupBy
+    // (key) final. For uniform keys this is a redundant extra shuffle; for
+    // a skewed key it converts one straggler reducer into `salts` parallel
+    // ones. DECIMAL sums are exact, so the result is provably identical to
+    // the direct aggregation — the oracle IS the unsalted query.
+    "q58_salted_agg" -> ((s, dir) => {
+      import s.implicits._
+      val salts = 8
+      val partial = Tables.events(s, dir)
+        .withColumn("salt", pmod($"event_id", lit(salts)))
+        .groupBy($"user_id", $"salt")
+        .agg(count(lit(1)).as("pn"),
+          sum($"value".cast("decimal(18,2)")).as("psum"))
+      partial
+        .groupBy($"user_id")
+        .agg(sum($"pn").as("n"),
+          sum($"psum").cast("decimal(38,2)").as("total_value"))
+        .orderBy($"user_id")
+    }),
+
     // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
     // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
     // the driver records a rows-only check. At 100 TB these sketches are
@@ -227,6 +247,10 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q58_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q48_string_funcs" ->
       """SELECT p_partkey,
         |  upper(substr(p_name, 1, 8)) AS name_prefix,

@@ -174,6 +174,33 @@ final class EventLog(
     } finally part.unpersist()
   }
 
+  /** Count-based retention: keep only the newest `maxEvents` events of a
+    * topic (by the pinned (timestamp, id) order), return the deleted count.
+    * The reference DECLARES this option but never enforces it
+    * (`maxEvents` default 10000, reference: src/topic.ts:33; SURVEY.md §2.9
+    * T9 "dead option") — this is the honest implementation, flagged as an
+    * extension. Same partition-rewrite job as time-based retention.
+    */
+  def enforceMaxEvents(topic: String, maxEvents: Int): Long = {
+    val (partDirName, partData) = partitionFor(topic)
+    val part = partData.cache()
+    try {
+      val isTopic: Column = topicBuckets.fold(lit(true))(_ => $"topic" === topic)
+      val before = part.where(isTopic).count()
+      if (before <= maxEvents) return 0L
+      // rank newest-first WITHIN each topic of the partition; non-target
+      // topics (bucketed layout only) are never dropped (rn filter guarded).
+      // Per-topic data carries no topic column, so its rank group is global.
+      val grp: Column = topicBuckets.fold(lit("t"): Column)(_ => $"topic")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(grp).orderBy($"timestamp".desc, $"id".desc)
+      val kept = part.withColumn("rn", row_number().over(w))
+        .where(!isTopic || $"rn" <= maxEvents).drop("rn")
+      rewritePartition(partDirName, kept, keepAny = true)
+      before - maxEvents
+    } finally part.unpersist()
+  }
+
   /** Small-file maintenance: rewrite one topic's partition (its own dir, or
     * its hash bucket) into `targetFiles` files. The pub/sub hot path
     * appends a file per publish batch (reference analog: one JSON file per

@@ -54,6 +54,14 @@ class BucketedEventLogSpec extends SparkSpec {
       s"expected pushed topic filter in:\n$plan")
   }
 
+  test("enforceMaxEvents in a bucket drops only the target topic's overflow") {
+    val log = seeded()
+    assert(log.enforceMaxEvents("web", 1) == 3)
+    assert(log.getEventsTyped("web").collect().map(_.id).toSeq == Seq("e5")) // newest only
+    assert((1 to 20).forall(i => log.hasEvents(s"aggregate.user.u$i"))) // co-bucketed intact
+    assert(log.hasEvents("app"))
+  }
+
   test("streaming subscription tails a bucketed log (topic is a data column there)") {
     import graft.broker.SubscriptionOptions
     import graft.dlq.InMemoryDeadLetterQueue

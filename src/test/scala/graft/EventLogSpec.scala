@@ -67,6 +67,15 @@ class EventLogSpec extends SparkSpec {
       s"expected pushed timestamp range in:\n$plan")
   }
 
+  test("enforceMaxEvents keeps the newest N (T9 honest extension, topic.ts:33 dead option)") {
+    val log = seeded()
+    val deleted = log.enforceMaxEvents("web", maxEvents = 2)
+    assert(deleted == 2) // 4 web events → keep newest 2 (e3, e5)
+    assert(log.getEventsTyped("web").collect().map(_.id).toSeq == Seq("e3", "e5"))
+    assert(log.getEventsTyped("app").collect().map(_.id).toSeq == Seq("e4")) // untouched
+    assert(log.enforceMaxEvents("web", 10) == 0L) // under the cap: no-op
+  }
+
   test("compact merges per-append small files without changing contents") {
     val log = new EventLog(spark, tmpDir("log"))
     // five separate appends = five (or more) files in the topic partition

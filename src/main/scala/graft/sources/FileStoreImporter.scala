@@ -70,4 +70,36 @@ object FileStoreImporter {
     log.append(events)
     n
   }
+
+  /** Inverse migration: write events back OUT in the reference's layout
+    * (`baseDir/<topic>/<epochms>_<id>.json`, one stringified event per
+    * file — reference: src/persistence.ts:141-145), so a rollback to the
+    * reference keeps its history. Executor-side per-partition writes; the
+    * payload JSON text is embedded as a raw JSON value, exactly as
+    * `JSON.stringify(event)` would emit it. Returns the file count.
+    */
+  def exportFrom(events: Dataset[EventRow], baseDir: String): Long = {
+    import events.sparkSession.implicits._
+    events.mapPartitions { rows =>
+      val mapper = new ObjectMapper()
+      rows.map { e =>
+        val n = mapper.createObjectNode()
+        n.put("id", e.id)
+        n.put("type", e.`type`)
+        n.put("topic", e.topic)
+        n.put("timestamp", e.timestamp.getTime)
+        n.put("schemaVersion", e.schemaVersion)
+        n.set[com.fasterxml.jackson.databind.JsonNode]("payload", mapper.readTree(e.payload))
+        val meta = mapper.createObjectNode()
+        e.metadata.foreach { case (k, v) => meta.put(k, v) }
+        n.set[com.fasterxml.jackson.databind.JsonNode]("metadata", meta)
+        val dir = java.nio.file.Paths.get(baseDir, e.topic)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(
+          dir.resolve(s"${e.timestamp.getTime}_${e.id}.json"),
+          mapper.writeValueAsString(n))
+        1L
+      }
+    }.reduce(_ + _)
+  }
 }

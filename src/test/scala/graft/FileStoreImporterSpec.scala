@@ -36,4 +36,20 @@ class FileStoreImporterSpec extends SparkSpec {
     assert(log.getEventsTyped("orders").collect().map(_.id).toSeq == Seq("a1", "a2"))
     assert(log.getEventsTyped("users").collect().map(_.id).toSeq == Seq("b1"))
   }
+
+  test("export → import round-trips the log exactly (rollback path)") {
+    val log = new EventLog(spark, tmpDir("rtlog"))
+    log.appendRows(Seq(
+      graft.model.EventRow("r1", "t1", "top1", new java.sql.Timestamp(1111), "1.0",
+        """{"k":[1,2,{"x":"y"}]}""", Map("m" -> "v")),
+      graft.model.EventRow("r2", "t2", "top2", new java.sql.Timestamp(2222), "2.0",
+        "\"a string payload\"", Map.empty)))
+    val out = tmpDir("refout")
+    assert(FileStoreImporter.exportFrom(log.all.as[graft.model.EventRow](
+      org.apache.spark.sql.Encoders.product[graft.model.EventRow]), out) == 2)
+    val back = FileStoreImporter.read(spark, out).collect().sortBy(_.id)
+    val orig = log.getEventsTyped("top1").collect() ++ log.getEventsTyped("top2").collect()
+    assert(back.map(e => (e.id, e.`type`, e.topic, e.timestamp, e.schemaVersion, e.payload, e.metadata)).toSeq ==
+      orig.sortBy(_.id).map(e => (e.id, e.`type`, e.topic, e.timestamp, e.schemaVersion, e.payload, e.metadata)).toSeq)
+  }
 }

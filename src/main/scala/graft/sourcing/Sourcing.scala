@@ -91,7 +91,7 @@ abstract class AggregateRoot[S](val id: String, initialState: S)
   * same user fold. No optimistic concurrency on save, matching the
   * reference (lost-update documented, SURVEY.md §3.3 step 3).
   */
-final class EventSourcedRepository[A <: AggregateRoot[_]](
+final class EventSourcedRepository[A <: AggregateRoot[_] : scala.reflect.ClassTag](
     log: EventLog,
     aggregateType: String,
     factory: String => A) extends Serializable {
@@ -127,6 +127,36 @@ final class EventSourcedRepository[A <: AggregateRoot[_]](
 
   def deleteEvents(id: String): Long =
     if (!log.exists) 0L else log.deleteEvents(topicName(id), Long.MaxValue)
+
+  /** Streaming form of [[foldAll]]: a continuously-maintained aggregate
+    * projection. Each micro-batch folds its new events INTO the aggregate
+    * held in Spark's state store (serialized whole — aggregates are small
+    * by design; a huge-state aggregate would snapshot instead), emitting
+    * `f(aggregate)` for every aggregate that changed. Within a batch,
+    * events fold in (timestamp, id) order; across batches, in arrival
+    * order — the same law the reference's sequential appends give it.
+    * Checkpointed: restarts resume the fold where it stopped.
+    */
+  def foldAllStreaming[R](spark: SparkSession)(f: A => R)(
+      implicit enc: org.apache.spark.sql.Encoder[R]): Dataset[R] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    implicit val aggEnc: org.apache.spark.sql.Encoder[A] =
+      org.apache.spark.sql.Encoders.javaSerialization[A]
+    val prefix = s"aggregate.$aggregateType."
+    val fac = factory
+    spark.readStream.schema(graft.model.Event.schema).parquet(log.path)
+      .where($"topic".startsWith(prefix))
+      .as[EventRow]
+      .groupByKey(_.topic.stripPrefix(prefix))
+      .mapGroupsWithState[A, R](GroupStateTimeout.NoTimeout()) {
+        (id, events, state: org.apache.spark.sql.streaming.GroupState[A]) =>
+          val agg = state.getOption.getOrElse(fac(id))
+          events.toSeq.sortBy(e => (e.timestamp.getTime, e.id)).foreach(agg.apply)
+          state.update(agg)
+          f(agg)
+      }
+  }
 
   /** All aggregates of this type rebuilt in one distributed pass; `f`
     * projects each rehydrated aggregate to an encodable result. The

@@ -81,6 +81,39 @@ class SourcingSpec extends SparkSpec {
     assert(agg.getState == UserState("carol", "c@x.com"))
   }
 
+  test("foldAllStreaming maintains aggregate projections incrementally across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val log = new EventLog(spark, tmpDir("stream-src-log"))
+    val r = repo(log)
+    val ckpt = tmpDir("stream-src-ckpt")
+    val a1 = new UserAggregate("u1"); a1.create("ann", "a@x.com"); r.save(a1)
+
+    val emitted = scala.collection.mutable.Buffer.empty[(String, Int, String)]
+    def run(): Unit = {
+      import spark.implicits._
+      val q = r.foldAllStreaming(spark)(a => (a.id, a.getVersion, a.getState.email))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Int, String)], _: Long) =>
+          b.collect().foreach(emitted += _); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(emitted.toSeq == Seq(("u1", 1, "a@x.com")))
+
+    // new events for u1 + a new aggregate: u1's fold CONTINUES from state
+    emitted.clear()
+    val a1b = r.getById("u1").get; a1b.updateEmail("a@new.com"); r.save(a1b)
+    val a2 = new UserAggregate("u2"); a2.create("bo", "b@x.com"); r.save(a2)
+    run()
+    assert(emitted.sortBy(_._1).toSeq ==
+      Seq(("u1", 2, "a@new.com"), ("u2", 1, "b@x.com")))
+  }
+
   test("foldAll rebuilds every aggregate in one distributed pass (SURVEY.md §3.3)") {
     val log = new EventLog(spark, tmpDir("log"))
     val r = repo(log)

@@ -87,6 +87,24 @@ object MediaPipeline {
     }
   }
 
+  /** STUB resize — deterministic fake: keeps every k-th byte so the
+    * "resized" content scales with the target area the way a real
+    * image/audio resample would. A real implementation decodes, resamples,
+    * re-encodes here; the Spark-side contract (binary in, binary out,
+    * metadata records the target dims, per-row narrow) is what the
+    * pipeline depends on.
+    */
+  def resize(assets: Dataset[MediaAsset], width: Int, height: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val target = math.max(width * height, 1)
+      val step = math.max(a.content.length / target, 1)
+      val out = a.content.indices.collect { case i if i % step == 0 => a.content(i) }.toArray
+      a.copy(content = out,
+        meta = a.meta ++ Map("resized_w" -> width.toString, "resized_h" -> height.toString))
+    }
+  }
+
   /** Fixed-stride frame sampling for video assets: every `stride`-th
     * `frameBytes` window, fingerprinted. Pure per-row generator — frames
     * explode to (media_id, frame_no, digest) rows, bytes stay put.

@@ -52,6 +52,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getString(2).length == 32)) // md5 hex
   }
 
+  test("resize: deterministic subsample, metadata records target dims") {
+    val assets = MediaPipeline.assetsFromDocuments(docs())
+    val resized = MediaPipeline.resize(assets, 8, 4).collect().sortBy(_.media_id)
+    val orig = assets.collect().sortBy(_.media_id)
+    resized.zip(orig).foreach { case (r, o) =>
+      assert(r.content.length <= o.content.length)
+      assert(r.meta("resized_w") == "8" && r.meta("resized_h") == "4")
+      assert(r.meta("source") == "documents") // original meta preserved
+    }
+    val again = MediaPipeline.resize(assets, 8, 4).collect().sortBy(_.media_id)
+    assert(resized.zip(again).forall { case (a, b) => a.content.sameElements(b.content) })
+  }
+
   test("nearDupCandidates: identical content within kind is cosine-1 near-dup") {
     import spark.implicits._
     val dup = Seq(

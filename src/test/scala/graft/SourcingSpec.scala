@@ -114,6 +114,25 @@ class SourcingSpec extends SparkSpec {
       Seq(("u1", 2, "a@new.com"), ("u2", 1, "b@x.com")))
   }
 
+  test("LatestPayloadAggregator (typed UDAF) agrees with max_by under any partitioning") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val events = (1 to 100).map { i =>
+      EventRow(f"e$i%03d", "t", s"top${i % 7}", new Timestamp(1000L + (i % 13) * 100), "1.0",
+        s"""{"i":$i}""", Map.empty)
+    }
+    val ds = spark.createDataset(events).repartition(8)
+    val typed = ds.groupByKey(_.topic)
+      .agg(graft.functions.LatestPayloadAggregator.toColumn.name("latest"))
+      .collect().toMap
+    val viaMaxBy = ds.groupBy($"topic")
+      .agg(org.apache.spark.sql.functions.max_by($"payload",
+        org.apache.spark.sql.functions.struct($"timestamp", $"id")).as("latest"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(typed == viaMaxBy)
+    assert(typed.size == 7)
+  }
+
   test("foldAll rebuilds every aggregate in one distributed pass (SURVEY.md §3.3)") {
     val log = new EventLog(spark, tmpDir("log"))
     val r = repo(log)

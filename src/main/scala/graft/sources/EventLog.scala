@@ -82,14 +82,23 @@ final class EventLog(
   /** Append events. Store-then-forward ordering (reference: src/topic.ts:112-115)
     * is structural here: the log IS the delivery source, so anything a
     * subscription sees has already been persisted.
+    *
+    * Synchronized per log instance: concurrent write jobs into one parquet
+    * path share the committer's `_temporary` directory, so two overlapping
+    * appends from one driver can clobber each other's staging files. The
+    * reference has the same serialization implicitly (single JS event
+    * loop); here the lock only covers job submission+commit of the small
+    * driver-built batches, not query execution.
     */
-  def append(events: Dataset[EventRow]): Unit = topicBuckets match {
-    case None =>
-      events.write.mode(SaveMode.Append).partitionBy("topic").parquet(path)
-    case Some(_) =>
-      events.toDF()
-        .withColumn(BucketCol, bucketColumn(col("topic")))
-        .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(path)
+  def append(events: Dataset[EventRow]): Unit = this.synchronized {
+    topicBuckets match {
+      case None =>
+        events.write.mode(SaveMode.Append).partitionBy("topic").parquet(path)
+      case Some(_) =>
+        events.toDF()
+          .withColumn(BucketCol, bucketColumn(col("topic")))
+          .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(path)
+    }
   }
 
   def appendDF(events: DataFrame): Unit =

@@ -170,6 +170,35 @@ class BrokerSpec extends SparkSpec {
     assert(b.log.hasEvents("keep"))
   }
 
+  test("publishBatch persists one append for the whole batch; appendDF accepted") {
+    val b = newBroker()
+    val seen = mutable.Buffer.empty[String]
+    b.subscribe("bat", e => seen += e.payload)
+    val now = System.currentTimeMillis()
+    val rows = (1 to 3).map(i =>
+      EventRow(s"b$i", "x", "bat", new Timestamp(now + i), "1.0", s"$i", Map.empty))
+    val receivers = b.createTopic("bat").publishBatch(rows)
+    assert(receivers == 1)
+    assert(seen.toSeq == Seq("1", "2", "3"))
+    assert(b.log.getEventsTyped("bat").collect().map(_.id).toSeq == Seq("b1", "b2", "b3"))
+    import spark.implicits._
+    b.log.appendDF(spark.createDataset(Seq(
+      EventRow("b9", "x", "bat", new Timestamp(now + 9), "1.0", "9", Map.empty))).toDF())
+    assert(b.log.getEventsTyped("bat").collect().map(_.id).last == "b9")
+  }
+
+  test("concurrent publishes from multiple threads all persist (append is serialized)") {
+    val b = newBroker()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 5).foreach { i =>
+        assert(b.publish("conc", "x", s"""{"t":$t,"i":$i}""").success)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(b.log.getEventsTyped("conc").collect().length == 20)
+  }
+
   test("DLQ retry re-dispatches through the original subscription (broker.ts:166-183)") {
     val dlq = new InMemoryDeadLetterQueue
     val b = new EventBroker(spark, tmpDir("log"), dlq)

@@ -209,6 +209,34 @@ object ExtendedQueries {
         .orderBy($"user_id")
     }),
 
+    // Six-table star join (TPC-H Q5 shape): local-supplier revenue per
+    // nation in one region-year. Dimension chain (region→nation→customer/
+    // supplier) broadcasts; the fact⨝fact lineitem⨝orders edge carries the
+    // shuffle. Catalyst prunes region first, shrinking every downstream
+    // build side — the join-reorder case the optimizer exists for.
+    "q59_local_supplier_volume" -> ((s, dir) => {
+      import s.implicits._
+      val dec = "decimal(18,2)"
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).where($"r_name" === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su),
+          li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"n_name")
+        .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name".asc)
+    }),
+
     // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
     // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
     // the driver records a rows-only check. At 100 TB these sketches are
@@ -247,6 +275,17 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q59_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q58_salted_agg" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value

@@ -237,6 +237,22 @@ object ExtendedQueries {
         .orderBy($"revenue".desc, $"n_name".asc)
     }),
 
+    // The SQL front door: the engine's tables registered as temp views and
+    // queried through spark.sql — same Catalyst plan as the DataFrame
+    // spelling, proving the surface is dual. Revenue share per event type
+    // with a windowed total (scalar-subquery shape, decorrelated).
+    "q63_sql_frontdoor" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT event_type,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+          round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+            CAST(sum(sum(CAST(value AS DECIMAL(18,2)))) OVER () AS DOUBLE), 6) AS share
+        FROM events_v
+        GROUP BY event_type
+        ORDER BY event_type""")
+    }),
+
     // Sketch aggregates: HLL distinct + t-digest quantiles. No DuckDB
     // oracle (estimator internals differ by engine — SURVEY.md §2.5 note);
     // the driver records a rows-only check. At 100 TB these sketches are
@@ -275,6 +291,14 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q63_sql_frontdoor" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(sum(sum(CAST(value AS DECIMAL(18,2)))) OVER () AS DOUBLE), 6) AS share
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q59_local_supplier_volume" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue

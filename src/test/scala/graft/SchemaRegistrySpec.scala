@@ -77,6 +77,14 @@ class SchemaRegistrySpec extends SparkSpec {
     intercept[IllegalArgumentException](r.registerSchema("bad", """"not-an-object"""", "1.0"))
   }
 
+  test("getSchemas dumps the registry (schema.ts:69-78)") {
+    val r = registry()
+    r.registerSchema("other", """{"type":"object"}""", "2.1")
+    val dump = r.getSchemas
+    assert(dump.keySet == Set("user.created", "other"))
+    assert(dump("other")._2 == "2.1")
+  }
+
   test("validation column works as a DataFrame predicate at query level") {
     import spark.implicits._
     val r = registry()

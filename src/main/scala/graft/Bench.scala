@@ -4,12 +4,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
+  * Measurement rules:
+  *   - every query is fully materialized through the `noop` sink (a count()
+  *     would let Catalyst prune projections and eliminate sorts, flattering
+  *     exactly the queries whose projections are heavy);
+  *   - median of 3 timed runs per query — the host shows intermittent
+  *     multi-second stalls (steal/load spikes), and a median absorbs one
+  *     outlier where min-of-2 recorded it;
+  *   - failures are explicit: a throwing query reports -1 sec and lands in
+  *     the "errors" map instead of masquerading as a fast pass.
+  *
   * Extras for local iteration (driver passes no args, so these are inert in
   * harness runs):
   *   - args = substrings: run only queries whose name contains any arg
   *   - SPARK_GRAFT_EXPLAIN=1: print each query's formatted physical plan
   */
 object Bench {
+
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,25 +44,36 @@ object Bench {
       .foreach(t => graft.sources.Tables.table(spark, sfDir, t).count())
     graft.sources.Tables.events(spark, sfDir).count()
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    // Two timed runs per query, report the min: the host shows intermittent
-    // multi-second stalls (steal/load spikes), and min-of-k is the standard
-    // way to measure the query rather than the noise.
+
+    var errors = Map.empty[String, String]
     val results = selected.map { case (name, fn) =>
       if (explain) {
         println(s"===== $name =====")
         fn(spark, sfDir).explain("formatted")
       }
-      def once(): Double = {
+      // One timed run: full materialization via the noop sink.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            errors += name -> t.toString.linesIterator.next().take(200)
+            None
+        }
       }
-      name -> math.min(once(), once())
+      val times = (1 to Runs).flatMap(_ => once())
+      val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}""")
     spark.stop()
   }
 }

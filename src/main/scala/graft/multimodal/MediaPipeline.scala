@@ -124,9 +124,18 @@ object MediaPipeline {
     }.toDF("media_id", "frame_no", "frame_md5")
   }
 
-  /** Nearest-duplicate media by feature cosine within kind — reuses the
-    * similarity surface over decoded features: multimodal dedup is
-    * embedding dedup after decode.
+  /** Coarse LSH planes for the near-dup blocking key: 2 planes → 4 buckets
+    * per kind. Near-identical features agree on every hyperplane sign, so
+    * true dups never cross buckets; the composite (kind, bucket) key bounds
+    * the self-join pair space by cell size instead of O(n²/kinds).
+    */
+  private val BlockPlanes = 2
+
+  /** Nearest-duplicate media by feature cosine within (kind, LSH bucket) —
+    * reuses the similarity surface over decoded features: multimodal dedup
+    * is embedding dedup after decode. The join key is an equality on the
+    * composite block, so Catalyst plans a hash/sort-merge join (never a
+    * cross product), and the pair space stays linear in corpus size.
     */
   def nearDupCandidates(features: Dataset[MediaFeatures], threshold: Double): DataFrame = {
     import features.sparkSession.implicits._
@@ -134,8 +143,11 @@ object MediaPipeline {
     val f = features.toDF()
       .select($"media_id", $"kind", $"features".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot($"v", $"v")))
+      .withColumn("bucket",
+        graft.functions.VectorFunctions.lshBucket($"v", BlockPlanes, FeatureDim))
     f.as("a").join(f.as("b"),
-        $"a.kind" === $"b.kind" && $"a.media_id" < $"b.media_id")
+        $"a.kind" === $"b.kind" && $"a.bucket" === $"b.bucket" &&
+          $"a.media_id" < $"b.media_id")
       .select($"a.media_id".as("a_id"), $"b.media_id".as("b_id"),
         (graft.functions.VectorFunctions.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
       .where($"cos" >= threshold)

@@ -19,17 +19,19 @@ object AnalyticQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: the canonical scan→partial-agg→
-    // final-agg pipeline. DECIMAL sums are exact ⇒ shuffle-order-proof.
+    // final-agg pipeline. DECIMAL sums are exact ⇒ shuffle-order-proof; the
+    // final projection re-casts to DOUBLE (trailing-zero decimal scale is not
+    // representation-stable across engines, so DECIMAL never leaves a query).
     "q01_pricing_summary" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
         .where($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast(dec)).cast("decimal(38,2)").as("sum_qty"),
-          sum($"l_extendedprice".cast(dec)).cast("decimal(38,2)").as("sum_base_price"),
-          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+          round(sum($"l_quantity".cast(dec)).cast("double"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice".cast(dec)).cast("double"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .cast("double"), 4).as("sum_disc_price"),
           round(sum($"l_quantity".cast(dec)).cast("double") / count(lit(1)), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
@@ -45,7 +47,7 @@ object AnalyticQueries {
         .groupBy($"c_mktsegment")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum($"o_totalprice".cast(dec)).cast("decimal(38,2)").as("revenue"))
+          round(sum($"o_totalprice".cast(dec)).cast("double"), 2).as("revenue"))
         .orderBy($"c_mktsegment")
     }),
 
@@ -60,8 +62,8 @@ object AnalyticQueries {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy($"n_name")
-        .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-          .cast("decimal(38,4)").as("revenue"))
+        .agg(round(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("double"), 4).as("revenue"))
         .orderBy($"n_name")
     }),
 
@@ -113,7 +115,7 @@ object AnalyticQueries {
         .rowsBetween(-6, Window.currentRow)
       Tables.events(s, dir)
         .withColumn("rolling7",
-          sum($"value".cast(dec)).over(w).cast("decimal(38,2)"))
+          round(sum($"value".cast(dec)).over(w).cast("double"), 2))
         .select($"event_id", $"user_id", $"rolling7")
         .orderBy($"event_id")
     }),
@@ -124,7 +126,7 @@ object AnalyticQueries {
       Tables.lineitem(s, dir)
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum($"l_quantity".cast(dec)).cast("decimal(38,2)").as("sum_qty"))
+          round(sum($"l_quantity".cast(dec)).cast("double"), 2).as("sum_qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
@@ -154,7 +156,7 @@ object AnalyticQueries {
       Tables.events(s, dir)
         .groupBy(to_date($"ts").as("day"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast(dec)).cast("decimal(38,2)").as("total"))
+          round(sum($"value".cast(dec)).cast("double"), 2).as("total"))
         .orderBy($"day", $"event_type")
     }),
 
@@ -183,9 +185,9 @@ object AnalyticQueries {
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -193,12 +195,12 @@ object AnalyticQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q11_join_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q12_star_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -224,13 +226,13 @@ object AnalyticQueries {
         |ORDER BY o_custkey, rk""".stripMargin,
     "q17_rolling_sum" ->
       """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS rolling7
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rolling7
         |FROM events ORDER BY event_id""".stripMargin,
     "q18_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q19_except_custkeys" ->
@@ -245,7 +247,7 @@ object AnalyticQueries {
         |FROM lineitem""".stripMargin,
     "q21_tumbling_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q22_sessionize" ->
       """WITH flagged AS (

@@ -13,7 +13,10 @@ import graft.sources.Tables
   *
   * Determinism rules used throughout the query packs:
   *   - every query ends in a total ORDER BY (ties broken by a unique key);
-  *   - double sums go through DECIMAL casts (exact, order-insensitive);
+  *   - double sums go through DECIMAL casts (exact, order-insensitive), but
+  *     the final projection re-casts to DOUBLE via round(CAST(.. AS DOUBLE), n)
+  *     on both sides — DECIMAL trailing-zero scale is not representation-stable
+  *     across engines and never leaves a query;
   *   - integer sums are final-cast to BIGINT on the DuckDB side (its sum()
   *     widens to HUGEINT);
   *   - averages are round(exact_sum::double / count, 6).
@@ -41,7 +44,7 @@ object CoreQueries {
       Tables.events(s, dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
         .orderBy($"event_type")
     }),
 
@@ -86,7 +89,7 @@ object CoreQueries {
         .agg(
           count(lit(1)).as("version"),
           max_by($"value", $"ts").as("last_value"),
-          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
         .orderBy($"user_id")
     }),
 
@@ -135,7 +138,7 @@ object CoreQueries {
         |ORDER BY ts ASC, event_id ASC LIMIT 100""".stripMargin,
     "q03_type_counts" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q04_retention_counts" ->
       """SELECT count(*) AS total,
@@ -153,7 +156,7 @@ object CoreQueries {
     "q07_fold_state" ->
       """SELECT user_id, count(*) AS version,
         |  arg_max(value, ts) AS last_value,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q08_versions" ->
       """SELECT event_id, user_id,

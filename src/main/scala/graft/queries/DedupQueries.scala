@@ -138,14 +138,13 @@ object DedupQueries {
     // between O(candidates · doc_len) and O(n²).
     "q33_lsh_jaccard" -> ((s, dir) => {
       import s.implicits._
-      // The shingle pipeline is codegen'd and cheap to recompute; caching it
-      // would serialize a materialization barrier before either consumer
-      // starts. Cache only the DISTINCT set (used three times, and its
-      // shuffle is the expensive part).
-      val sh = shingles(s, dir, distinctSet = false)
-      val shD = sh.distinct().cache()
+      // ONE scan+explode of documents feeds everything: the cached DISTINCT
+      // shingle set drives the signature stage too (min over a multiset ==
+      // min over its distinct set), so the verify and candidate branches
+      // share a single Generate instead of re-running the shingle pipeline.
+      val shD = shingles(s, dir, distinctSet = true).cache()
       val card = shD.groupBy($"doc_id").agg(count(lit(1)).as("c"))
-      val cand = lshCandidates(s, sh, 2)
+      val cand = lshCandidates(s, shD, 2)
       val inter = cand
         .join(shD.as("sa"), $"a_id" === $"sa.doc_id")
         .join(shD.as("sb"), $"b_id" === $"sb.doc_id" && $"sb.shingle" === $"sa.shingle")

@@ -24,10 +24,12 @@ object ExtendedQueries {
       import s.implicits._
       val daily = Tables.events(s, dir)
         .groupBy(to_date($"ts").as("day"), $"event_type")
-        .agg(sum($"value".cast(dec)).cast("decimal(38,2)").as("daily_total"))
+        .agg(sum($"value".cast(dec)).as("daily_total_dec"))
       val w = Window.partitionBy($"event_type").orderBy($"day".asc).rowsBetween(-2, 0)
       daily
-        .withColumn("sliding3", sum($"daily_total").over(w).cast("decimal(38,2)"))
+        .withColumn("sliding3", round(sum($"daily_total_dec").over(w).cast("double"), 2))
+        .withColumn("daily_total", round($"daily_total_dec".cast("double"), 2))
+        .select($"day", $"event_type", $"daily_total", $"sliding3")
         .orderBy($"day", $"event_type")
     }),
 
@@ -50,7 +52,7 @@ object ExtendedQueries {
       Tables.lineitem(s, dir)
         .cube($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum($"l_quantity".cast(dec)).cast("decimal(38,2)").as("sum_qty"))
+          round(sum($"l_quantity".cast(dec)).cast("double"), 2).as("sum_qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
@@ -205,7 +207,7 @@ object ExtendedQueries {
       partial
         .groupBy($"user_id")
         .agg(sum($"pn").as("n"),
-          sum($"psum").cast("decimal(38,2)").as("total_value"))
+          round(sum($"psum").cast("double"), 2).as("total_value"))
         .orderBy($"user_id")
     }),
 
@@ -232,8 +234,8 @@ object ExtendedQueries {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy($"n_name")
-        .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-          .cast("decimal(38,4)").as("revenue"))
+        .agg(round(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("double"), 4).as("revenue"))
         .orderBy($"revenue".desc, $"n_name".asc)
     }),
 
@@ -245,7 +247,7 @@ object ExtendedQueries {
       Tables.events(s, dir).createOrReplaceTempView("events_v")
       s.sql("""
         SELECT event_type,
-          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+          round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
             CAST(sum(sum(CAST(value AS DECIMAL(18,2)))) OVER () AS DOUBLE), 6) AS share
         FROM events_v
@@ -273,11 +275,12 @@ object ExtendedQueries {
     "q23_sliding_window" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS daily_total
+        |    sum(CAST(value AS DECIMAL(18,2))) AS daily_total_dec
         |  FROM events GROUP BY 1, 2)
-        |SELECT day, event_type, daily_total,
-        |  CAST(sum(daily_total) OVER (PARTITION BY event_type ORDER BY day ASC
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS sliding3
+        |SELECT day, event_type,
+        |  round(CAST(daily_total_dec AS DOUBLE), 2) AS daily_total,
+        |  round(CAST(sum(daily_total_dec) OVER (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sliding3
         |FROM daily ORDER BY day, event_type""".stripMargin,
     "q24_lag_lead" ->
       """SELECT event_id, user_id,
@@ -288,12 +291,12 @@ object ExtendedQueries {
         |ORDER BY event_id""".stripMargin,
     "q26_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q63_sql_frontdoor" ->
       """SELECT event_type,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
         |    CAST(sum(sum(CAST(value AS DECIMAL(18,2)))) OVER () AS DOUBLE), 6) AS share
         |FROM events
@@ -301,7 +304,7 @@ object ExtendedQueries {
         |ORDER BY event_type""".stripMargin,
     "q59_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -312,7 +315,7 @@ object ExtendedQueries {
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q58_salted_agg" ->
       """SELECT user_id, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q48_string_funcs" ->
       """SELECT p_partkey,

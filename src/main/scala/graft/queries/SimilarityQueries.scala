@@ -29,6 +29,15 @@ object SimilarityQueries {
   private val NQueries = 10 // vec_id < 10 are the query set
   private val TopK = 10
 
+  /** Coarse bucket width for q34's near-dup blocking: 2 planes → 4 buckets.
+    * Composite (label, bucket) blocking bounds the self-join pair space by
+    * cell size — at N× data the pair count grows N×, not N² (each plane
+    * roughly halves a cell; production tunes planes up with corpus size).
+    * Coarser than the ANN path's 6 planes because a dup REPORT wants recall:
+    * with 64 buckets most vectors here would sit alone in their cell.
+    */
+  private val BlockPlanes = 2
+
   /** Corpus projected once to (vec_id, label, v: array<double>, nrm): the
     * cast and the L2 norm are per-VECTOR work and must not be recomputed
     * per candidate pair.
@@ -128,16 +137,20 @@ object SimilarityQueries {
     }),
 
     // Embedding near-dup report: each vector's nearest neighbor within its
-    // label block (blocking bounds the pair space the way LSH bands do for
-    // text). On this corpus no pair exceeds cosine 0.48 — the report IS the
+    // (label, coarse-LSH-bucket) block. Label alone is NOT a scale-safe
+    // block key (10 labels ⇒ O(n²/10) pairs, 100× data ⇒ 10,000× pairs);
+    // the composite key keeps the cell — and so the pair space — bounded.
+    // On this corpus no pair exceeds cosine 0.48 — the report IS the
     // evidence there are no embedding-level dups.
     "q34_embedding_nn" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
       val e = normalized(s, dir)
+        .withColumn("bucket", lshBucket($"v", BlockPlanes, Dim))
       val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
       e.as("a").join(e.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+          $"a.label" === $"b.label" && $"a.bucket" === $"b.bucket" &&
+            $"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
           (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
         .withColumn("rn", row_number().over(w))
@@ -152,9 +165,10 @@ object SimilarityQueries {
     // the Catalyst plan share one definition (generated from the same code).
     def signList(p: Int): String =
       hyperplaneSigns(p, Dim).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    val bucketExpr = (0 until Planes)
+    def bucketExprFor(planes: Int): String = (0 until planes)
       .map(p => s"(CASE WHEN list_dot_product(v, ${signList(p)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
+    val bucketExpr = bucketExprFor(Planes)
     val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
     Map(
       "q41_knn_brute" ->
@@ -205,9 +219,11 @@ object SimilarityQueries {
            |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
            |ORDER BY q_id, rk""".stripMargin,
       "q34_embedding_nn" ->
-        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |e AS (SELECT vec_id, label, v, ${bucketExprFor(BlockPlanes)} AS bucket FROM e0),
            |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $cos cos
-           |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+           |      FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+           |        AND a.vec_id <> b.vec_id),
            |r AS (SELECT a_id, b_id, cos,
            |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) rn
            |      FROM p)

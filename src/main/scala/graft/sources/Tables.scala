@@ -17,14 +17,15 @@ object Tables {
     * truncation DuckDB applies when it narrows ns→µs), so oracle comparisons
     * see identical values.
     *
-    * Scale note: because the timestamp passes through `timestamp_micros(...)`,
-    * time-RANGE predicates in queries don't reach the parquet scan (only the
-    * type/topic filters push; verified via explain). This is a quirk of the
-    * ns-typed test fixture — a production log written by [[EventLog]] stores
-    * TimestampType directly and gets full min/max row-group pruning.
+    * Range predicates against the derived µs timestamp would normally be
+    * opaque to the parquet filter translator; [[graft.plans.NanoTimestampPushdown]]
+    * (installed here) derives the implied bounds on the raw nanos long so
+    * they reach the scan as PushedFilters → row-group pruning, same as a
+    * natively TimestampType log written by [[EventLog]].
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.NanoTimestampPushdown.install(spark)
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -76,4 +76,12 @@ class MultimodalSpec extends SparkSpec {
     val pairs = MediaPipeline.nearDupCandidates(feats, 0.999).collect()
     assert(pairs.exists(r => r.getLong(0) == 10L && r.getLong(1) == 13L))
   }
+
+  test("nearDupCandidates: bucketed equi-join plan, no cross product") {
+    val feats = MediaPipeline.decode(MediaPipeline.assetsFromDocuments(docs()))
+    val plan = MediaPipeline.nearDupCandidates(feats, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cross product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
 }

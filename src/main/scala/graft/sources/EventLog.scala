@@ -169,13 +169,19 @@ final class EventLog(
     * rewrite.
     */
   def deleteEvents(topic: String, olderThanMillis: Long): Long = {
-    val cutoff = timestampMillis(olderThanMillis)
+    // Cutoffs beyond the max representable timestamp (callers pass
+    // Long.MaxValue for "delete everything") would overflow the epoch→
+    // timestamp cast to null; make delete-all explicit instead of relying
+    // on three-valued-logic null propagation.
+    val isOld: Column =
+      if (olderThanMillis > MaxSafeEpochMillis) lit(true)
+      else $"timestamp" < timestampMillis(olderThanMillis)
     val (partDirName, partData) = partitionFor(topic)
     val part = partData.cache()
     try {
       val isTopic: Column = topicBuckets.fold(lit(true))(_ => $"topic" === topic)
       val before = part.where(isTopic).count()
-      val kept = part.where(!(isTopic && $"timestamp" < cutoff))
+      val kept = part.where(!(isTopic && isOld))
       val keptTopicCount = kept.where(isTopic).count()
       val keptCount = kept.count()
       rewritePartition(partDirName, kept, keepAny = keptCount > 0)
@@ -234,9 +240,18 @@ final class EventLog(
 
   /** (partition dir name, partition data as written on disk — minus the
     * partition column itself).
+    *
+    * The directory NAME must match what Spark's committer wrote: partition
+    * values are Hive-escaped on write (':', '=', '%', … become `%XX`), and
+    * event-sourcing topics are user-controlled (`aggregate.<type>.<id>`,
+    * reference: src/sourcing.ts:272-274) — raw `"topic=$topic"` would point
+    * retention/compaction at a directory append never used.
     */
   private def partitionFor(topic: String): (String, DataFrame) = topicBuckets match {
-    case None => (s"topic=$topic", topicDF(topic).drop("topic"))
+    case None =>
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(topic)
+      (s"topic=$escaped", topicDF(topic).drop("topic"))
     case Some(_) =>
       (s"$BucketCol=${bucketOf(topic)}",
         allRaw.where(col(BucketCol) === bucketOf(topic)).drop(BucketCol))
@@ -263,6 +278,9 @@ final class EventLog(
 
   private def timestampMillis(ms: Long) =
     (lit(ms) / 1000.0).cast("timestamp")
+
+  /** 9999-12-31T23:59:59.999Z — anything later is treated as "no bound". */
+  private val MaxSafeEpochMillis = 253402300799999L
 }
 
 object EventLog {

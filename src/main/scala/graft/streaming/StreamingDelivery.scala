@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -15,18 +18,32 @@ import graft.model.{Event, EventRow}
   *   - store-then-forward is STRUCTURAL: the log is the only source, so a
   *     subscriber can only see persisted events (reference guarantees this
   *     by ordering two awaits, src/topic.ts:112-115)
-  *   - historical replay = start from the log's beginning — history and
-  *     live unify in one ordered source, strictly better than the
-  *     reference's racy async replay (src/topic.ts:70-86)
+  *   - `receiveHistoricalEvents=true` = start from the log's beginning —
+  *     history and live unify in one ordered source, strictly better than
+  *     the reference's racy async replay (src/topic.ts:70-86); with the
+  *     reference default `false` (src/subscription.ts:27), a fresh
+  *     subscription seeds its boundary at the log's current max timestamp
+  *     and delivers only what is published after subscribe
   *   - pause/resume = stop + restart from the checkpoint: the gap replays,
   *     upgrading the reference's lossy pause (src/subscription.ts:62-73)
-  *   - bounded immediate retry inside foreachBatch, then DLQ, mirroring
-  *     src/subscription.ts:91-105; the wall-clock `retryDelay` between
-  *     attempts is honored in the DLQ re-dispatch path instead of blocking
-  *     the micro-batch (SURVEY.md §7.2)
+  *   - bounded retry inside foreachBatch honors `retryDelay` between
+  *     attempts like the sync path (reference: src/subscription.ts:91-105),
+  *     capped at [[StreamingSubscription.MaxRetrySleepMillis]] so a
+  *     misconfigured delay cannot wedge a micro-batch; DLQ re-dispatch
+  *     remains the long-delay path (SURVEY.md §7.2)
   *
   * Delivery is at-least-once across restarts (checkpointed foreachBatch) —
   * handlers must be idempotent on `event.id`, which the envelope provides.
+  *
+  * Backpressure: `maxFilesPerTrigger` caps how much log backlog one
+  * micro-batch ingests. The ordered (default) delivery mode collects each
+  * micro-batch to the driver to honor the reference's sequential-handler
+  * law — WITH the cap that is bounded memory; without it, AvailableNow over
+  * a deep backlog would materialize the whole log on the driver.
+  * `ordered=false` switches to distributed delivery: handlers run inside
+  * `mapPartitions` on executors (unordered across partitions, so the
+  * reference's global ordering law is traded for throughput) and only
+  * failures travel back to the driver for DLQ bookkeeping.
   */
 final class StreamingSubscription(
     spark: SparkSession,
@@ -35,7 +52,9 @@ final class StreamingSubscription(
     handler: EventRow => Unit,
     dlq: DeadLetterQueue,
     topicName: Option[String] = None,
-    options: SubscriptionOptions = SubscriptionOptions()) {
+    options: SubscriptionOptions = SubscriptionOptions(),
+    maxFilesPerTrigger: Option[Int] = None,
+    ordered: Boolean = true) {
 
   private val subscriptionId = options.name.getOrElse(Event.generateId())
   def id: String = subscriptionId
@@ -46,11 +65,48 @@ final class StreamingSubscription(
     * topic never deserializes the rest of the log.
     */
   private def source: DataFrame = {
-    var df = spark.readStream.schema(Event.schema).parquet(logPath)
+    val reader = spark.readStream.schema(Event.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    var df = reader.parquet(logPath)
     topicName.foreach(t => df = df.where(col("topic") === t))
     if (options.eventTypes.nonEmpty)
       df = df.where(col("type").isin(options.eventTypes: _*))
+    startingBoundaryMillis().foreach(ms =>
+      df = df.where(col("timestamp") > (lit(ms) / 1000.0).cast("timestamp")))
     df
+  }
+
+  /** Where delivery starts. `receiveHistoricalEvents=true` → None (beginning
+    * of log). Otherwise the boundary is the log's max timestamp at FIRST
+    * start, persisted as a marker next to the checkpoint so restarts keep
+    * the same boundary (the checkpoint itself tracks progress past it).
+    * Same-millisecond publishes racing the subscribe land on either side of
+    * the boundary — the reference has the identical race on its wall-clock
+    * subscribe instant.
+    */
+  private def startingBoundaryMillis(): Option[Long] = {
+    if (options.receiveHistoricalEvents) return None
+    val marker = new Path(checkpointDir, "GRAFT_START_BOUNDARY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    } else {
+      val logFs = new Path(logPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val maxMs: Long =
+        if (!logFs.exists(new Path(logPath))) 0L
+        else {
+          val row = spark.read.schema(Event.schema).parquet(logPath)
+            .agg(max(col("timestamp"))).head()
+          if (row.isNullAt(0)) 0L else row.getTimestamp(0).getTime
+        }
+      val out = fs.create(marker, true)
+      try out.write(maxMs.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      Some(maxMs)
+    }
   }
 
   /** Start (or restart — the checkpoint resumes where delivery stopped).
@@ -59,32 +115,55 @@ final class StreamingSubscription(
     */
   def start(availableNow: Boolean = false): StreamingQuery = {
     val h = handler
-    val d = dlq
     val maxRetries = options.maxRetries
+    val sleepMs = math.min(math.max(options.retryDelayMillis, 0L),
+      StreamingSubscription.MaxRetrySleepMillis)
+    val d = dlq
     val subId = subscriptionId
+    val orderedMode = ordered
+
+    // One event through handler-with-retries; Some(error) when exhausted.
+    // Shared by both delivery modes (serialized to executors in unordered).
+    val deliverOne: EventRow => Option[String] = { event =>
+      var attempt = 1
+      var failure: Option[String] = None
+      var done = false
+      while (!done) {
+        try { h(event); done = true }
+        catch {
+          case e: Exception =>
+            if (attempt < maxRetries) {
+              if (sleepMs > 0) Thread.sleep(sleepMs)
+              attempt += 1
+            } else {
+              failure = Some(Option(e.getMessage).getOrElse(e.toString))
+              done = true
+            }
+        }
+      }
+      failure
+    }
+
     val writer = source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // Per-batch ordered delivery on the driver mirrors the reference's
-        // sequential handler loop. A high-throughput subscriber would
-        // `batch.foreachPartition` instead (unordered, distributed) — the
-        // ordering law is the reference's, so ordered is the default.
         import batch.sparkSession.implicits._
-        batch.as[EventRow].collect()
-          .sortBy(e => (e.timestamp.getTime, e.id))
-          .foreach { event =>
-            var attempt = 1
-            var done = false
-            while (!done) {
-              try { h(event); done = true }
-              catch {
-                case e: Exception =>
-                  if (attempt < maxRetries) attempt += 1
-                  else { d.addEvent(event, Option(e.getMessage).getOrElse(e.toString), subId); done = true }
-              }
-            }
-          }
+        if (orderedMode) {
+          // Per-batch ordered delivery on the driver mirrors the reference's
+          // sequential handler loop; bounded by maxFilesPerTrigger.
+          batch.as[EventRow].collect()
+            .sortBy(e => (e.timestamp.getTime, e.id))
+            .foreach(event => deliverOne(event).foreach(err => d.addEvent(event, err, subId)))
+        } else {
+          // Distributed delivery: handlers run on executors; only failures
+          // (rare by design) return to the driver, where DLQ bookkeeping
+          // stays single-writer.
+          val failed = batch.as[EventRow]
+            .mapPartitions(_.flatMap(event => deliverOne(event).map(err => (event, err))))
+            .collect()
+          failed.foreach { case (event, err) => d.addEvent(event, err, subId) }
+        }
         ()
       }
     val q = writer.start()
@@ -106,4 +185,11 @@ final class StreamingSubscription(
   def stop(): Unit = { query.foreach(_.stop()); query = None }
 
   def isActive: Boolean = query.exists(_.isActive)
+}
+
+object StreamingSubscription {
+  /** Upper bound on the per-attempt retry sleep inside a micro-batch; a
+    * delay longer than this belongs in DLQ re-dispatch, not a blocked batch.
+    */
+  val MaxRetrySleepMillis: Long = 30000L
 }

@@ -71,7 +71,8 @@ class BucketedEventLogSpec extends SparkSpec {
     val sub = new StreamingSubscription(spark, log.path, tmpDir("bckpt"),
       e => seen += e.id, new InMemoryDeadLetterQueue,
       topicName = Some("web"),
-      options = SubscriptionOptions(eventTypes = Seq("click")))
+      options = SubscriptionOptions(eventTypes = Seq("click"),
+        receiveHistoricalEvents = true))
     sub.runAvailable()
     assert(seen.toSeq == Seq("e1", "e3"))
   }

@@ -43,7 +43,8 @@ class EndToEndSpec extends SparkSpec {
           throw new RuntimeException("downstream exploded")
         processed += e.id
       },
-      SubscriptionOptions(name = Some("job-worker"), maxRetries = 2))
+      SubscriptionOptions(name = Some("job-worker"), maxRetries = 2,
+        receiveHistoricalEvents = true, retryDelayMillis = 0))
     sub.runAvailable()
 
     assert(processed.toSeq == Seq(ids(0), ids(2))) // poison skipped, stream alive

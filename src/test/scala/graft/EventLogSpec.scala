@@ -95,4 +95,27 @@ class EventLogSpec extends SparkSpec {
     log.appendRows(Seq(row("e6", "click", "web", 6000)))
     assert(log.getEventsTyped("web").collect().map(_.id).toSeq == Seq("e6"))
   }
+
+  test("retention/compaction hit escaped partition dirs (aggregate.<type>.<id> topics)") {
+    // Event-sourcing topics are user-controlled and may contain characters
+    // Spark Hive-escapes in partition paths; a raw "topic=$topic" dir name
+    // would silently rewrite the WRONG directory.
+    val log = new EventLog(spark, tmpDir("log"))
+    val topic = "aggregate.user:group=7%x"
+    log.appendRows(Seq(
+      row("e1", "created", topic, 1000),
+      row("e2", "updated", topic, 2000),
+      row("e3", "updated", topic, 3000)))
+    assert(log.deleteEvents(topic, olderThanMillis = 2500) == 2L)
+    assert(log.getEventsTyped(topic).collect().map(_.id).toSeq == Seq("e3"))
+    assert(log.compact(topic) >= 0L)
+    assert(log.getEventsTyped(topic).collect().map(_.id).toSeq == Seq("e3"))
+  }
+
+  test("deleteEvents with Long.MaxValue cutoff deletes everything (explicit delete-all)") {
+    val log = seeded()
+    assert(log.deleteEvents("web", Long.MaxValue) == 4L)
+    assert(!log.hasEvents("web"))
+    assert(log.hasEvents("app")) // other topics untouched
+  }
 }

@@ -26,7 +26,8 @@ class StreamingSpec extends SparkSpec {
     val sub = new StreamingSubscription(spark, logDir, tmpDir("ckpt"),
       e => seen += e.id, new InMemoryDeadLetterQueue,
       topicName = Some("web"),
-      options = SubscriptionOptions(eventTypes = Seq("click")))
+      options = SubscriptionOptions(eventTypes = Seq("click"),
+        receiveHistoricalEvents = true))
     sub.runAvailable()
     assert(seen.toSeq == Seq("e1", "e3"))
   }
@@ -38,7 +39,8 @@ class StreamingSpec extends SparkSpec {
     log.appendRows(Seq(row("e1", "a", "t", 1000)))
     val seen = mutable.Buffer.empty[String]
     val sub = new StreamingSubscription(spark, logDir, ckpt,
-      e => seen += e.id, new InMemoryDeadLetterQueue, topicName = Some("t"))
+      e => seen += e.id, new InMemoryDeadLetterQueue, topicName = Some("t"),
+      options = SubscriptionOptions(receiveHistoricalEvents = true))
     sub.runAvailable()
     assert(seen.toSeq == Seq("e1"))
     // "paused" (stopped) — events published meanwhile are NOT lost
@@ -63,7 +65,8 @@ class StreamingSpec extends SparkSpec {
         seen += e.id
       },
       dlq, topicName = Some("t"),
-      options = SubscriptionOptions(name = Some("stream-sub"), maxRetries = 2))
+      options = SubscriptionOptions(name = Some("stream-sub"), maxRetries = 2,
+        receiveHistoricalEvents = true, retryDelayMillis = 0))
     sub.runAvailable()
     assert(seen.toSeq == Seq("e1", "e3")) // poison didn't stop the stream
     assert(poisonAttempts == 2) // maxRetries total attempts (subscription.ts:91-98)
@@ -73,4 +76,87 @@ class StreamingSpec extends SparkSpec {
     assert(entries.head.error == "bad event")
     assert(entries.head.subscription == "stream-sub")
   }
+
+  test("retry honors retryDelay between attempts, capped (subscription.ts:96)") {
+    val logDir = tmpDir("slog")
+    val log = new EventLog(spark, logDir)
+    log.appendRows(Seq(row("poison", "a", "t", 1000)))
+    var attempts = 0
+    val stamps = mutable.Buffer.empty[Long]
+    val sub = new StreamingSubscription(spark, logDir, tmpDir("ckpt"),
+      _ => { attempts += 1; stamps += System.nanoTime(); throw new RuntimeException("x") },
+      new InMemoryDeadLetterQueue, topicName = Some("t"),
+      options = SubscriptionOptions(maxRetries = 3,
+        receiveHistoricalEvents = true, retryDelayMillis = 200))
+    sub.runAvailable()
+    assert(attempts == 3)
+    // two sleeps of >=200ms between the three attempts
+    val gaps = stamps.toSeq.zip(stamps.toSeq.tail).map { case (a, b) => (b - a) / 1000000 }
+    assert(gaps.forall(_ >= 190), s"expected >=200ms gaps, got $gaps")
+  }
+
+  test("default receiveHistoricalEvents=false: only post-subscribe events (subscription.ts:27)") {
+    val logDir = tmpDir("slog")
+    val ckpt = tmpDir("ckpt")
+    val log = new EventLog(spark, logDir)
+    log.appendRows(Seq(row("old1", "a", "t", 1000), row("old2", "a", "t", 2000)))
+    val seen = mutable.Buffer.empty[String]
+    val sub = new StreamingSubscription(spark, logDir, ckpt,
+      e => seen += e.id, new InMemoryDeadLetterQueue, topicName = Some("t"))
+    sub.runAvailable()
+    assert(seen.isEmpty) // history skipped
+    // events "published after subscribe" (later timestamps) ARE delivered,
+    // and the boundary is sticky across restarts
+    log.appendRows(Seq(row("new1", "a", "t", 5000)))
+    sub.runAvailable()
+    assert(seen.toSeq == Seq("new1"))
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch; backlog drains fully") {
+    val logDir = tmpDir("slog")
+    val log = new EventLog(spark, logDir)
+    // 4 separate appends → at least 4 files
+    (1 to 4).foreach(i => log.appendRows(Seq(row(s"e$i", "a", "t", i * 1000L))))
+    val seen = mutable.Buffer.empty[String]
+    val sub = new StreamingSubscription(spark, logDir, tmpDir("ckpt"),
+      e => seen += e.id, new InMemoryDeadLetterQueue, topicName = Some("t"),
+      options = SubscriptionOptions(receiveHistoricalEvents = true),
+      maxFilesPerTrigger = Some(1))
+    val q = sub.start(availableNow = true)
+    q.awaitTermination()
+    assert(seen.toSeq == Seq("e1", "e2", "e3", "e4"))
+    // the cap actually split the backlog: multiple micro-batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+  }
+
+  test("ordered=false delivers distributed (mapPartitions); failures still dead-letter") {
+    val logDir = tmpDir("slog")
+    val log = new EventLog(spark, logDir)
+    log.appendRows(Seq(
+      row("e1", "a", "t", 1000),
+      row("poison", "a", "t", 2000),
+      row("e3", "a", "t", 3000)))
+    val dlq = new InMemoryDeadLetterQueue
+    StreamingSpecSink.seen.clear()
+    val sub = new StreamingSubscription(spark, logDir, tmpDir("ckpt"),
+      // references the STATIC sink, not a captured buffer: mapPartitions
+      // serializes the handler per task, so a captured collection would be
+      // a per-task copy (statics are shared in local mode's single JVM)
+      e => { if (e.id == "poison") throw new RuntimeException("bad"); StreamingSpecSink.seen.add(e.id); () },
+      dlq, topicName = Some("t"),
+      options = SubscriptionOptions(name = Some("dist-sub"), maxRetries = 2,
+        receiveHistoricalEvents = true, retryDelayMillis = 0),
+      ordered = false)
+    sub.runAvailable()
+    assert(Set("e1", "e3").subsetOf(
+      scala.jdk.CollectionConverters.SetHasAsScala(StreamingSpecSink.seen).asScala.toSet))
+    assert(dlq.getEvents().map(_.event.id) == Seq("poison"))
+  }
+}
+
+/** JVM-static sink for the distributed-delivery test (shared across tasks
+  * in local mode; a closure-captured buffer would be serialized per task).
+  */
+object StreamingSpecSink {
+  val seen: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

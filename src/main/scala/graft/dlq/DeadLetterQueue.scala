@@ -114,6 +114,17 @@ final class ParquetDeadLetterQueue(spark: SparkSession, path: String) extends De
     Seq(DeadLetterRow(event, error, subscriptionId, now(), 1))
       .toDS().write.mode(SaveMode.Append).parquet(path)
 
+  /** Bulk ingest — the scale path: a failed-delivery BATCH (e.g. a whole
+    * micro-batch's failures) lands as one distributed append, not N
+    * driver-side writes.
+    */
+  def addEvents(rows: Dataset[DeadLetterRow]): Unit =
+    rows.write.mode(SaveMode.Append).parquet(path)
+
+  /** Drop the queue's storage (test/fixture hygiene). */
+  def reset(): Unit =
+    if (exists) fs.delete(new org.apache.hadoop.fs.Path(path), true)
+
   override def getEvents(topic: Option[String], eventType: Option[String],
       limit: Option[Int]): Seq[DeadLetterRow] =
     getEventsDF(topic, eventType, limit).as[DeadLetterRow].collect().toSeq

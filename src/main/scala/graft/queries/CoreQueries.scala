@@ -126,6 +126,42 @@ object CoreQueries {
           $"ts" <= lit("2024-01-20").cast("timestamp") &&
           $"event_type".isin("signup", "error"))
         .agg(count(lit(1)).as("replayed"))
+    }),
+
+    // F4/S6 — the DLQ read path END TO END (reference: src/deadletter.ts:39-72):
+    // a deterministic failure fixture derived from `events` is bulk-ingested
+    // through ParquetDeadLetterQueue, then read back via getEventsDF
+    // (topic+type filter on the NESTED event struct, newest-first, limit) —
+    // the oracle recomputes the same derivation in SQL. This replaces the
+    // flat q05 proxy with the real nested-struct DLQ plan.
+    "q64_dlq_scan" -> ((s, dir) => {
+      import s.implicits._
+      val eid = lpad($"event_id".cast("string"), 10, "0")
+      val fixture = Tables.events(s, dir)
+        .where($"event_type" === "error")
+        .select(
+          struct(
+            eid.as("id"),
+            $"event_type".as("type"),
+            concat(lit("orders-"), ($"user_id" % 4).cast("string")).as("topic"),
+            $"ts".as("timestamp"),
+            lit("1.0").as("schemaVersion"),
+            coalesce($"props", lit("{}")).as("payload"),
+            typedLit(Map.empty[String, String]).as("metadata")).as("event"),
+          concat(lit("delivery failed for "), eid).as("error"),
+          concat(lit("sub-"), ($"user_id" % 2).cast("string")).as("subscription"),
+          $"ts".as("timestamp"),
+          (lit(1) + ($"user_id" % 3)).cast("int").as("attempts"))
+        .as[graft.model.DeadLetterRow]
+      val path = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_dlq_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val dlq = new graft.dlq.ParquetDeadLetterQueue(s, path)
+      dlq.reset()
+      dlq.addEvents(fixture)
+      dlq.getEventsDF(topic = Some("orders-1"), eventType = Some("error"),
+          limit = Some(40))
+        .select($"event.id".as("event_id"), $"event.topic".as("topic"),
+          $"error", $"subscription", $"timestamp".as("dlq_ts"), $"attempts")
     })
   )
 
@@ -172,6 +208,18 @@ object CoreQueries {
       """SELECT count(*) AS replayed FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
-        |  AND event_type IN ('signup','error')""".stripMargin
+        |  AND event_type IN ('signup','error')""".stripMargin,
+    "q64_dlq_scan" ->
+      """WITH dlq AS (
+        |  SELECT lpad(CAST(event_id AS VARCHAR), 10, '0') AS eid,
+        |    'orders-' || CAST(user_id % 4 AS VARCHAR) AS topic,
+        |    'delivery failed for ' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS error,
+        |    'sub-' || CAST(user_id % 2 AS VARCHAR) AS subscription,
+        |    ts AS dlq_ts,
+        |    CAST(1 + user_id % 3 AS INT) AS attempts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT eid AS event_id, topic, error, subscription, dlq_ts, attempts
+        |FROM dlq WHERE topic = 'orders-1'
+        |ORDER BY dlq_ts DESC, eid DESC LIMIT 40""".stripMargin
   )
 }

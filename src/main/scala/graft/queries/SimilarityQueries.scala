@@ -38,6 +38,9 @@ object SimilarityQueries {
     */
   private val BlockPlanes = 2
 
+  /** Lloyd update steps for q44's k-means quantizer (init = label means). */
+  private val KMeansIters = 2
+
   /** Corpus projected once to (vec_id, label, v: array<double>, nrm): the
     * cast and the L2 norm are per-VECTOR work and must not be recomputed
     * per candidate pair.
@@ -99,32 +102,44 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rk")
     }),
 
-    // IVF-style ANN: a coarse quantizer (centroid per label — deterministic
-    // "training", the k-means analogue with fixed seeds) partitions the
-    // corpus into cells; queries probe ONLY their nearest cell (nprobe=1)
-    // and rank exact cosine inside it. The 100 TB shape: centroids are a
-    // broadcast-sized table; the corpus shuffles ONCE on cell id at index
-    // build; each probe touches one cell partition.
+    // IVF ANN with a real k-means coarse quantizer: deterministic init
+    // (per-label component means), then KMeansIters Lloyd updates — assign
+    // every vector to its max-cosine centroid, recompute centroids as
+    // component means of the assigned set — then final cells, nprobe=1
+    // probing, exact cosine rank inside the probed cell. Centroid
+    // components are ROUNDED to 6 decimals after every averaging step:
+    // avg is the one accumulation-order-sensitive float op in the
+    // pipeline, and rounding pins the quantizer bit-identically across
+    // engines (the oracle unrolls the same iterations in SQL). The 100 TB
+    // shape: centroids are a broadcast-sized table (k × dim); each Lloyd
+    // step is one narrow shuffle of (cell, pos, component); the corpus
+    // shuffles ONCE on cell id at index build; each probe touches one
+    // cell partition.
     "q44_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
       val e = normalized(s, dir)
-      // centroid[label][pos] = avg of component pos across the label
-      val comp = e.select($"label", posexplode($"v"))
-      val cent = comp.groupBy($"label", $"pos").agg(avg($"col").as("c"))
-        .groupBy($"label").agg(
-          transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
-            .as("cv"))
-        .select($"label".as("cl"), $"cv",
-          sqrt(dot($"cv", $"cv")).as("cnrm"))
-      // assign every vector to its nearest centroid by cosine
-      val wAsn = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
-      val cells = e.crossJoin(broadcast(cent))
-        .select($"vec_id", $"v", $"nrm", $"cl",
-          (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("ccos"))
-        .withColumn("rn", row_number().over(wAsn))
-        .where($"rn" === 1)
-        .select($"vec_id", $"v", $"nrm", $"cl".as("cell"))
+      // component-wise means of `v` per `cl`, rounded — one k-means update
+      def centroidsOf(assigned: DataFrame): DataFrame =
+        assigned.select($"cl", posexplode($"v"))
+          .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
+          .groupBy($"cl").agg(
+            transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
+              .as("cv"))
+          .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
+      // nearest-centroid (max cosine) assignment of the whole corpus
+      def assign(cent: DataFrame): DataFrame = {
+        val wAsn = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
+        e.crossJoin(broadcast(cent))
+          .select($"vec_id", $"v", $"nrm", $"cl",
+            (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("ccos"))
+          .withColumn("rn", row_number().over(wAsn))
+          .where($"rn" === 1)
+          .select($"vec_id", $"v", $"nrm", $"cl")
+      }
+      var cent = centroidsOf(e.select($"label".as("cl"), $"v"))
+      for (_ <- 1 to KMeansIters) cent = centroidsOf(assign(cent).select($"cl", $"v"))
+      val cells = assign(cent).withColumnRenamed("cl", "cell")
       val q = cells.where($"vec_id" < NQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell".as("qc"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
@@ -196,28 +211,43 @@ object SimilarityQueries {
            |      FROM p)
            |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
            |ORDER BY q_id, rk""".stripMargin,
-      "q44_ann_ivf" ->
-        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
-           |u AS (SELECT label, unnest(v) AS val, unnest(range(len(v))) AS pos FROM e),
-           |cp AS (SELECT label, pos, avg(val) c FROM u GROUP BY label, pos),
-           |cent AS (SELECT label AS cl, list(c ORDER BY pos) cv FROM cp GROUP BY label),
-           |asn AS (SELECT e.vec_id, e.v, cent.cl,
-           |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |            list_dot_product(e.v, cent.cv) /
-           |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
-           |            cent.cl ASC) rn
-           |        FROM e CROSS JOIN cent),
-           |cells AS (SELECT vec_id, v, cl AS cell FROM asn WHERE rn = 1),
+      "q44_ann_ivf" -> {
+        // Unrolled k-means: same init / Lloyd steps / rounding as the Spark
+        // side, generated from the SAME KMeansIters constant.
+        def cosSql(v: String, cv: String) =
+          s"list_dot_product($v, $cv) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($cv, $cv)))"
+        // component means of `src(cl, v)` → centroids `$out(cl, cv)`
+        def update(src: String, out: String) =
+          s"""u_$out AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM $src),
+             |cp_$out AS (SELECT cl, pos, round(avg(val), 6) c FROM u_$out GROUP BY cl, pos),
+             |$out AS (SELECT cl, list(c ORDER BY pos) cv FROM cp_$out GROUP BY cl)""".stripMargin
+        // max-cosine assignment of e against centroids `$cent` → `$out(vec_id, v, cl)`
+        def assign(cent: String, out: String) =
+          s"""a_$out AS (SELECT e.vec_id, e.v, $cent.cl,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${cosSql("e.v", s"$cent.cv")} DESC, $cent.cl ASC) rn
+             |  FROM e CROSS JOIN $cent),
+             |$out AS (SELECT vec_id, v, cl FROM a_$out WHERE rn = 1)""".stripMargin
+        val steps = new scala.collection.mutable.ArrayBuffer[String]
+        steps += "e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)"
+        steps += "init AS (SELECT label AS cl, v FROM e)"
+        steps += update("init", "c0")
+        for (i <- 1 to KMeansIters) {
+          steps += assign(s"c${i - 1}", s"m$i")
+          steps += update(s"m$i", s"c$i")
+        }
+        steps += assign(s"c$KMeansIters", "fin")
+        s"""WITH ${steps.mkString(",\n")},
+           |cells AS (SELECT vec_id, v, cl AS cell FROM fin),
            |q AS (SELECT vec_id q_id, v qv, cell qc FROM cells WHERE vec_id < $NQueries),
-           |p AS (SELECT q.q_id, c.vec_id nn_id,
-           |        list_dot_product(q.qv, c.v) /
-           |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) cos
+           |p AS (SELECT q.q_id, c.vec_id nn_id, ${cosSql("q.qv", "c.v")} cos
            |      FROM cells c JOIN q ON c.cell = q.qc AND c.vec_id <> q.q_id),
            |r AS (SELECT q_id, nn_id, cos,
            |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS INT) rk
            |      FROM p)
            |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
-           |ORDER BY q_id, rk""".stripMargin,
+           |ORDER BY q_id, rk""".stripMargin
+      },
       "q34_embedding_nn" ->
         s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
            |e AS (SELECT vec_id, label, v, ${bucketExprFor(BlockPlanes)} AS bucket FROM e0),

@@ -1,0 +1,83 @@
+package graft.broker
+
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Periodic retention sweep — the reference's per-topic 60-second timer
+  * (reference: src/topic.ts:40-42, 156-163) as ONE scheduled maintenance
+  * job over the whole broker instead of a timer per topic.
+  *
+  * The reference arms `setInterval(cleanupExpiredEvents, 60_000)` inside
+  * every Topic constructor; at a million event-sourcing topics
+  * (`aggregate.<type>.<id>`) that is a million timers each issuing its own
+  * delete. Here a single daemon thread walks the topic catalog and calls
+  * `Topic.applyRetentionPolicy()` — each sweep is a handful of partition-
+  * pruned delete jobs, and the schedule amortizes across every topic that
+  * shares the log. `applyRetentionPolicy` stays public, so a deployment
+  * that wants retention as an EXTERNAL cron/Airflow job (the right call at
+  * 100 TB, where maintenance windows matter) simply never starts the
+  * scheduler; this class is the in-process convenience the reference
+  * defaults to.
+  *
+  * Sweeps run serially on one thread: overlapping delete jobs on one log
+  * would contend on the same partitions (EventLog.append's serialization
+  * note applies to rewrites too). A sweep that throws is logged-and-dropped
+  * — the next tick retries; a retention failure must not kill the timer,
+  * matching the reference's fire-and-forget `setInterval` callback.
+  */
+final class RetentionScheduler(
+    broker: EventBroker,
+    periodMillis: Long = 60000L) extends AutoCloseable {
+  require(periodMillis > 0, "periodMillis must be positive")
+
+  private val deleted = new AtomicLong(0L)
+  private val sweeps = new AtomicLong(0L)
+  @volatile private var exec: Option[ScheduledExecutorService] = None
+
+  /** One pass over every topic; returns rows deleted. Public so tests and
+    * external schedulers drive it directly.
+    */
+  def sweepOnce(): Long = {
+    val n = broker.topicNames.sorted.map { name =>
+      broker.getTopic(name).fold(0L) { t =>
+        try t.applyRetentionPolicy()
+        catch { case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"retention sweep failed for topic $name", e)
+          0L
+        }
+      }
+    }.sum
+    deleted.addAndGet(n)
+    sweeps.incrementAndGet()
+    n
+  }
+
+  /** Arm the timer (idempotent). First sweep fires after one full period —
+    * the reference's `setInterval` phase.
+    */
+  def start(): this.type = synchronized {
+    if (exec.isEmpty) {
+      val e = Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "graft-retention-sweep")
+        t.setDaemon(true)
+        t
+      }
+      e.scheduleAtFixedRate(() => sweepOnce(), periodMillis, periodMillis, TimeUnit.MILLISECONDS)
+      exec = Some(e)
+    }
+    this
+  }
+
+  def isRunning: Boolean = exec.isDefined
+
+  /** Lifetime rows deleted / sweeps completed (monitoring hooks). */
+  def totalDeleted: Long = deleted.get()
+  def totalSweeps: Long = sweeps.get()
+
+  /** Disarm; in-flight sweep finishes (it holds log locks). */
+  override def close(): Unit = synchronized {
+    exec.foreach(_.shutdown())
+    exec = None
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.dlq.JdbcDeadLetterQueue
+import graft.model.EventRow
+import graft.sources.{EventLog, JdbcEventStore, ScanOptions}
+
+/** JDBC store parity (reference: src/persistence.ts:240-433,
+  * src/deadletter.ts:240-519) against embedded Derby — the database engine
+  * in Spark's own jar set. Each test gets an isolated in-memory database.
+  */
+class JdbcStoreSpec extends SparkSpec {
+
+  private val dbId = new AtomicInteger(0)
+  private def freshUrl(): String =
+    s"jdbc:derby:memory:graft${dbId.incrementAndGet()};create=true"
+
+  private def ev(id: String, topic: String, tsMs: Long, tpe: String = "test-event") =
+    EventRow(id, tpe, topic, new Timestamp(tsMs), "1.0",
+      s"""{"n":${tsMs}}""", Map("source" -> "spec"))
+
+  test("saveEvent + getEvents: topic/ts-range/type filters, asc order, limit (persistence.ts:325-404)") {
+    val store = new JdbcEventStore(spark, freshUrl()).initialize()
+    store.saveEvent(ev("a1", "t1", 1000))
+    store.saveEvent(ev("a2", "t1", 3000, tpe = "other"))
+    store.saveEvent(ev("a3", "t1", 2000))
+    store.saveEvent(ev("b1", "t2", 1500))
+
+    assert(store.getEvents("t1").map(_.id) == Seq("a1", "a3", "a2")) // ts asc
+    assert(store.getEvents("t1", ScanOptions(fromTimestamp = Some(2000)))
+      .map(_.id) == Seq("a3", "a2")) // inclusive from
+    assert(store.getEvents("t1", ScanOptions(toTimestamp = Some(2000)))
+      .map(_.id) == Seq("a1", "a3")) // inclusive to
+    assert(store.getEvents("t1", ScanOptions(eventTypes = Seq("other")))
+      .map(_.id) == Seq("a2"))
+    assert(store.getEvents("t1", ScanOptions(limit = Some(2))).map(_.id) == Seq("a1", "a3"))
+
+    // envelope round-trips exactly (payload text, metadata map)
+    val back = store.getEvents("t1").head
+    assert(back == ev("a1", "t1", 1000))
+  }
+
+  test("predicate pushdown: topic/timestamp filters reach the JDBC scan") {
+    val store = new JdbcEventStore(spark, freshUrl()).initialize()
+    store.saveEvent(ev("a1", "t1", 1000))
+    val plan = store.getEventsDF("t1", ScanOptions(fromTimestamp = Some(500)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("topic"), plan) // equality predicate pushed into the DB's SQL
+  }
+
+  test("distributed saveEvents + partitioned parallel scan round-trip") {
+    val url = freshUrl()
+    val store = new JdbcEventStore(spark, url).initialize()
+    import spark.implicits._
+    val events = (1 to 200).map(i => ev(f"e$i%03d", s"t${i % 4}", 1000L + i))
+    store.saveEvents(spark.createDataset(events))
+
+    // unpartitioned and range-partitioned reads see the same rows
+    val seen = store.allDF.as[EventRow].collect().toSet
+    assert(seen == events.toSet)
+    val par = new JdbcEventStore(spark, url, scanPartitions = Some(4))
+    assert(par.allDF.rdd.getNumPartitions == 4)
+    assert(par.allDF.as[EventRow].collect().toSet == events.toSet)
+  }
+
+  test("deleteEvents: strictly-before cutoff, per topic, returns count (persistence.ts:407-425)") {
+    val store = new JdbcEventStore(spark, freshUrl()).initialize()
+    store.saveEvent(ev("a1", "t1", 1000))
+    store.saveEvent(ev("a2", "t1", 2000))
+    store.saveEvent(ev("b1", "t2", 1000))
+    assert(store.deleteEvents("t1", 2000) == 1) // strictly before; t2 untouched
+    assert(store.getEvents("t1").map(_.id) == Seq("a2"))
+    assert(store.getEvents("t2").map(_.id) == Seq("b1"))
+  }
+
+  test("importInto parquet log / exportFrom log — both migration directions") {
+    val store = new JdbcEventStore(spark, freshUrl()).initialize()
+    import spark.implicits._
+    val events = (1 to 20).map(i => ev(f"e$i%02d", s"t${i % 2}", 1000L + i))
+    store.saveEvents(spark.createDataset(events))
+
+    val log = new EventLog(spark, tmpDir("jdbc-import") + "/log")
+    assert(store.importInto(log) == 20)
+    assert(log.getEventsTyped("t1").collect().toSet == events.filter(_.topic == "t1").toSet)
+
+    // inverse: parquet log → fresh relational store
+    val store2 = new JdbcEventStore(spark, freshUrl()).initialize()
+    store2.exportFrom(log.getEventsTyped("t0"))
+    assert(store2.getEvents("t0").toSet == events.filter(_.topic == "t0").toSet)
+  }
+
+  test("initialize is idempotent (CREATE IF NOT EXISTS parity)") {
+    val url = freshUrl()
+    val s1 = new JdbcEventStore(spark, url).initialize()
+    s1.saveEvent(ev("a1", "t1", 1000))
+    new JdbcEventStore(spark, url).initialize() // second init must not clobber
+    assert(s1.getEvents("t1").size == 1)
+  }
+
+  test("JDBC DLQ: upsert bumps attempts + refreshes error (deadletter.ts:315-340)") {
+    val q = new JdbcDeadLetterQueue(spark, freshUrl()).initialize()
+    val e = ev("e1", "t1", 1000)
+    q.addEvent(e, "first failure", "sub1")
+    assert(q.getEvents().head.attempts == 1)
+    q.addEvent(e, "second failure", "sub1") // same event id → ON CONFLICT path
+    val row = q.getEvents().head
+    assert(row.attempts == 2)
+    assert(row.error == "second failure")
+    assert(q.getEvents().size == 1) // no duplicate row
+    assert(row.event == e) // event_data JSON round-trips the envelope
+  }
+
+  test("JDBC DLQ: filtered get newest-first, retry semantics, remove (deadletter.ts:344-519)") {
+    val q = new JdbcDeadLetterQueue(spark, freshUrl()).initialize()
+    q.addEvent(ev("e1", "t1", 1000), "err1", "sub1")
+    Thread.sleep(5)
+    q.addEvent(ev("e2", "t2", 1000, tpe = "other"), "err2", "sub2")
+    Thread.sleep(5)
+    q.addEvent(ev("e3", "t1", 1000), "err3", "sub1")
+
+    assert(q.getEvents().map(_.event.id) == Seq("e3", "e2", "e1"))
+    assert(q.getEvents(topic = Some("t1")).map(_.event.id) == Seq("e3", "e1"))
+    assert(q.getEvents(eventType = Some("other")).map(_.event.id) == Seq("e2"))
+    assert(q.getEvents(limit = Some(1)).map(_.event.id) == Seq("e3"))
+
+    assert(!q.retryEvent("e1", (_, _) => false))
+    assert(q.getEvents(topic = Some("t1")).find(_.event.id == "e1").get.attempts == 2)
+    assert(!q.retryEvent("e1", (_, _) => throw new RuntimeException("boom")))
+    assert(q.getEvents(topic = Some("t1")).find(_.event.id == "e1").get.error == "boom")
+    assert(q.retryEvent("e1", (ev, sub) => { assert(sub == "sub1" && ev.id == "e1"); true }))
+    assert(q.getEvents().map(_.event.id) == Seq("e3", "e2"))
+    assert(!q.retryEvent("missing", (_, _) => true))
+    assert(q.removeEvent("e2") && !q.removeEvent("e2"))
+  }
+}

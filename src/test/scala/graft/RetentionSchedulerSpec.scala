@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.broker.{EventBroker, RetentionScheduler, TopicOptions}
+import graft.model.EventRow
+
+/** The reference's 60 s retention timer (topic.ts:40-42, 156-163) as one
+  * broker-wide scheduled sweep.
+  */
+class RetentionSchedulerSpec extends SparkSpec {
+
+  private def oldAndNew(b: EventBroker, topic: String): Unit = {
+    val now = System.currentTimeMillis()
+    b.log.appendRows(Seq(
+      EventRow(s"$topic-old", "x", topic, new Timestamp(now - 100000), "1.0", "{}", Map.empty),
+      EventRow(s"$topic-new", "x", topic, new Timestamp(now), "1.0", "{}", Map.empty)))
+  }
+
+  test("sweepOnce sweeps every retention-bearing topic, skips keep-forever, survives failures") {
+    val b = new EventBroker(spark, tmpDir("ret-sched") + "/log")
+    oldAndNew(b, "r1"); oldAndNew(b, "r2"); oldAndNew(b, "keep")
+    b.createTopic("r1", TopicOptions(retentionPeriodMillis = 60000))
+    b.createTopic("r2", TopicOptions(retentionPeriodMillis = 60000))
+    b.createTopic("keep") // retention 0 = keep forever
+    b.createTopic("empty", TopicOptions(retentionPeriodMillis = 60000)) // no data — delete of nothing
+
+    val sched = new RetentionScheduler(b, periodMillis = 60000)
+    assert(sched.sweepOnce() == 2) // one old row per retention topic
+    assert(sched.totalDeleted == 2 && sched.totalSweeps == 1)
+    assert(b.log.getEventsTyped("r1").collect().map(_.id).toSeq == Seq("r1-new"))
+    assert(b.log.getEventsTyped("r2").collect().map(_.id).toSeq == Seq("r2-new"))
+    assert(b.log.getEventsTyped("keep").collect().length == 2)
+    assert(sched.sweepOnce() == 0) // idempotent: nothing old remains
+  }
+
+  test("armed timer fires without an explicit call; close disarms; start is idempotent") {
+    val b = new EventBroker(spark, tmpDir("ret-timer") + "/log")
+    oldAndNew(b, "t")
+    b.createTopic("t", TopicOptions(retentionPeriodMillis = 60000))
+
+    val sched = new RetentionScheduler(b, periodMillis = 200).start().start()
+    try {
+      assert(sched.isRunning)
+      val deadline = System.currentTimeMillis() + 15000
+      while (sched.totalSweeps < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(sched.totalSweeps >= 1, "timer never fired")
+      assert(b.log.getEventsTyped("t").collect().map(_.id).toSeq == Seq("t-new"))
+    } finally sched.close()
+    assert(!sched.isRunning)
+  }
+}

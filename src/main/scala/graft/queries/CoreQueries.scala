@@ -162,6 +162,41 @@ object CoreQueries {
           limit = Some(40))
         .select($"event.id".as("event_id"), $"event.topic".as("topic"),
           $"error", $"subscription", $"timestamp".as("dlq_ts"), $"attempts")
+    }),
+
+    // S3/F1/F2/O1/O3 THROUGH THE RELATIONAL STORE — the full JDBC round
+    // trip under the oracle gate: a deterministic subset of `events` is
+    // bulk-loaded into an embedded-Derby JdbcEventStore (distributed JDBC
+    // write), then read back via getEventsDF's topic/ts-range/type-filtered
+    // pushdown scan (reference: src/persistence.ts:325-404). Timestamps
+    // cross the store as epoch millis (the reference's BIGINT column), so
+    // the output exposes ts_ms and the oracle truncates the same way.
+    "q65_jdbc_scan" -> ((s, dir) => {
+      import s.implicits._
+      val eid = lpad($"event_id".cast("string"), 10, "0")
+      val subset = Tables.events(s, dir)
+        .where($"event_type" === "purchase" && $"user_id" % 20 === 0)
+        .select(
+          eid.as("id"),
+          $"event_type".as("type"),
+          concat(lit("jdbc-"), ($"user_id" % 3).cast("string")).as("topic"),
+          $"ts".as("timestamp"),
+          lit("1.0").as("schemaVersion"),
+          coalesce($"props", lit("{}")).as("payload"),
+          typedLit(Map.empty[String, String]).as("metadata"))
+        .as[graft.model.EventRow]
+      val db = "q65_" + math.abs(dir.hashCode).toString
+      val store = new graft.sources.JdbcEventStore(s, s"jdbc:derby:memory:$db;create=true")
+      store.dropTable()
+      store.initialize()
+      store.saveEvents(subset)
+      store.getEventsDF("jdbc-1", graft.sources.ScanOptions(
+          fromTimestamp = Some(1704412800000L), // 2024-01-05, inclusive ms
+          toTimestamp = Some(1735689599000L),
+          eventTypes = Seq("purchase"),
+          limit = Some(200)))
+        .select($"id".as("event_id"), $"topic",
+          unix_millis($"timestamp").as("ts_ms"), $"payload")
     })
   )
 
@@ -220,6 +255,16 @@ object CoreQueries {
         |  FROM events WHERE event_type = 'error')
         |SELECT eid AS event_id, topic, error, subscription, dlq_ts, attempts
         |FROM dlq WHERE topic = 'orders-1'
-        |ORDER BY dlq_ts DESC, eid DESC LIMIT 40""".stripMargin
+        |ORDER BY dlq_ts DESC, eid DESC LIMIT 40""".stripMargin,
+    "q65_jdbc_scan" ->
+      """WITH sub AS (
+        |  SELECT lpad(CAST(event_id AS VARCHAR), 10, '0') AS event_id,
+        |    'jdbc-' || CAST(user_id % 3 AS VARCHAR) AS topic,
+        |    epoch_ms(ts) AS ts_ms,
+        |    coalesce(props, '{}') AS payload
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 20 = 0)
+        |SELECT event_id, topic, ts_ms, payload FROM sub
+        |WHERE topic = 'jdbc-1' AND ts_ms >= 1704412800000 AND ts_ms <= 1735689599000
+        |ORDER BY ts_ms, event_id LIMIT 200""".stripMargin
   )
 }

@@ -98,6 +98,16 @@ final class JdbcEventStore(
     this
   }
 
+  /** Drop the table (re-runnable-fixture hygiene); absent table is fine. */
+  def dropTable(): Unit = withConn { c =>
+    try { c.createStatement().executeUpdate(s"DROP TABLE $table"); () }
+    catch {
+      case e: SQLException
+          if e.getSQLState == "42Y55" ||
+            Option(e.getMessage).exists(m => m.contains("does not exist") || m.contains("not found")) => ()
+    }
+  }
+
   /** One-event transactional insert — the publish hot path
     * (reference: src/persistence.ts:299-322). Deliberately NOT a Spark job:
     * a one-row write through the DataFrame API would pay job scheduling for

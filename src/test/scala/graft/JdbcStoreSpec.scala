@@ -135,4 +135,25 @@ class JdbcStoreSpec extends SparkSpec {
     assert(!q.retryEvent("missing", (_, _) => true))
     assert(q.removeEvent("e2") && !q.removeEvent("e2"))
   }
+
+  test("broker wired to the JDBC DLQ end-to-end: exhausted retries land, redispatch drains") {
+    import graft.broker.{EventBroker, SubscriptionOptions}
+    val dlq = new JdbcDeadLetterQueue(spark, freshUrl()).initialize()
+    val b = new EventBroker(spark, tmpDir("jdbc-e2e") + "/log", dlq)
+    var healthy = false
+    b.subscribe("ord", e =>
+      if (!healthy) throw new RuntimeException(s"down for ${e.id}"),
+      SubscriptionOptions(name = Some("ord-sub"), maxRetries = 2, retryDelayMillis = 0))
+    val r = b.publish("ord", "order.created", """{"n":1}""")
+    assert(r.success)
+
+    val entries = dlq.getEvents(topic = Some("ord"))
+    assert(entries.size == 1)
+    assert(entries.head.subscription == "ord-sub")
+    assert(entries.head.error.startsWith("down for"))
+    // handler recovers → broker-level redispatch removes the entry
+    healthy = true
+    assert(b.retryDeadLetterEvent(entries.head.event.id))
+    assert(dlq.getEvents().isEmpty)
+  }
 }

@@ -48,19 +48,15 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
 
   /** Portable keyed hash: lowercase hex md5 of `"<key>:<value>"`. Used as
-    * the i-th MinHash function (take MIN over shingles) and as the SimHash
-    * per-bit word hash.
+    * the i-th MinHash function (take MIN over shingles) — a K-wise
+    * independent family at the cost of K digests per shingle. (SimHash
+    * does NOT use this: its 16 bits need no independent functions, so it
+    * derives all of them from ONE unkeyed digest per token — hex digit b
+    * `>= '8'` is bit b. Lexicographic compare on a single hex char ==
+    * numeric >= 8, identically in Spark and DuckDB.)
     */
   def keyedMd5(key: Int, value: Column): Column =
     md5(concat(lit(s"$key:"), value).cast("binary"))
-
-  /** One SimHash bit contribution for a token: +1 when the first hex digit
-    * of the keyed md5 is >= '8' (i.e. the top bit of the digest is set),
-    * else -1. Lexicographic compare on a single hex char == numeric >= 8,
-    * identically in Spark and DuckDB.
-    */
-  def simhashContrib(bit: Int, tok: Column): Column =
-    when(substring(keyedMd5(bit, tok), 1, 1) >= "8", lit(1)).otherwise(lit(-1))
 
   /** BPE-ish token count: words OR single non-space punctuation, the usual
     * pre-tokenizer shape. Same RE2/Java-regex semantics for this pattern.

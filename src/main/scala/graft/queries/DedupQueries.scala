@@ -61,8 +61,7 @@ object DedupQueries {
     */
   private def signatures(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
-    val mins = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i:"), $"shingle").cast("binary"))).as(s"mh_$i"))
+    val mins = (0 until K).map(i => min(keyedMd5(i, $"shingle")).as(s"mh_$i"))
     val wide = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val stackArgs = (0 until K).map(i => s"$i, mh_$i").mkString(", ")
     wide.select($"doc_id", expr(s"stack($K, $stackArgs)").as(Seq("i", "mh")))
@@ -121,9 +120,17 @@ object DedupQueries {
     // (groupBy doc) carrying 16 partial sums.
     "q32_simhash" -> ((s, dir) => {
       import s.implicits._
+      // ONE md5 per token (hashed inside the Generate, so no projection for
+      // CollapseProject to duplicate); bit b is hex digit b of the digest
+      // (>= '8' == nibble top bit), so the 16 per-bit aggregates share the
+      // digest instead of each paying its own keyed hash — 16× less hashing
+      // on the dominant cost of the query, identically spelled in the
+      // oracle.
       val words = Tables.documents(s, dir)
-        .select($"doc_id", explode(tokens($"text")).as("tok"))
-      val sumCols = (0 until 16).map(b => sum(simhashContrib(b, $"tok")).as(s"s_$b"))
+        .select($"doc_id",
+          explode(transform(tokens($"text"), t => md5(t.cast("binary")))).as("h"))
+      val sumCols = (0 until 16).map(b =>
+        sum(when(substring($"h", b + 1, 1) >= "8", lit(1)).otherwise(lit(-1))).as(s"s_$b"))
       val sums = words.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
       val simhash = (0 until 16)
         .map(b => when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
@@ -174,7 +181,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = {
     val simhashSums = (0 until 16)
-      .map(b => s"sum(CASE WHEN substr(md5('$b:' || tok), 1, 1) >= '8' THEN 1 ELSE -1 END) s_$b")
+      .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) s_$b")
       .mkString(",\n        |    ")
     val simhashVal = (0 until 16)
       .map(b => s"(CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END)")
@@ -202,7 +209,7 @@ object DedupQueries {
            |SELECT a_id, b_id, n_match, round(n_match / $K.0, 6) AS est_jaccard
            |FROM pairs WHERE n_match >= 2 ORDER BY a_id, b_id""".stripMargin,
       "q32_simhash" ->
-        s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) tok FROM documents),
+        s"""WITH w AS (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) h FROM documents),
            |s AS (SELECT doc_id,
            |    $simhashSums
            |  FROM w GROUP BY doc_id)

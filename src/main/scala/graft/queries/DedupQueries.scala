@@ -90,6 +90,34 @@ object DedupQueries {
       .where($"n_match" >= minMatch)
   }
 
+  /** LSH candidates verified with EXACT word-3-gram Jaccard >= 0.8 — the
+    * production near-dup pair set. ONE scan+explode of documents feeds
+    * everything: the cached DISTINCT shingle set drives the signature stage
+    * too (min over a multiset == min over its distinct set), so the verify
+    * and candidate branches share a single Generate. The verify join is
+    * candidate-driven: shingle sets are joined only for pairs the LSH stage
+    * proposed — at 100 TB this is the difference between
+    * O(candidates · doc_len) and O(n²). Shared by q33 (reports the pairs)
+    * and q36 (closes them into components).
+    */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shD = shingles(s, dir, distinctSet = true).cache()
+    val card = shD.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+    val cand = lshCandidates(s, shD, 2)
+    val inter = cand
+      .join(shD.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(shD.as("sb"), $"b_id" === $"sb.doc_id" && $"sb.shingle" === $"sa.shingle")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("i"))
+    val jac = ($"i" * lit(1.0)) / ($"ca.c" + $"cb.c" - $"i")
+    inter
+      .join(card.as("ca"), $"a_id" === $"ca.doc_id")
+      .join(card.as("cb"), $"b_id" === $"cb.doc_id")
+      .where(jac >= 0.8)
+      .select($"a_id", $"b_id", jac.as("jac"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, keep-first: one survivor per (user_id, event_type) by
     // event time. The canonical hash-groupBy dedup — plans as one shuffle on
@@ -143,27 +171,55 @@ object DedupQueries {
     // The verify join is candidate-driven: shingle sets are joined only for
     // pairs the LSH stage proposed — at 100 TB this is the difference
     // between O(candidates · doc_len) and O(n²).
-    "q33_lsh_jaccard" -> ((s, dir) => {
+    "q33_lsh_jaccard" -> ((s, dir) =>
+      verifiedPairs(s, dir)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Transitive near-dup closure: VERIFIED near-dup pairs (q33's exact
+    // Jaccard >= 0.8, not raw LSH candidates — closing over loose
+    // candidates chains unrelated docs together, the classic dedup
+    // over-merge failure) become dedup GROUPS via connected components —
+    // iterative min-label propagation to fixpoint. The label fixpoint —
+    // every doc tagged with the smallest doc_id reachable from it — is
+    // unique, so the result is deterministic regardless of join order or
+    // partitioning. At 100 TB: verified-dup components are shallow
+    // near-cliques, each round is edge-list-sized, and there is no
+    // driver-side graph — the standard large-scale CC shape.
+    "q36_dedup_components" -> ((s, dir) => {
       import s.implicits._
-      // ONE scan+explode of documents feeds everything: the cached DISTINCT
-      // shingle set drives the signature stage too (min over a multiset ==
-      // min over its distinct set), so the verify and candidate branches
-      // share a single Generate instead of re-running the shingle pipeline.
-      val shD = shingles(s, dir, distinctSet = true).cache()
-      val card = shD.groupBy($"doc_id").agg(count(lit(1)).as("c"))
-      val cand = lshCandidates(s, shD, 2)
-      val inter = cand
-        .join(shD.as("sa"), $"a_id" === $"sa.doc_id")
-        .join(shD.as("sb"), $"b_id" === $"sb.doc_id" && $"sb.shingle" === $"sa.shingle")
-        .groupBy($"a_id", $"b_id")
-        .agg(count(lit(1)).as("i"))
-      val jac = ($"i" * lit(1.0)) / ($"ca.c" + $"cb.c" - $"i")
-      inter
-        .join(card.as("ca"), $"a_id" === $"ca.doc_id")
-        .join(card.as("cb"), $"b_id" === $"cb.doc_id")
-        .where(jac >= 0.8)
-        .select($"a_id", $"b_id", round(jac, 6).as("jaccard"))
-        .orderBy($"a_id", $"b_id")
+      val pairs = verifiedPairs(s, dir).select($"a_id", $"b_id")
+      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+        .cache()
+      // Each round is ONE join + ONE min-agg: the label table's pointers
+      // (d → comp(d)) are unioned into the edge list, so hopping an edge
+      // delivers a neighbor's label, and hopping a pointer delivers
+      // comp(comp(d)) — the pointer-jump that halves the remaining
+      // distance to the component minimum (rounds = O(log diameter), not
+      // O(diameter)). comp(x) <= x always, so the pointer hop also
+      // subsumes keep-own. Labels only ever decrease, so an unchanged
+      // label sum is an exact, cheap fixpoint test on the
+      // just-checkpointed round.
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("comp"))
+        .localCheckpoint()
+      var prevSum = Long.MinValue
+      var curSum = labels.agg(sum($"comp")).first().getLong(0)
+      var iter = 0
+      while (curSum != prevSum && iter < 50) {
+        val next = edges.union(labels.select($"doc_id".as("src"), $"comp".as("dst")))
+          .join(labels, $"dst" === $"doc_id")
+          .select($"src".as("d"), $"comp")
+          .groupBy($"d").agg(min($"comp").as("comp"))
+          .select($"d".as("doc_id"), $"comp")
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = next.agg(sum($"comp")).first().getLong(0)
+        labels = next
+        iter += 1
+      }
+      labels.orderBy($"doc_id")
     }),
 
     // Content-hash grouping: distribution of exact-duplicate group sizes.
@@ -238,6 +294,40 @@ object DedupQueries {
            |JOIN card cb ON cb.doc_id = i.b_id
            |WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8
            |ORDER BY a_id, b_id""".stripMargin,
+      // Same verified-pair pipeline as q33, then the closure as a recursive
+      // CTE: walk = all (src, reachable) pairs; comp = least(self, min
+      // reachable) — definitionally the same fixpoint the Spark side's
+      // min-label propagation converges to.
+      "q36_dedup_components" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
+           |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
+           |sig0 AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
+           |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
+           |sig AS (SELECT doc_id, i, mh FROM (
+           |        SELECT *, count(*) OVER (PARTITION BY i, mh) bc FROM sig0) WHERE bc <= $MaxBand),
+           |cand AS (SELECT a.doc_id a_id, b.doc_id b_id
+           |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2 HAVING count(*) >= 2),
+           |card AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+           |inter AS (SELECT c.a_id, c.b_id, count(*) i
+           |          FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.a_id
+           |          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+           |          GROUP BY 1, 2),
+           |pairs AS (SELECT i.a_id, i.b_id
+           |          FROM inter i
+           |          JOIN card ca ON ca.doc_id = i.a_id
+           |          JOIN card cb ON cb.doc_id = i.b_id
+           |          WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8),
+           |e AS (SELECT a_id s, b_id d FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+           |walk(src, dst) AS (
+           |  SELECT s, d FROM e
+           |  UNION
+           |  SELECT w.src, e.d FROM walk w JOIN e ON w.dst = e.s)
+           |SELECT src AS doc_id, least(src, min(dst)) AS comp FROM walk
+           |GROUP BY src ORDER BY doc_id""".stripMargin,
       "q35_content_hash_groups" ->
         """SELECT n AS group_size, count(*) AS n_groups
           |FROM (SELECT md5(text) h, count(*) n FROM documents GROUP BY 1)

@@ -213,6 +213,59 @@ object TextQueries {
           max($"doc_id").as("max_doc"))
         .where($"n_docs" > 1)
         .orderBy($"fingerprint")
+    }),
+
+    // Intra-document repetition filter (the Gopher/RefinedWeb-style
+    // heuristic): dup3 = fraction of a doc's word-3-gram occurrences that
+    // are repeats of an earlier 3-gram in the SAME doc; topw = share of
+    // the single most frequent word. Docs over threshold on either are
+    // dropped by curation. dup3 is pure array math (size vs
+    // size∘array_distinct — no explode); topw needs per-word counts, one
+    // (doc_id, word) shuffle with map-side partials. At 100 TB both are a
+    // single scan shape.
+    "q66_repetition_filter" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .select($"doc_id", $"lang", $"toks", wordShingles($"toks", 3).as("g3"))
+      val dup = d.select($"doc_id", $"lang",
+        when(size($"g3") > 0,
+          lit(1.0) - size(array_distinct($"g3")) * lit(1.0) / size($"g3"))
+          .otherwise(lit(0.0)).as("dup3"))
+      val topw = d.select($"doc_id", explode($"toks").as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg((max($"c") * lit(1.0) / sum($"c")).as("topw"))
+      dup.join(topw, "doc_id")
+        .select($"doc_id", $"lang", round($"dup3", 6).as("dup3"),
+          round($"topw", 6).as("topw"),
+          when($"dup3" <= 0.2 && $"topw" <= 0.3, lit(1)).otherwise(lit(0))
+            .cast("int").as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic mixture sampling — rebalance an English-heavy corpus
+    // with per-language keep rates applied via a portable md5 percentile
+    // (the same salt-keyed split trick as q56, so membership is stable
+    // across runs/engines and needs no RNG state). At 100 TB this is a
+    // stateless narrow filter: no shuffle until the final per-language
+    // rollup.
+    "q67_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val pct = conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      val rate = when($"lang" === "en", 0.4).when($"lang" === "zh", 0.8).otherwise(1.0)
+      val docs = Tables.documents(s, dir)
+      val total = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+      val sampled = docs.where(pct < rate)
+        .groupBy($"lang").agg(count(lit(1)).as("n_sampled"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      total.join(sampled, "lang")
+        .select($"lang", $"n_total", $"n_sampled",
+          round($"n_sampled" * lit(1.0) / $"n_total", 6).as("achieved_rate"),
+          $"min_doc", $"max_doc")
+        .orderBy($"lang")
     })
   )
 
@@ -325,7 +378,34 @@ object TextQueries {
           |SELECT fingerprint, count(*) AS n_docs,
           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
           |FROM fp GROUP BY fingerprint HAVING count(*) > 1
-          |ORDER BY fingerprint""".stripMargin
+          |ORDER BY fingerprint""".stripMargin,
+      "q66_repetition_filter" ->
+        """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |g AS (SELECT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS g
+          |      FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
+          |g3 AS (SELECT doc_id, count(*) tot3, count(DISTINCT g) d3 FROM g GROUP BY 1),
+          |wc AS (SELECT doc_id, w, count(*) c
+          |       FROM (SELECT doc_id, unnest(toks) w FROM t) GROUP BY 1, 2),
+          |tw AS (SELECT doc_id, max(c) * 1.0 / sum(c) topw FROM wc GROUP BY 1),
+          |d AS (SELECT t.doc_id, t.lang,
+          |        CASE WHEN coalesce(g3.tot3, 0) > 0
+          |             THEN 1.0 - g3.d3 * 1.0 / g3.tot3 ELSE 0.0 END AS dup3,
+          |        tw.topw
+          |      FROM t LEFT JOIN g3 USING (doc_id) JOIN tw USING (doc_id))
+          |SELECT doc_id, lang, round(dup3, 6) AS dup3, round(topw, 6) AS topw,
+          |  CAST(CASE WHEN dup3 <= 0.2 AND topw <= 0.3 THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM d ORDER BY doc_id""".stripMargin,
+      "q67_mixture_sample" ->
+        """WITH p AS (SELECT doc_id, lang,
+          |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,
+          |    CASE WHEN lang = 'en' THEN 0.4 WHEN lang = 'zh' THEN 0.8 ELSE 1.0 END AS rate
+          |  FROM documents),
+          |total AS (SELECT lang, count(*) n_total FROM p GROUP BY 1),
+          |sampled AS (SELECT lang, count(*) n_sampled, min(doc_id) min_doc, max(doc_id) max_doc
+          |            FROM p WHERE pct < rate GROUP BY 1)
+          |SELECT lang, n_total, n_sampled,
+          |  round(n_sampled * 1.0 / n_total, 6) AS achieved_rate, min_doc, max_doc
+          |FROM total JOIN sampled USING (lang) ORDER BY lang""".stripMargin
     )
   }
 }

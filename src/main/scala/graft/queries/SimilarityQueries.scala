@@ -56,6 +56,37 @@ object SimilarityQueries {
     // Brute-force exact cosine top-k: query set × corpus, rank per query.
     // Norms are computed ONCE per vector in a projection (not per pair),
     // so each candidate pair costs exactly one codegen'd dot product.
+    // int8 quantized KNN — the embedding STORAGE scale path: per-vector
+    // symmetric quantization q_i = floor(v_i * 127 / maxabs(v) + 0.5)
+    // shrinks a float corpus 4-8× and turns pair scoring into small-int
+    // dot products (SIMD-friendly; exact in doubles since |q| <= 127).
+    // Ranking runs entirely in the quantized domain — the realistic
+    // deployment, where originals live in cold storage. floor(x + 0.5) is
+    // spelled explicitly because round() half-up/half-even conventions
+    // differ across engines; maxabs and the quantized grid are exact, so
+    // the oracle reproduces the ranking bit-identically.
+    "q68_quantized_knn" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e0 = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .select($"vec_id", $"v",
+          aggregate($"v", lit(0.0), (a, y) => greatest(a, abs(y))).as("mx"))
+      val e = e0
+        .select($"vec_id",
+          transform($"v", x => floor(x * lit(127.0) / $"mx" + lit(0.5))).as("qv"))
+        .select($"vec_id", $"qv", sqrt(dot($"qv", $"qv")).as("qn"))
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"qv".as("quv"), $"qn".as("qunrm"))
+      val w = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"vec_id".asc)
+      e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", (dot($"quv", $"qv") / ($"qunrm" * $"qn")).as("qcos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= TopK)
+        .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"qcos", 6).as("qcosine"))
+        .orderBy($"q_id", $"rk")
+    }),
+
     "q41_knn_brute" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -186,6 +217,20 @@ object SimilarityQueries {
     val bucketExpr = bucketExprFor(Planes)
     val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
     Map(
+      "q68_quantized_knn" ->
+        s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |m AS (SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) mx FROM e0),
+           |qz AS (SELECT vec_id, list_transform(v, x -> floor(x * 127.0 / mx + 0.5)) qv FROM m),
+           |p AS (SELECT b.vec_id q_id, a.vec_id nn_id,
+           |        list_dot_product(a.qv, b.qv) /
+           |          (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) qcos
+           |      FROM qz a JOIN (SELECT * FROM qz WHERE vec_id < $NQueries) b
+           |        ON a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, nn_id, qcos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, nn_id ASC) AS INT) rk
+           |      FROM p)
+           |SELECT q_id, rk, nn_id, round(qcos, 6) AS qcosine FROM r WHERE rk <= $TopK
+           |ORDER BY q_id, rk""".stripMargin,
       "q41_knn_brute" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
            |p AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos

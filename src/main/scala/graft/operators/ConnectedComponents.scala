@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation —
+  * the closure operator behind q36's near-dup grouping, reusable over any
+  * pair table (dedup clusters, entity resolution, lineage grouping).
+  *
+  * Algorithm: every node starts labeled with itself; each round min-combines
+  * labels in ONE shuffle join + ONE min-agg by unioning the label table's
+  * pointers (d → comp(d)) into the edge list — an edge hop delivers a
+  * neighbor's label, and a pointer hop delivers comp(comp(d)), the pointer
+  * jump that makes rounds O(log diameter) instead of O(diameter). Since
+  * comp(x) <= x always, the pointer hop also subsumes keep-own. Labels only
+  * ever decrease, so an unchanged label sum is an exact fixpoint test,
+  * evaluated against the round's localCheckpoint (which also cuts lineage
+  * growth across rounds).
+  *
+  * The fixpoint — every node labeled with the smallest node id reachable
+  * from it — is unique, so results are deterministic regardless of join
+  * order or partitioning. At scale: no driver-side graph, every round is
+  * edge-list-sized, per-node state is one (id, label) row.
+  */
+object ConnectedComponents {
+
+  /** @param pairs     undirected edges as (aCol, bCol) LONG node-id pairs
+    *                   (orientation and duplicates don't matter)
+    * @param maxRounds  safety backstop; log2(diameter) + 2 rounds suffice
+    * @return (id, comp): one row per node that appears in `pairs`, `comp`
+    *         the minimum node id of its component
+    */
+  def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var prevSum = Long.MinValue
+    var curSum = checksum(labels)
+    var round = 0
+    while (curSum != prevSum && round < maxRounds) {
+      val next = edges.union(labels.select(col("id").as("src"), col("comp").as("dst")))
+        .join(labels, col("dst") === col("id"))
+        .select(col("src").as("d"), col("comp"))
+        .groupBy(col("d")).agg(min(col("comp")).as("comp"))
+        .select(col("d").as("id"), col("comp"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = checksum(next)
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  private def checksum(labels: DataFrame): Long =
+    labels.agg(sum(col("comp"))).first().getLong(0)
+}

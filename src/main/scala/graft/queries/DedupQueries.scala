@@ -188,38 +188,10 @@ object DedupQueries {
     // driver-side graph — the standard large-scale CC shape.
     "q36_dedup_components" -> ((s, dir) => {
       import s.implicits._
-      val pairs = verifiedPairs(s, dir).select($"a_id", $"b_id")
-      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-        .cache()
-      // Each round is ONE join + ONE min-agg: the label table's pointers
-      // (d → comp(d)) are unioned into the edge list, so hopping an edge
-      // delivers a neighbor's label, and hopping a pointer delivers
-      // comp(comp(d)) — the pointer-jump that halves the remaining
-      // distance to the component minimum (rounds = O(log diameter), not
-      // O(diameter)). comp(x) <= x always, so the pointer hop also
-      // subsumes keep-own. Labels only ever decrease, so an unchanged
-      // label sum is an exact, cheap fixpoint test on the
-      // just-checkpointed round.
-      var labels = edges.select($"src".as("doc_id")).distinct()
-        .select($"doc_id", $"doc_id".as("comp"))
-        .localCheckpoint()
-      var prevSum = Long.MinValue
-      var curSum = labels.agg(sum($"comp")).first().getLong(0)
-      var iter = 0
-      while (curSum != prevSum && iter < 50) {
-        val next = edges.union(labels.select($"doc_id".as("src"), $"comp".as("dst")))
-          .join(labels, $"dst" === $"doc_id")
-          .select($"src".as("d"), $"comp")
-          .groupBy($"d").agg(min($"comp").as("comp"))
-          .select($"d".as("doc_id"), $"comp")
-          .localCheckpoint()
-        prevSum = curSum
-        curSum = next.agg(sum($"comp")).first().getLong(0)
-        labels = next
-        iter += 1
-      }
-      labels.orderBy($"doc_id")
+      graft.operators.ConnectedComponents
+        .components(verifiedPairs(s, dir).select($"a_id", $"b_id"))
+        .select($"id".as("doc_id"), $"comp")
+        .orderBy($"doc_id")
     }),
 
     // Content-hash grouping: distribution of exact-duplicate group sizes.

@@ -1,0 +1,59 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.ConnectedComponents
+
+/** The closure operator (q36's engine) against a driver-side union-find
+  * reference on fixed shapes and seeded random graphs — the distributed
+  * min-label fixpoint must equal the textbook answer on every input.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.components(pairs.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Textbook union-find with path compression — the reference answer. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("fixed shapes: chain, clique, isolated pairs, self-loop") {
+    // chain 1-2-3-4-5 → all component 1
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // two cliques
+    assert(run(Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+      == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // self-loop is inert
+    assert(run(Seq((7L, 7L))) == Map(7L -> 7L))
+  }
+
+  test("seeded random graphs match union-find") {
+    val rnd = new Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val pairs = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(run(pairs) == unionFind(pairs))
+    }
+  }
+
+  test("long chain converges within the pointer-jump round budget") {
+    // diameter 63: O(log) rounds must reach the fixpoint well under maxRounds
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.values.toSet == Set(0L) && got.size == 64)
+  }
+}

@@ -118,6 +118,31 @@ object DedupQueries {
       .select($"a_id", $"b_id", jac.as("jac"))
   }
 
+  /** (doc_id, simhash): `bits`-bit SimHash per document (bits <= 32 — one
+    * hex digit of the digest per bit). ONE md5 per token (hashed inside
+    * the Generate, so no projection for CollapseProject to duplicate); bit
+    * b is hex digit b of the digest (>= '8' == nibble top bit), so the
+    * per-bit aggregates share the digest instead of each paying its own
+    * keyed hash. Shared by q32 (16-bit report) and q69 (32-bit pairing —
+    * 16 bits is too small a space for pairing: ~1% of RANDOM pairs land
+    * within hamming 3; at 32 bits the chance rate is ~1e-6, so surviving
+    * pairs are genuine near-dups).
+    */
+  private def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    import s.implicits._
+    require(bits <= 32, "one md5 hex digit per bit")
+    val words = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(transform(tokens($"text"), t => md5(t.cast("binary")))).as("h"))
+    val sumCols = (0 until bits).map(b =>
+      sum(when(substring($"h", b + 1, 1) >= "8", lit(1)).otherwise(lit(-1))).as(s"s_$b"))
+    val sums = words.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val simhash = (0 until bits)
+      .map(b => when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select($"doc_id", simhash.cast("long").as("simhash"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, keep-first: one survivor per (user_id, event_type) by
     // event time. The canonical hash-groupBy dedup — plans as one shuffle on
@@ -146,24 +171,39 @@ object DedupQueries {
     // 16-bit SimHash per document over word occurrences: bit b set when the
     // signed sum of per-word hash-bit contributions is >= 0. One shuffle
     // (groupBy doc) carrying 16 partial sums.
-    "q32_simhash" -> ((s, dir) => {
+    "q32_simhash" -> ((s, dir) =>
+      simhashes(s, dir).orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairing — the q31→q33 completion for the SimHash
+    // path: 32-bit fingerprints, 4 bands × 8 bits; by pigeonhole, any pair
+    // within hamming 3 agrees on at least one clean band, so the
+    // band-equality self-join is a complete candidate generator for the
+    // <=3 threshold. Candidates are verified with an exact
+    // popcount-of-xor. Band width tunes with corpus size exactly like
+    // MinHash bands, and the same MaxBand skew cap applies: a band bucket
+    // holding >MaxBand docs is a degenerate "everything hashes alike"
+    // cell — all pair-combinatorics, no dedup signal — and is dropped
+    // (exactly q31's guard). The join is bucket-shaped, never all-pairs.
+    "q69_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      // ONE md5 per token (hashed inside the Generate, so no projection for
-      // CollapseProject to duplicate); bit b is hex digit b of the digest
-      // (>= '8' == nibble top bit), so the 16 per-bit aggregates share the
-      // digest instead of each paying its own keyed hash — 16× less hashing
-      // on the dominant cost of the query, identically spelled in the
-      // oracle.
-      val words = Tables.documents(s, dir)
-        .select($"doc_id",
-          explode(transform(tokens($"text"), t => md5(t.cast("binary")))).as("h"))
-      val sumCols = (0 until 16).map(b =>
-        sum(when(substring($"h", b + 1, 1) >= "8", lit(1)).otherwise(lit(-1))).as(s"s_$b"))
-      val sums = words.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
-      val simhash = (0 until 16)
-        .map(b => when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      sums.select($"doc_id", simhash.cast("long").as("simhash")).orderBy($"doc_id")
+      val f = simhashes(s, dir, bits = 32).cache()
+      val bands = array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright($"simhash", 8 * j).bitwiseAND(lit(255L)).as("key"))): _*)
+      val wBand = Window.partitionBy($"band", $"key")
+      val banded = f.select($"doc_id", $"simhash", explode(bands).as("b"))
+        .select($"doc_id", $"simhash", $"b.band".as("band"), $"b.key".as("key"))
+        .withColumn("bc", count(lit(1)).over(wBand))
+        .where($"bc" <= MaxBand)
+        .drop("bc")
+      banded.as("x").join(banded.as("y"),
+          $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+          bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("int").as("hamming"))
+        .distinct() // a pair can agree on several bands
+        .where($"hamming" <= 3)
+        .orderBy($"a_id", $"b_id")
     }),
 
     // The production near-dup pipeline: LSH candidates (cheap, recall-y)
@@ -208,12 +248,14 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = {
-    val simhashSums = (0 until 16)
+    def simhashSumsFor(bits: Int) = (0 until bits)
       .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) s_$b")
       .mkString(",\n        |    ")
-    val simhashVal = (0 until 16)
+    def simhashValFor(bits: Int) = (0 until bits)
       .map(b => s"(CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
+    val simhashSums = simhashSumsFor(16)
+    val simhashVal = simhashValFor(16)
     Map(
       "q30_exact_dedup" ->
         """WITH r AS (
@@ -242,6 +284,22 @@ object DedupQueries {
            |    $simhashSums
            |  FROM w GROUP BY doc_id)
            |SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
+      "q69_simhash_neardup" ->
+        s"""WITH w AS (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) h FROM documents),
+           |s AS (SELECT doc_id,
+           |    ${simhashSumsFor(32)}
+           |  FROM w GROUP BY doc_id),
+           |f AS (SELECT doc_id, CAST(${simhashValFor(32)} AS BIGINT) AS sh FROM s),
+           |b0 AS (SELECT doc_id, sh, j, (sh >> (8 * j)) & 255 AS key
+           |       FROM f, unnest(range(4)) AS u(j)),
+           |b AS (SELECT doc_id, sh, j, key FROM (
+           |       SELECT *, count(*) OVER (PARTITION BY j, key) bc FROM b0) WHERE bc <= $MaxBand),
+           |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id,
+           |           CAST(bit_count(xor(x.sh, y.sh)) AS INT) hamming
+           |         FROM b x JOIN b y ON x.j = y.j AND x.key = y.key
+           |           AND x.doc_id < y.doc_id)
+           |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
+           |ORDER BY a_id, b_id""".stripMargin,
       "q33_lsh_jaccard" ->
         s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
            |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle

@@ -52,6 +52,7 @@ object Bench {
         fn(spark, sfDir).explain("formatted")
       }
       // One timed run: full materialization via the noop sink.
+      var lastErr: Option[String] = None
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -59,12 +60,16 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case t: Throwable =>
-            errors += name -> t.toString.linesIterator.next().take(200)
+            lastErr = Some(t.toString.linesIterator.next().take(200))
             None
         }
       }
       val times = (1 to Runs).flatMap(_ => once())
-      val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      // Median of the SURVIVING runs ((n-1)/2 — size/2 would pick the max
+      // of two); a query is an error only when every run failed, a
+      // transient single-run failure just shrinks the median's sample.
+      val sec = if (times.isEmpty) -1.0 else times.sorted.apply((times.size - 1) / 2)
+      if (times.isEmpty) errors += name -> lastErr.getOrElse("unknown failure")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

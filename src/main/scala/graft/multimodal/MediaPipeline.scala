@@ -125,17 +125,21 @@ object MediaPipeline {
   }
 
   /** Coarse LSH planes for the near-dup blocking key: 2 planes → 4 buckets
-    * per kind. Near-identical features agree on every hyperplane sign, so
-    * true dups never cross buckets; the composite (kind, bucket) key bounds
-    * the self-join pair space by cell size instead of O(n²/kinds).
+    * per kind. The composite (kind, bucket) key bounds the self-join pair
+    * space by cell size instead of O(n²/kinds). This is standard LSH
+    * RECALL trading: bit-identical features always share a bucket, but a
+    * near-dup pair whose projections straddle a hyperplane is missed by
+    * that plane — production raises recall with multiple hash tables or
+    * multi-probe, never by falling back to all-pairs.
     */
   private val BlockPlanes = 2
 
-  /** Nearest-duplicate media by feature cosine within (kind, LSH bucket) —
-    * reuses the similarity surface over decoded features: multimodal dedup
-    * is embedding dedup after decode. The join key is an equality on the
-    * composite block, so Catalyst plans a hash/sort-merge join (never a
-    * cross product), and the pair space stays linear in corpus size.
+  /** CANDIDATE near-duplicate media by feature cosine within (kind, LSH
+    * bucket) — reuses the similarity surface over decoded features:
+    * multimodal dedup is embedding dedup after decode. The join key is an
+    * equality on the composite block, so Catalyst plans a hash/sort-merge
+    * join (never a cross product), and the pair space stays linear in
+    * corpus size; recall is bounded by the blocking (see [[BlockPlanes]]).
     */
   def nearDupCandidates(features: Dataset[MediaFeatures], threshold: Double): DataFrame = {
     import features.sparkSession.implicits._

@@ -53,9 +53,13 @@ object ConnectedComponents {
       labels = next
       round += 1
     }
+    edges.unpersist(blocking = false) // checkpoint blocks of old rounds are GC-reclaimed
     labels
   }
 
-  private def checksum(labels: DataFrame): Long =
-    labels.agg(sum(col("comp"))).first().getLong(0)
+  /** Sum of labels; 0 for an empty table (sum over zero rows is SQL NULL). */
+  private def checksum(labels: DataFrame): Long = {
+    val r = labels.agg(sum(col("comp"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 }

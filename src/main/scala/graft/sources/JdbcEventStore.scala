@@ -147,13 +147,20 @@ final class JdbcEventStore(
       .options(user.map { case (_, p) => "password" -> p }.toMap)
       .save()
 
-  /** The store as a DataFrame in the engine's envelope shape. Predicates
-    * applied downstream push into the database's SQL (visible as
-    * `PushedFilters` in the scan node). With `scanPartitions`, the read is
-    * split into timestamp ranges executed as parallel JDBC queries —
-    * min/max fetched in one aggregate round-trip first.
+  /** The store as a DataFrame in the engine's envelope shape. */
+  def allDF: DataFrame = fromFlat(rawDF)
+
+  /** The table in its raw relational shape (timestamp as epoch-millis
+    * BIGINT). Predicates applied HERE push into the database's SQL
+    * (visible as `PushedFilters` in the scan node) — in particular
+    * timestamp ranges, which as plain integer comparisons hit the
+    * timestamp index; a filter above the `timestamp_millis` conversion in
+    * [[allDF]] is not translatable by the JDBC source and would fetch the
+    * whole topic. With `scanPartitions`, the read is split into timestamp
+    * ranges executed as parallel JDBC queries — min/max fetched in one
+    * aggregate round-trip first.
     */
-  def allDF: DataFrame = {
+  private def rawDF: DataFrame = {
     val reader = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -176,7 +183,7 @@ final class JdbcEventStore(
           .option("numPartitions", n)
       }
     }
-    fromFlat(partitioned.getOrElse(reader).load())
+    partitioned.getOrElse(reader).load()
   }
 
   /** Filtered scan, reference `getEvents` semantics
@@ -185,12 +192,15 @@ final class JdbcEventStore(
     * `(timestamp, id)` ordering pins tie-breaks like the parquet log.
     */
   def getEventsDF(topic: String, options: ScanOptions = ScanOptions()): DataFrame = {
-    var df = allDF.where($"topic" === topic)
-    options.fromTimestamp.foreach(f => df = df.where($"timestamp" >= timestamp_millis(lit(f))))
-    options.toTimestamp.foreach(t => df = df.where($"timestamp" <= timestamp_millis(lit(t))))
+    // All predicates go against the RAW columns (epoch-ms BIGINT bounds
+    // included) so every one of them reaches the database's SQL; the
+    // envelope conversion happens above the filtered scan.
+    var df = rawDF.where($"topic" === topic)
+    options.fromTimestamp.foreach(f => df = df.where($"timestamp" >= f))
+    options.toTimestamp.foreach(t => df = df.where($"timestamp" <= t))
     if (options.eventTypes.nonEmpty) df = df.where($"type".isin(options.eventTypes: _*))
-    df = df.orderBy($"timestamp".asc, $"id".asc)
-    options.limit.filter(_ > 0).fold(df)(df.limit)
+    val converted = fromFlat(df).orderBy($"timestamp".asc, $"id".asc)
+    options.limit.filter(_ > 0).fold(converted)(converted.limit)
   }
 
   def getEvents(topic: String, options: ScanOptions = ScanOptions()): Seq[EventRow] =

@@ -71,20 +71,25 @@ final class StreamingSubscription(
     topicName.foreach(t => df = df.where(col("topic") === t))
     if (options.eventTypes.nonEmpty)
       df = df.where(col("type").isin(options.eventTypes: _*))
-    startingBoundaryMillis().foreach(ms =>
-      df = df.where(col("timestamp") > (lit(ms) / 1000.0).cast("timestamp")))
+    startingBoundaryMicros().foreach(us =>
+      df = df.where(col("timestamp") > timestamp_micros(lit(us))))
     df
   }
 
   /** Where delivery starts. `receiveHistoricalEvents=true` → None (beginning
-    * of log). Otherwise the boundary is the log's max timestamp at FIRST
-    * start, persisted as a marker next to the checkpoint so restarts keep
-    * the same boundary (the checkpoint itself tracks progress past it).
-    * Same-millisecond publishes racing the subscribe land on either side of
-    * the boundary — the reference has the identical race on its wall-clock
-    * subscribe instant.
+    * of log). Otherwise the boundary is the SUBSCRIBED TOPIC's max event
+    * timestamp at FIRST start (the global log max would let one topic's
+    * clock-skewed future event silently swallow another topic's
+    * post-subscribe publishes), persisted as a marker next to the
+    * checkpoint so restarts keep the same boundary (the checkpoint itself
+    * tracks progress past it). Kept in MICROSECONDS — timestamps carry µs
+    * precision, and a millisecond boundary would re-deliver every
+    * historical event inside the max event's millisecond. Same-instant
+    * publishes racing the subscribe land on either side of the boundary —
+    * the reference has the identical race on its wall-clock subscribe
+    * instant.
     */
-  private def startingBoundaryMillis(): Option[Long] = {
+  private def startingBoundaryMicros(): Option[Long] = {
     if (options.receiveHistoricalEvents) return None
     val marker = new Path(checkpointDir, "GRAFT_START_BOUNDARY")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -95,17 +100,22 @@ final class StreamingSubscription(
       finally in.close()
     } else {
       val logFs = new Path(logPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val maxMs: Long =
+      val maxUs: Long =
         if (!logFs.exists(new Path(logPath))) 0L
         else {
-          val row = spark.read.schema(Event.schema).parquet(logPath)
-            .agg(max(col("timestamp"))).head()
-          if (row.isNullAt(0)) 0L else row.getTimestamp(0).getTime
+          var scoped = spark.read.schema(Event.schema).parquet(logPath)
+          topicName.foreach(t => scoped = scoped.where(col("topic") === t))
+          val row = scoped.agg(max(col("timestamp"))).head()
+          if (row.isNullAt(0)) 0L
+          else {
+            val ts = row.getTimestamp(0)
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          }
         }
       val out = fs.create(marker, true)
-      try out.write(maxMs.toString.getBytes(StandardCharsets.UTF_8))
+      try out.write(maxUs.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      Some(maxMs)
+      Some(maxUs)
     }
   }
 

@@ -30,6 +30,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("empty pair set yields an empty result, not an error") {
+    assert(run(Seq.empty) == Map.empty)
+  }
+
   test("fixed shapes: chain, clique, isolated pairs, self-loop") {
     // chain 1-2-3-4-5 → all component 1
     assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))

@@ -42,13 +42,22 @@ class JdbcStoreSpec extends SparkSpec {
     assert(back == ev("a1", "t1", 1000))
   }
 
-  test("predicate pushdown: topic/timestamp filters reach the JDBC scan") {
+  test("predicate pushdown: topic/timestamp/type filters reach the JDBC scan") {
     val store = new JdbcEventStore(spark, freshUrl()).initialize()
     store.saveEvent(ev("a1", "t1", 1000))
-    val plan = store.getEventsDF("t1", ScanOptions(fromTimestamp = Some(500)))
-      .queryExecution.executedPlan.toString
+    val plan = store.getEventsDF("t1", ScanOptions(
+        fromTimestamp = Some(500), toTimestamp = Some(2000),
+        eventTypes = Seq("test-event")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("PushedFilters"), plan)
-    assert(plan.contains("topic"), plan) // equality predicate pushed into the DB's SQL
+    assert(plan.contains("EqualTo(topic,t1)"), plan)
+    // the ms bounds push as plain BIGINT comparisons (they hit the DB's
+    // timestamp index; a filter above the timestamp_millis conversion
+    // would not be translatable and would fetch the whole topic)
+    assert(plan.contains("GreaterThanOrEqual(timestamp,500)"), plan)
+    assert(plan.contains("LessThanOrEqual(timestamp,2000)"), plan)
+    assert(plan.contains("EqualTo(type,test-event)"), plan)
   }
 
   test("distributed saveEvents + partitioned parallel scan round-trip") {

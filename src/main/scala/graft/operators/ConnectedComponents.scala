@@ -27,11 +27,17 @@ object ConnectedComponents {
   /** @param pairs     undirected edges as (aCol, bCol) LONG node-id pairs
     *                   (orientation and duplicates don't matter)
     * @param maxRounds  safety backstop; log2(diameter) + 2 rounds suffice
+    * @param unpersistEdges release the internal edge cache before
+    *                   returning. Default true (a caller looping over many
+    *                   DISTINCT pair tables must not accumulate entries);
+    *                   pass false when the same pair plan is re-run —
+    *                   Spark's cache manager dedupes identical plans to
+    *                   one entry, and keeping it makes repeat runs warm.
     * @return (id, comp): one row per node that appears in `pairs`, `comp`
     *         the minimum node id of its component
     */
   def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, unpersistEdges: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
@@ -53,7 +59,8 @@ object ConnectedComponents {
       labels = next
       round += 1
     }
-    edges.unpersist(blocking = false) // checkpoint blocks of old rounds are GC-reclaimed
+    // checkpoint blocks of old rounds are GC-reclaimed either way
+    if (unpersistEdges) edges.unpersist(blocking = false)
     labels
   }
 

@@ -229,7 +229,9 @@ object DedupQueries {
     "q36_dedup_components" -> ((s, dir) => {
       import s.implicits._
       graft.operators.ConnectedComponents
-        .components(verifiedPairs(s, dir).select($"a_id", $"b_id"))
+        // same pair plan on re-run → one dedup'd cache entry, kept warm
+        .components(verifiedPairs(s, dir).select($"a_id", $"b_id"),
+          unpersistEdges = false)
         .select($"id".as("doc_id"), $"comp")
         .orderBy($"doc_id")
     }),

@@ -100,7 +100,7 @@ final class JdbcDeadLetterQueue(
       schemaVersion = n.get("schemaVersion").asText(),
       payload = mapper.writeValueAsString(n.get("payload")),
       metadata = {
-        val it = n.get("metadata").fields()
+        val it = n.get("metadata").properties().iterator()
         val b = Map.newBuilder[String, String]
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
         b.result()

@@ -81,7 +81,7 @@ final class SchemaRegistry extends Serializable {
       }
       val props = schema.get("properties")
       if (props != null && props.isObject && data != null && data.isObject) {
-        val fields = props.fields()
+        val fields = props.properties().iterator()
         while (fields.hasNext) {
           val e = fields.next()
           if (data.has(e.getKey) &&

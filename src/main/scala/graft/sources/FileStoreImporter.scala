@@ -49,7 +49,7 @@ object FileStoreImporter {
                 if (n.has("payload")) mapper.writeValueAsString(n.get("payload")) else "null",
               metadata =
                 if (n.hasNonNull("metadata")) {
-                  val it = n.get("metadata").fields()
+                  val it = n.get("metadata").properties().iterator()
                   val b = Map.newBuilder[String, String]
                   while (it.hasNext) {
                     val e = it.next()

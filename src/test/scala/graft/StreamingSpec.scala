@@ -112,6 +112,41 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq == Seq("new1"))
   }
 
+  test("historical boundary is microsecond-precise: same-ms later event delivers, earlier doesn't") {
+    val logDir = tmpDir("slog")
+    val log = new EventLog(spark, logDir)
+    val t0 = 1700000000000L
+    val hist = row("hist", "a", "t", t0)
+    hist.timestamp.setNanos(500000) // t0 + 500 µs
+    log.appendRows(Seq(hist))
+    val seen = mutable.Buffer.empty[String]
+    val sub = new StreamingSubscription(spark, logDir, tmpDir("ckpt"),
+      e => seen += e.id, new InMemoryDeadLetterQueue, topicName = Some("t"))
+    sub.runAvailable()
+    assert(seen.isEmpty) // a ms-granular boundary would re-deliver "hist"
+    val fresh = row("fresh", "a", "t", t0)
+    fresh.timestamp.setNanos(700000) // same millisecond, 200 µs after the boundary
+    log.appendRows(Seq(fresh))
+    sub.runAvailable()
+    assert(seen.toSeq == Seq("fresh"))
+  }
+
+  test("historical boundary is per-topic: another topic's future event can't swallow deliveries") {
+    val logDir = tmpDir("slog")
+    val log = new EventLog(spark, logDir)
+    log.appendRows(Seq(
+      row("mine-old", "a", "mine", 1000),
+      row("other-future", "a", "other", 9999999999000L))) // clock-skewed other topic
+    val seen = mutable.Buffer.empty[String]
+    val sub = new StreamingSubscription(spark, logDir, tmpDir("ckpt"),
+      e => seen += e.id, new InMemoryDeadLetterQueue, topicName = Some("mine"))
+    sub.runAvailable()
+    assert(seen.isEmpty)
+    log.appendRows(Seq(row("mine-new", "a", "mine", 5000))) // far below other's future ts
+    sub.runAvailable()
+    assert(seen.toSeq == Seq("mine-new")) // a global-max boundary would drop this
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch; backlog drains fully") {
     val logDir = tmpDir("slog")
     val log = new EventLog(spark, logDir)

@@ -41,8 +41,11 @@ object ConnectedComponents {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Init fuses the first propagation round: comp0 = min(self, direct
+    // neighbors). For the common near-clique components this IS the
+    // fixpoint, so the loop's first round is already the stability check.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
       .localCheckpoint()
     var prevSum = Long.MinValue
     var curSum = checksum(labels)

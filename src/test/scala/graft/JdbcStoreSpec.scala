@@ -145,6 +145,34 @@ class JdbcStoreSpec extends SparkSpec {
     assert(q.removeEvent("e2") && !q.removeEvent("e2"))
   }
 
+  test("full migration walkthrough: reference file store → parquet log → JDBC store, byte-exact") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.FileStoreImporter
+    // a reference deployment's on-disk file store...
+    val base = tmpDir("refstore")
+    Files.createDirectories(Paths.get(base, "orders"))
+    Files.writeString(Paths.get(base, "orders", "1000_m1.json"),
+      """{"id":"m1","type":"order.created","topic":"orders","timestamp":1000,"schemaVersion":"1.0","payload":{"orderId":"o1","n":2},"metadata":{"source":"migration"}}""")
+    Files.writeString(Paths.get(base, "orders", "2000_m2.json"),
+      """{"id":"m2","type":"order.note","topic":"orders","timestamp":2000,"schemaVersion":"1.0","payload":"note text"}""")
+    // ...lands in the parquet log...
+    val log = new EventLog(spark, tmpDir("miglog") + "/log")
+    assert(FileStoreImporter.importInto(spark, base, log) == 2)
+    // ...and on into the relational store, payloads verbatim at each hop
+    val store = new JdbcEventStore(spark, freshUrl()).initialize()
+    store.exportFrom(log.getEventsTyped("orders"))
+    val back = store.getEvents("orders")
+    assert(back.map(_.id) == Seq("m1", "m2"))
+    assert(back.head.payload == """{"orderId":"o1","n":2}""")
+    assert(back(1).payload == "\"note text\"") // string payload stays JSON text
+    assert(back.head.metadata == Map("source" -> "migration"))
+    // and the inverse direction restores the log shape
+    val log2 = new EventLog(spark, tmpDir("miglog2") + "/log")
+    assert(store.importInto(log2) == 2)
+    assert(log2.getEventsTyped("orders").collect().toSeq
+      == log.getEventsTyped("orders").collect().toSeq)
+  }
+
   test("broker wired to the JDBC DLQ end-to-end: exhausted retries land, redispatch drains") {
     import graft.broker.{EventBroker, SubscriptionOptions}
     val dlq = new JdbcDeadLetterQueue(spark, freshUrl()).initialize()

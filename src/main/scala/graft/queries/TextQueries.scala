@@ -245,6 +245,34 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // Sequence packing — assign documents to fixed token-budget training
+    // bins (the pre-tokenization packing step of an LLM data pipeline).
+    // The scalable shape: a salt-keyed md5 shard bounds each packing
+    // domain, and within a shard a running token prefix-sum (window) maps
+    // each doc to bin floor((cumsum - toks) / budget). One shuffle on the
+    // shard key; no global ordering, no driver loop — at 100 TB every
+    // shard packs independently and bin ids are (shard, bin) composite.
+    // Deterministic: shard and intra-shard order both derive from md5.
+    "q70_sequence_packing" -> ((s, dir) => {
+      import s.implicits._
+      val budget = 512 // tokens per packed sequence
+      val hk = md5(concat(lit("pack:"), $"doc_id".cast("string")).cast("binary"))
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", size(tokens($"text")).as("toks"), hk.as("hkey"))
+        .withColumn("shard", substring($"hkey", 1, 1)) // 16 shards
+      val w = Window.partitionBy($"shard").orderBy($"hkey", $"doc_id")
+      val packed = d
+        .withColumn("cum", sum($"toks").over(w))
+        .select($"doc_id", $"shard", $"toks",
+          floor(($"cum" - $"toks") / budget).cast("long").as("bin"))
+      packed
+        .groupBy($"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks").cast("long").as("bin_toks"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"shard", $"bin")
+    }),
+
     // Deterministic mixture sampling — rebalance an English-heavy corpus
     // with per-language keep rates applied via a portable md5 percentile
     // (the same salt-keyed split trick as q56, so membership is stable
@@ -395,6 +423,15 @@ object TextQueries {
           |SELECT doc_id, lang, round(dup3, 6) AS dup3, round(topw, 6) AS topw,
           |  CAST(CASE WHEN dup3 <= 0.2 AND topw <= 0.3 THEN 1 ELSE 0 END AS INT) AS keep
           |FROM d ORDER BY doc_id""".stripMargin,
+      "q70_sequence_packing" ->
+        """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) toks,
+          |    md5('pack:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),
+          |s AS (SELECT doc_id, toks, hkey, substr(hkey, 1, 1) shard FROM d),
+          |p AS (SELECT doc_id, shard, toks,
+          |    CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY hkey, doc_id) - toks) / 512) AS BIGINT) bin
+          |  FROM s)
+          |SELECT shard, bin, count(*) n_docs, CAST(sum(toks) AS BIGINT) bin_toks, min(doc_id) first_doc
+          |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
       "q67_mixture_sample" ->
         """WITH p AS (SELECT doc_id, lang,
           |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,

@@ -273,6 +273,33 @@ object TextQueries {
         .orderBy($"shard", $"bin")
     }),
 
+    // Eval decontamination — flag train-split documents that share any
+    // word-5-gram with a test-split document (the standard n-gram-overlap
+    // contamination check run before training). Reuses q56's deterministic
+    // md5 split; the probe is a semi-join shape: the test set's DISTINCT
+    // shingle hashes (the small side — test is 10% and deduped) join
+    // against train shingles on the hash, then per-doc overlap counts.
+    // At 100 TB the test-gram table broadcasts or bucket-joins; train
+    // shingles stream past it in one pass.
+    "q71_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val pct = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("double") / 65536.0
+      val split = when(pct < 0.8, "train").when(pct < 0.9, "val").otherwise("test")
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", split.as("split"), tokens($"text").as("toks"))
+        .select($"doc_id", $"split", explode(wordShingles($"toks", 5)).as("g"))
+        .select($"doc_id", $"split", md5($"g".cast("binary")).as("gh"))
+      val testGrams = grams.where($"split" === "test").select($"gh").distinct()
+      grams.where($"split" === "train")
+        .join(testGrams, "gh") // only contaminated grams survive
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct($"gh").cast("long").as("n_shared_grams"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic mixture sampling — rebalance an English-heavy corpus
     // with per-language keep rates applied via a portable md5 percentile
     // (the same salt-keyed split trick as q56, so membership is stable
@@ -423,6 +450,21 @@ object TextQueries {
           |SELECT doc_id, lang, round(dup3, 6) AS dup3, round(topw, 6) AS topw,
           |  CAST(CASE WHEN dup3 <= 0.2 AND topw <= 0.3 THEN 1 ELSE 0 END AS INT) AS keep
           |FROM d ORDER BY doc_id""".stripMargin,
+      "q71_decontamination" ->
+        """WITH sp AS (SELECT doc_id, text,
+          |    CASE WHEN pct < 0.8 THEN 'train' WHEN pct < 0.9 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT doc_id, text,
+          |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+          |        FROM documents)),
+          |t AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') toks FROM sp),
+          |g AS (SELECT doc_id, split,
+          |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+          |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+          |tg AS (SELECT DISTINCT gh FROM g WHERE split = 'test')
+          |SELECT doc_id, count(*) AS n_hits,
+          |  CAST(count(DISTINCT gh) AS BIGINT) AS n_shared_grams
+          |FROM (SELECT g.doc_id, g.gh FROM g JOIN tg USING (gh) WHERE g.split = 'train')
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q70_sequence_packing" ->
         """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) toks,
           |    md5('pack:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),

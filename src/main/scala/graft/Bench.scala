@@ -75,7 +75,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
-      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // control chars (tabs in Derby/Spark messages) would break the
+      // one-JSON-line contract for strict parsers
+      val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
+      s"\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}""")

@@ -63,7 +63,17 @@ final class RetentionScheduler(
         t.setDaemon(true)
         t
       }
-      e.scheduleAtFixedRate(() => sweepOnce(), periodMillis, periodMillis, TimeUnit.MILLISECONDS)
+      // scheduleAtFixedRate silently cancels the task if the runnable ever
+      // throws — swallow EVERYTHING here (incl. Errors: an OOM-killed sweep
+      // must not permanently stop retention on a broker that thinks it's
+      // still sweeping); sweepOnce's own per-topic catch handles logging.
+      e.scheduleAtFixedRate(() =>
+        try sweepOnce()
+        catch { case t: Throwable =>
+          try org.slf4j.LoggerFactory.getLogger(getClass).warn("retention sweep aborted", t)
+          catch { case _: Throwable => () }
+        },
+        periodMillis, periodMillis, TimeUnit.MILLISECONDS)
       exec = Some(e)
     }
     this

@@ -178,7 +178,9 @@ final class JdbcDeadLetterQueue(
       case Some((event, subscription, _)) =>
         val (succeeded, newError) =
           try { (retryCallback(event, subscription), None) }
-          catch { case e: Exception => (false, Some(e.getMessage)) }
+          catch { case e: Exception =>
+            (false, Some(Option(e.getMessage).getOrElse(e.toString)))
+          }
         if (succeeded) { removeEvent(eventId); true }
         else {
           withConn { c =>

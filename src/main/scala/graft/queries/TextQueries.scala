@@ -30,6 +30,19 @@ object TextQueries {
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
+  /** Portable md5 percentile in [0,1): first 4 hex digits of
+    * md5(salt || key) over 65536. THE one spelling every deterministic
+    * split/sample query shares (q56 split, q67 mixture, q71's reuse of
+    * q56's split) — [[md5PctSql]] is its oracle twin; changing one without
+    * the other silently breaks split-consistency between them.
+    */
+  private def md5Pct(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+
+  private def md5PctSql(salt: String, key: String = "CAST(doc_id AS VARCHAR)"): String =
+    s"CAST(('0x' || substr(md5('$salt' || $key), 1, 4)) AS INT) / 65536.0"
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
@@ -162,8 +175,7 @@ object TextQueries {
     // and rand() are neither portable nor stable). Pure per-row narrow op.
     "q56_hash_split" -> ((s, dir) => {
       import s.implicits._
-      val pct = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("double") / 65536.0
+      val pct = md5Pct("", $"doc_id")
       val split = when(pct < 0.8, "train").when(pct < 0.9, "val").otherwise("test")
       Tables.documents(s, dir)
         .select($"doc_id", $"lang", split.as("split"))
@@ -284,8 +296,7 @@ object TextQueries {
     "q71_decontamination" -> ((s, dir) => {
       import s.implicits._
       graft.functions.expressions.GraftFunctions.register(s)
-      val pct = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("double") / 65536.0
+      val pct = md5Pct("", $"doc_id")
       val split = when(pct < 0.8, "train").when(pct < 0.9, "val").otherwise("test")
       val grams = Tables.documents(s, dir)
         .select($"doc_id", split.as("split"), tokens($"text").as("toks"))
@@ -308,8 +319,7 @@ object TextQueries {
     // rollup.
     "q67_mixture_sample" -> ((s, dir) => {
       import s.implicits._
-      val pct = conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))
-        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      val pct = md5Pct("mix:", $"doc_id")
       val rate = when($"lang" === "en", 0.4).when($"lang" === "zh", 0.8).otherwise(1.0)
       val docs = Tables.documents(s, dir)
       val total = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
@@ -405,10 +415,10 @@ object TextQueries {
           |FROM q WHERE keeper AND quality >= 0.5
           |GROUP BY lang ORDER BY lang""".stripMargin,
       "q56_hash_split" ->
-        """WITH s AS (SELECT doc_id, lang,
+        s"""WITH s AS (SELECT doc_id, lang,
           |    CASE WHEN pct < 0.8 THEN 'train' WHEN pct < 0.9 THEN 'val' ELSE 'test' END AS split
           |  FROM (SELECT doc_id, lang,
-          |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+          |          ${md5PctSql("")} AS pct
           |        FROM documents))
           |SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc
           |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
@@ -451,12 +461,12 @@ object TextQueries {
           |  CAST(CASE WHEN dup3 <= 0.2 AND topw <= 0.3 THEN 1 ELSE 0 END AS INT) AS keep
           |FROM d ORDER BY doc_id""".stripMargin,
       "q71_decontamination" ->
-        """WITH sp AS (SELECT doc_id, text,
+        s"""WITH sp AS (SELECT doc_id, text,
           |    CASE WHEN pct < 0.8 THEN 'train' WHEN pct < 0.9 THEN 'val' ELSE 'test' END AS split
           |  FROM (SELECT doc_id, text,
-          |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+          |          ${md5PctSql("")} AS pct
           |        FROM documents)),
-          |t AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') toks FROM sp),
+          |t AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') toks FROM sp),
           |g AS (SELECT doc_id, split,
           |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
           |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
@@ -475,8 +485,8 @@ object TextQueries {
           |SELECT shard, bin, count(*) n_docs, CAST(sum(toks) AS BIGINT) bin_toks, min(doc_id) first_doc
           |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
       "q67_mixture_sample" ->
-        """WITH p AS (SELECT doc_id, lang,
-          |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,
+        s"""WITH p AS (SELECT doc_id, lang,
+          |    ${md5PctSql("mix:")} AS pct,
           |    CASE WHEN lang = 'en' THEN 0.4 WHEN lang = 'zh' THEN 0.8 ELSE 1.0 END AS rate
           |  FROM documents),
           |total AS (SELECT lang, count(*) n_total FROM p GROUP BY 1),

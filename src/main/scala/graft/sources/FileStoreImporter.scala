@@ -63,12 +63,17 @@ object FileStoreImporter {
       }
   }
 
-  /** Read the reference store and append it to a parquet log. */
+  /** Read the reference store and append it to a parquet log. Persisted so
+    * the file store is parsed once, not once for the count and once for
+    * the append.
+    */
   def importInto(spark: SparkSession, baseDir: String, log: EventLog): Long = {
-    val events = read(spark, baseDir)
-    val n = events.count()
-    log.append(events)
-    n
+    val events = read(spark, baseDir).persist()
+    try {
+      val n = events.count()
+      log.append(events)
+      n
+    } finally { events.unpersist(blocking = false); () }
   }
 
   /** Inverse migration: write events back OUT in the reference's layout

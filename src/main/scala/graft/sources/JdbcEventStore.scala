@@ -147,8 +147,10 @@ final class JdbcEventStore(
       .options(user.map { case (_, p) => "password" -> p }.toMap)
       .save()
 
-  /** The store as a DataFrame in the engine's envelope shape. */
-  def allDF: DataFrame = fromFlat(rawDF)
+  /** The store as a DataFrame in the engine's envelope shape — the BULK
+    * path, honoring `scanPartitions` (migration/export scans).
+    */
+  def allDF: DataFrame = fromFlat(rawDF(partitioned = true))
 
   /** The table in its raw relational shape (timestamp as epoch-millis
     * BIGINT). Predicates applied HERE push into the database's SQL
@@ -156,17 +158,23 @@ final class JdbcEventStore(
     * timestamp ranges, which as plain integer comparisons hit the
     * timestamp index; a filter above the `timestamp_millis` conversion in
     * [[allDF]] is not translatable by the JDBC source and would fetch the
-    * whole topic. With `scanPartitions`, the read is split into timestamp
-    * ranges executed as parallel JDBC queries — min/max fetched in one
-    * aggregate round-trip first.
+    * whole topic.
+    *
+    * `partitioned = true` (bulk scans only) splits the read into
+    * `scanPartitions` timestamp ranges executed as parallel JDBC queries —
+    * which costs an EAGER whole-table MIN/MAX round-trip at plan
+    * construction, and derives ranges from the global bounds. Point-lookup
+    * shapes ([[getEventsDF]]) therefore always use the single-query
+    * reader: a topic slice wants one indexed query, not `n` mostly-empty
+    * range scans paid for with a blocking aggregate.
     */
-  private def rawDF: DataFrame = {
+  private def rawDF(partitioned: Boolean): DataFrame = {
     val reader = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .options(user.map { case (u, _) => "user" -> u }.toMap)
       .options(user.map { case (_, p) => "password" -> p }.toMap)
-    val partitioned = scanPartitions.filter(_ > 1).flatMap { n =>
+    val ranged = (if (partitioned) scanPartitions else None).filter(_ > 1).flatMap { n =>
       val bounds = withConn { c =>
         val rs = c.createStatement().executeQuery(
           s"""SELECT MIN("timestamp"), MAX("timestamp") FROM $table""")
@@ -183,7 +191,7 @@ final class JdbcEventStore(
           .option("numPartitions", n)
       }
     }
-    partitioned.getOrElse(reader).load()
+    ranged.getOrElse(reader).load()
   }
 
   /** Filtered scan, reference `getEvents` semantics
@@ -195,7 +203,7 @@ final class JdbcEventStore(
     // All predicates go against the RAW columns (epoch-ms BIGINT bounds
     // included) so every one of them reaches the database's SQL; the
     // envelope conversion happens above the filtered scan.
-    var df = rawDF.where($"topic" === topic)
+    var df = rawDF(partitioned = false).where($"topic" === topic)
     options.fromTimestamp.foreach(f => df = df.where($"timestamp" >= f))
     options.toTimestamp.foreach(t => df = df.where($"timestamp" <= t))
     if (options.eventTypes.nonEmpty) df = df.where($"type".isin(options.eventTypes: _*))
@@ -223,10 +231,15 @@ final class JdbcEventStore(
     * half). One distributed read → one distributed append.
     */
   def importInto(log: EventLog): Long = {
-    val events = allDF.as[EventRow]
-    val n = events.count()
-    log.append(events)
-    n
+    // persist so the JDBC table is scanned ONCE — count() then append()
+    // would otherwise each issue a full read, and a row landing between
+    // them would make the reported count diverge from the imported rows
+    val events = allDF.as[EventRow].persist()
+    try {
+      val n = events.count()
+      log.append(events)
+      n
+    } finally { events.unpersist(blocking = false); () }
   }
 
   /** Inverse migration: bulk-load events (e.g. a parquet log's contents)

@@ -88,17 +88,38 @@ final class StreamingSubscription(
     * publishes racing the subscribe land on either side of the boundary —
     * the reference has the identical race on its wall-clock subscribe
     * instant.
+    *
+    * The boundary is EVENT-time, not arrival-time (the file source has no
+    * streaming modifiedAfter): "historical" means "event-timestamped at or
+    * before the topic's max at subscribe". Consequence to know about: a
+    * post-subscribe append carrying a LAGGING event timestamp — a
+    * clock-skewed second producer, or a backfill import — is classified
+    * historical and not delivered. That is the right call for backfills
+    * (imported history is exactly what `receiveHistoricalEvents=false`
+    * opts out of); skewed producers that must be delivered need
+    * `receiveHistoricalEvents=true` or broker-stamped timestamps (the
+    * default publish path stamps at the broker, which cannot lag its own
+    * subscribe).
     */
   private def startingBoundaryMicros(): Option[Long] = {
     if (options.receiveHistoricalEvents) return None
     val marker = new Path(checkpointDir, "GRAFT_START_BOUNDARY")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    } else {
+    val persisted: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val txt =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            StandardCharsets.UTF_8).trim
+          finally in.close()
+        // an empty/garbled marker (crash between create and write before the
+        // writes went through .tmp+rename) recomputes rather than bricking
+        // every future start()
+        txt.toLongOption
+      }
+    if (persisted.isDefined) persisted
+    else {
       val logFs = new Path(logPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val maxUs: Long =
         if (!logFs.exists(new Path(logPath))) 0L
@@ -112,9 +133,13 @@ final class StreamingSubscription(
             ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
           }
         }
-      val out = fs.create(marker, true)
+      // write-then-rename: a crash mid-write must not leave a truncated
+      // marker behind (fs.create truncates eagerly)
+      val tmp = new Path(checkpointDir, "GRAFT_START_BOUNDARY.tmp")
+      val out = fs.create(tmp, true)
       try out.write(maxUs.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      fs.rename(tmp, marker)
       Some(maxUs)
     }
   }

@@ -123,10 +123,16 @@ object AnalyticQueries {
     // Rollup — grouping-set aggregation the reference lacks entirely.
     "q18_rollup" -> ((s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
-        .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          round(sum($"l_quantity".cast(dec)).cast("double"), 2).as("sum_qty"))
+      // Pre-aggregate to the base grain BEFORE the rollup: count and sum
+      // re-aggregate exactly, so Expand multiplies a handful of group rows
+      // instead of the whole fact table — at 100 TB the difference between
+      // expanding N rows x levels and expanding |groups| x levels.
+      val base = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("pn"), sum($"l_quantity".cast(dec)).as("ps"))
+      base.rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"pn").as("n"),
+          round(sum($"ps").cast("double"), 2).as("sum_qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 

@@ -49,10 +49,14 @@ object ExtendedQueries {
     // all — SURVEY.md §2.5 close).
     "q26_cube" -> ((s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
-        .cube($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          round(sum($"l_quantity".cast(dec)).cast("double"), 2).as("sum_qty"))
+      // Pre-aggregated like q18: the cube's Expand (4 grouping sets here)
+      // multiplies |base groups| rows, not the fact table.
+      val base = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("pn"), sum($"l_quantity".cast(dec)).as("ps"))
+      base.cube($"l_returnflag", $"l_linestatus")
+        .agg(sum($"pn").as("n"),
+          round(sum($"ps").cast("double"), 2).as("sum_qty"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 

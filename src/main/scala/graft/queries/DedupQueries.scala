@@ -34,37 +34,40 @@ object DedupQueries {
     */
   private val MaxBand = 100
 
-  /** (doc_id, shingle) exploded word-3-grams. The token array is
-    * MATERIALIZED in its own projection first: inlining `tokens(text)` into
-    * the shingle lambda would re-run the regex split once per element_at —
-    * ~5× tokens per doc (verified via explain: the Generate carried five
-    * `split(trim(text))` calls before this projection boundary).
+  /** Per-doc DISTINCT word-3-gram SET as an array column — the narrow
+    * representation every minhash stage shares: signatures become per-row
+    * array folds and exact-Jaccard verification becomes per-pair array
+    * intersection, so the only thing that ever shuffles is the tiny
+    * (doc, band, minhash) table and the candidate pairs — the corpus-sized
+    * explode/groupBy of the shingle rows is gone entirely. The token array
+    * is MATERIALIZED in its own projection first: inlining `tokens(text)`
+    * into the shingle lambda would re-run the regex split once per
+    * element_at — ~5× tokens per doc (verified via explain).
     */
-  private def shingles(s: SparkSession, dir: String, distinctSet: Boolean): DataFrame = {
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.expressions.GraftFunctions.register(s)
-    val df = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", explode(wordShingles($"toks", 3)).as("shingle"))
-    if (distinctSet) df.distinct() else df
+      .select($"doc_id", array_distinct(wordShingles($"toks", 3)).as("sh"))
   }
 
   /** MinHash signature rows (doc_id, i, mh): mh = lexicographic min of the
-    * i-th keyed md5 over the doc's shingles.
-    *
-    * All K minhashes are computed in ONE pass over the shingle rows (K agg
-    * columns, partial-min map-side) instead of exploding each shingle K
-    * ways — the shuffle carries one 8-column row per doc, and the K× row
-    * inflation never exists. The wide row is then `stack`ed to (doc, i, mh)
-    * band rows for the bucket join, and cached: both sides of the LSH
-    * self-join read the 40k-row signature table, not the shingle pipeline.
+    * i-th keyed md5 over the doc's shingle set — computed as K per-ROW
+    * array folds (`array_min ∘ transform`), NO explode and NO shuffle:
+    * min over the distinct set equals min over the shingle multiset. The
+    * wide row is then `stack`ed to (doc, i, mh) band rows for the bucket
+    * join. Docs too short to have a shingle yield null minima and are
+    * dropped (they can near-dup-match nothing).
     */
-  private def signatures(s: SparkSession, sh: DataFrame): DataFrame = {
+  private def signatures(s: SparkSession, sets: DataFrame): DataFrame = {
     import s.implicits._
-    val mins = (0 until K).map(i => min(keyedMd5(i, $"shingle")).as(s"mh_$i"))
-    val wide = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val mins = (0 until K).map(i =>
+      array_min(transform($"sh", x => keyedMd5(i, x))).as(s"mh_$i"))
+    val wide = sets.select(($"doc_id" +: mins): _*)
     val stackArgs = (0 until K).map(i => s"$i, mh_$i").mkString(", ")
     wide.select($"doc_id", expr(s"stack($K, $stackArgs)").as(Seq("i", "mh")))
+      .where($"mh".isNotNull)
   }
 
   /** Candidate near-dup pairs: docs agreeing on >= minMatch of K single-row
@@ -74,10 +77,10 @@ object DedupQueries {
     * bucket-size cap (drop bands with > N docs — they carry no dedup
     * signal) is the production guard.
     */
-  private def lshCandidates(s: SparkSession, sh: DataFrame, minMatch: Int): DataFrame = {
+  private def lshCandidates(s: SparkSession, sets: DataFrame, minMatch: Int): DataFrame = {
     import s.implicits._
     val bandCount = Window.partitionBy($"i", $"mh")
-    val sig = signatures(s, sh)
+    val sig = signatures(s, sets)
       .withColumn("bc", count(lit(1)).over(bandCount))
       .where($"bc" <= MaxBand)
       .drop("bc")
@@ -91,31 +94,25 @@ object DedupQueries {
   }
 
   /** LSH candidates verified with EXACT word-3-gram Jaccard >= 0.8 — the
-    * production near-dup pair set. ONE scan+explode of documents feeds
-    * everything: the cached DISTINCT shingle set drives the signature stage
-    * too (min over a multiset == min over its distinct set), so the verify
-    * and candidate branches share a single Generate. The verify join is
-    * candidate-driven: shingle sets are joined only for pairs the LSH stage
-    * proposed — at 100 TB this is the difference between
-    * O(candidates · doc_len) and O(n²). Shared by q33 (reports the pairs)
-    * and q36 (closes them into components).
+    * production near-dup pair set. ONE cached per-doc shingle-set table
+    * feeds both branches, and the verify step is candidate-driven ARRAY
+    * INTERSECTION: sets are fetched only for pairs the LSH stage proposed
+    * and intersected per pair — O(candidates · doc_len) with no
+    * shingle-level join, versus O(n²) all-pairs. Shared by q33 (reports
+    * the pairs) and q36 (closes them into components).
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shD = shingles(s, dir, distinctSet = true).cache()
-    val card = shD.groupBy($"doc_id").agg(count(lit(1)).as("c"))
-    val cand = lshCandidates(s, shD, 2)
-    val inter = cand
-      .join(shD.as("sa"), $"a_id" === $"sa.doc_id")
-      .join(shD.as("sb"), $"b_id" === $"sb.doc_id" && $"sb.shingle" === $"sa.shingle")
-      .groupBy($"a_id", $"b_id")
-      .agg(count(lit(1)).as("i"))
-    val jac = ($"i" * lit(1.0)) / ($"ca.c" + $"cb.c" - $"i")
-    inter
-      .join(card.as("ca"), $"a_id" === $"ca.doc_id")
-      .join(card.as("cb"), $"b_id" === $"cb.doc_id")
-      .where(jac >= 0.8)
-      .select($"a_id", $"b_id", jac.as("jac"))
+    val sets = shingleSets(s, dir).cache()
+    val cand = lshCandidates(s, sets, 2)
+    val scored = cand
+      .join(sets.as("da"), $"a_id" === $"da.doc_id")
+      .join(sets.as("db"), $"b_id" === $"db.doc_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"da.sh", $"db.sh")).as("i"),
+        size($"da.sh").as("ca"), size($"db.sh").as("cb"))
+    val jac = ($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i")
+    scored.where(jac >= 0.8).select($"a_id", $"b_id", jac.as("jac"))
   }
 
   /** (doc_id, simhash): `bits`-bit SimHash per document (bits <= 32 — one
@@ -162,7 +159,7 @@ object DedupQueries {
     // Jaccard (n_match / K). minMatch=2 ⇒ est J >= 0.25 candidates.
     "q31_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      lshCandidates(s, shingles(s, dir, distinctSet = false), 2)
+      lshCandidates(s, shingleSets(s, dir), 2)
         .select($"a_id", $"b_id", $"n_match",
           round($"n_match" / lit(K.toDouble), 6).as("est_jaccard"))
         .orderBy($"a_id", $"b_id")

@@ -216,9 +216,11 @@ object TextQueries {
       graft.functions.expressions.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("toks")) // materialize: one split per doc
-        .select($"doc_id", explode(wordShingles($"toks", 5)).as("sh"))
-        .groupBy($"doc_id")
-        .agg(min(md5($"sh".cast("binary"))).as("fingerprint"))
+        // per-row array fold (q55's spelling) — no explode, no per-doc shuffle
+        .select($"doc_id",
+          array_min(transform(wordShingles($"toks", 5), x => md5(x.cast("binary"))))
+            .as("fingerprint"))
+        .where($"fingerprint".isNotNull)
         .groupBy($"fingerprint")
         .agg(count(lit(1)).as("n_docs"),
           min($"doc_id").as("min_doc"),

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * jump that makes rounds O(log diameter) instead of O(diameter). Since
   * comp(x) <= x always, the pointer hop also subsumes keep-own. Labels only
   * ever decrease, so an unchanged label sum is an exact fixpoint test,
-  * evaluated against the round's localCheckpoint (which also cuts lineage
-  * growth across rounds).
+  * evaluated against the round's checkpoint (which also cuts lineage
+  * growth across rounds; reliable when a checkpoint dir is configured,
+  * executor-local otherwise).
   *
   * The fixpoint — every node labeled with the smallest node id reachable
   * from it — is unique, so results are deterministic regardless of join
@@ -38,32 +39,44 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxRounds: Int = 50, unpersistEdges: Boolean = true): DataFrame = {
+    // Per-round materialization: localCheckpoint (blocks on executors) is
+    // the fast default, but losing one executor mid-iteration then fails
+    // the job unrecoverably — on a preemptible cluster that is the WRONG
+    // durability trade. When the session has a reliable checkpoint dir
+    // configured (sc.setCheckpointDir), rounds checkpoint to it instead:
+    // same lineage cut, fault-tolerant blocks, survives executor loss.
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
     // Init fuses the first propagation round: comp0 = min(self, direct
     // neighbors). For the common near-clique components this IS the
     // fixpoint, so the loop's first round is already the stability check.
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
-      .localCheckpoint()
+    var labels = materialize(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("id"), least(col("src"), col("m")).as("comp")))
     var prevSum = Long.MinValue
     var curSum = checksum(labels)
     var round = 0
     while (curSum != prevSum && round < maxRounds) {
-      val next = edges.union(labels.select(col("id").as("src"), col("comp").as("dst")))
-        .join(labels, col("dst") === col("id"))
-        .select(col("src").as("d"), col("comp"))
-        .groupBy(col("d")).agg(min(col("comp")).as("comp"))
-        .select(col("d").as("id"), col("comp"))
-        .localCheckpoint()
+      val next = materialize(
+        edges.union(labels.select(col("id").as("src"), col("comp").as("dst")))
+          .join(labels, col("dst") === col("id"))
+          .select(col("src").as("d"), col("comp"))
+          .groupBy(col("d")).agg(min(col("comp")).as("comp"))
+          .select(col("d").as("id"), col("comp")))
       prevSum = curSum
       curSum = checksum(next)
       labels = next
       round += 1
     }
-    // checkpoint blocks of old rounds are GC-reclaimed either way
+    // checkpoint blocks of old rounds are GC-reclaimed either way; a kept
+    // edge cache is handed to the registry so a batch-boundary releaseAll
+    // still frees it (warm for re-runs, never a leak)
     if (unpersistEdges) edges.unpersist(blocking = false)
+    else CacheRegistry.track(edges)
     labels
   }
 

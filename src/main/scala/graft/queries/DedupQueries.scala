@@ -80,11 +80,12 @@ object DedupQueries {
   private def lshCandidates(s: SparkSession, sets: DataFrame, minMatch: Int): DataFrame = {
     import s.implicits._
     val bandCount = Window.partitionBy($"i", $"mh")
-    val sig = signatures(s, sets)
-      .withColumn("bc", count(lit(1)).over(bandCount))
-      .where($"bc" <= MaxBand)
-      .drop("bc")
-      .cache()
+    val sig = graft.operators.CacheRegistry.track(
+      signatures(s, sets)
+        .withColumn("bc", count(lit(1)).over(bandCount))
+        .where($"bc" <= MaxBand)
+        .drop("bc")
+        .cache())
     sig.as("a").join(sig.as("b"),
         $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
@@ -103,7 +104,7 @@ object DedupQueries {
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sets = shingleSets(s, dir).cache()
+    val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
     val cand = lshCandidates(s, sets, 2)
     val scored = cand
       .join(sets.as("da"), $"a_id" === $"da.doc_id")
@@ -183,7 +184,7 @@ object DedupQueries {
     // (exactly q31's guard). The join is bucket-shaped, never all-pairs.
     "q69_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val f = simhashes(s, dir, bits = 32).cache()
+      val f = graft.operators.CacheRegistry.track(simhashes(s, dir, bits = 32).cache())
       val bands = array((0 until 4).map(j =>
         struct(lit(j).as("band"),
           shiftright($"simhash", 8 * j).bitwiseAND(lit(255L)).as("key"))): _*)

@@ -211,8 +211,12 @@ final class EventLog(
         .partitionBy(grp).orderBy($"timestamp".desc, $"id".desc)
       val kept = part.withColumn("rn", row_number().over(w))
         .where(!isTopic || $"rn" <= maxEvents).drop("rn")
+      // deleted = before − kept, both counted off the SAME cached snapshot:
+      // `before - maxEvents` would assume the rank filter kept exactly
+      // maxEvents rows, which drifts if anything lands between the counts.
+      val keptTopic = kept.where(isTopic).count()
       rewritePartition(partDirName, kept, keepAny = true)
-      before - maxEvents
+      before - keptTopic
     } finally part.unpersist()
   }
 

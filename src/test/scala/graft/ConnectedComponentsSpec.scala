@@ -60,4 +60,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(chain)
     assert(got.values.toSet == Set(0L) && got.size == 64)
   }
+
+  test("reliable checkpoint mode (checkpoint dir set) reaches the same fixpoint") {
+    // With a checkpoint dir configured the rounds use fault-tolerant
+    // checkpoint() instead of executor-local blocks — same answer, blocks
+    // survive executor loss on a preemptible cluster.
+    val sc = spark.sparkContext
+    val dir = tmpDir("cc-ckpt")
+    sc.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 13L), (11L, 12L))
+      assert(run(pairs) == unionFind(pairs))
+      // the rounds actually wrote reliable checkpoints
+      val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
+      val written = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty
+      assert(written, "checkpoint dir should contain round snapshots")
+    } finally {
+      // do not leak the dir into other suites' sessions
+      sc.setCheckpointDir(null)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.dlq
 
-import java.sql.{Connection, DriverManager, SQLException, Timestamp}
+import java.sql.{Connection, SQLException, Timestamp}
 import java.util.Properties
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -43,10 +43,18 @@ final class JdbcDeadLetterQueue(
     p
   }
 
-  private def withConn[T](f: Connection => T): T = {
-    val c = DriverManager.getConnection(url, connProps)
-    try f(c) finally c.close()
-  }
+  /** Pooled driver-side connections — `addEvent` runs on the delivery
+    * failure path per event (reference parity: persistence.ts:253's pool).
+    */
+  private val pool = new graft.sources.ConnectionPool(url, connProps)
+
+  private def withConn[T](f: Connection => T): T = pool.withConnection(f)
+
+  /** Physical connections opened so far (spec observable for reuse). */
+  private[graft] def connectionsOpened: Int = pool.openedCount
+
+  /** Release pooled connections (queue lifecycle end). */
+  def close(): Unit = pool.close()
 
   def initialize(): this.type = {
     def tolerant(c: Connection)(ddl: String): Unit =

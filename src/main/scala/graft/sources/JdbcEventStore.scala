@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.sql.{Connection, DriverManager, SQLException}
+import java.sql.{Connection, SQLException}
 import java.util.Properties
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -61,10 +61,21 @@ final class JdbcEventStore(
     p
   }
 
-  private def withConn[T](f: Connection => T): T = {
-    val c = DriverManager.getConnection(url, connProps)
-    try f(c) finally c.close()
-  }
+  /** Pooled driver-side connections — the publish hot path (`saveEvent`)
+    * must not pay a TCP + auth round trip per event (reference parity:
+    * the 10-connection pool at src/persistence.ts:253). Distributed
+    * reads/writes bypass this: Spark's JDBC source opens per-task
+    * connections on executors.
+    */
+  private val pool = new ConnectionPool(url, connProps)
+
+  private def withConn[T](f: Connection => T): T = pool.withConnection(f)
+
+  /** Physical connections opened so far (spec observable for reuse). */
+  private[graft] def connectionsOpened: Int = pool.openedCount
+
+  /** Release pooled connections (store lifecycle end). */
+  def close(): Unit = pool.close()
 
   /** `CREATE TABLE` + the reference's four indexes; "already exists" is not
     * an error (the reference's `IF NOT EXISTS`, which Derby lacks —

@@ -42,6 +42,26 @@ class JdbcStoreSpec extends SparkSpec {
     assert(back == ev("a1", "t1", 1000))
   }
 
+  test("connection pooling: the publish hot path reuses one connection (persistence.ts:253)") {
+    val store = new JdbcEventStore(spark, freshUrl()).initialize()
+    val afterInit = store.connectionsOpened
+    (1 to 50).foreach(i => store.saveEvent(ev(s"p$i", "pool-topic", 1000L + i)))
+    // 50 INSERTs must NOT open 50 connections: initialize's connection is
+    // returned to the pool and every save borrows it back.
+    assert(store.connectionsOpened == afterInit,
+      s"expected 0 new connections for 50 saves, got ${store.connectionsOpened - afterInit}")
+    assert(store.getEvents("pool-topic").size == 50)
+    store.close()
+
+    // the DLQ shares the same pool discipline on its failure hot path
+    val q = new JdbcDeadLetterQueue(spark, freshUrl()).initialize()
+    val qAfterInit = q.connectionsOpened
+    (1 to 20).foreach(i => q.addEvent(ev(s"d$i", "t", 1000L + i), "boom", "sub-1"))
+    assert(q.connectionsOpened == qAfterInit)
+    assert(q.getEvents(None, None, None).size == 20)
+    q.close()
+  }
+
   test("predicate pushdown: topic/timestamp/type filters reach the JDBC scan") {
     val store = new JdbcEventStore(spark, freshUrl()).initialize()
     store.saveEvent(ev("a1", "t1", 1000))

@@ -55,9 +55,12 @@ object MultimodalQueries {
     }),
 
     // Batched decode through MediaPipeline.mapPartitions (the real
-    // multimodal plumbing) rolled up per kind. Not SQL-expressible (the
-    // decode stub is imperative) → no oracle; the driver records a
-    // rows-only check, and MultimodalSpec pins the decode law.
+    // multimodal plumbing) rolled up per kind — the DETERMINISTIC half of
+    // the decode contract: n_bytes/width/height are pure functions of the
+    // payload's byte length (MediaPipeline.decodeStub's documented law),
+    // so even though the Spark side runs the imperative mapPartitions
+    // decoder, DuckDB can recompute the same rollup from octet_length —
+    // the oracle verifies the decode plumbing end-to-end.
     "q62_media_features" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.MediaPipeline
@@ -68,7 +71,24 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n"),
           sum($"n_bytes").as("total_bytes"),
           round(avg($"width"), 6).as("avg_width"),
-          round(avg(element_at($"features", 1)), 6).as("avg_f0"))
+          round(avg($"height"), 6).as("avg_height"))
+        .orderBy($"kind")
+    }),
+
+    // The STUB-dependent half: feature-vector statistics through the same
+    // decode path. The byte-histogram features are an imperative stand-in
+    // for a real codec (no codec libs in this container) → no oracle; the
+    // driver records a rows-only check and MultimodalSpec pins the law.
+    "q72_media_feature_hist" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaPipeline
+      val feats = MediaPipeline.decode(
+        MediaPipeline.assetsFromDocuments(Tables.documents(s, dir)))
+      feats.toDF()
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"),
+          round(avg(element_at($"features", 1)), 6).as("avg_f0"),
+          round(avg(element_at($"features", 2)), 6).as("avg_f1"))
         .orderBy($"kind")
     })
   )
@@ -87,6 +107,18 @@ object MultimodalQueries {
          |      FROM v, unnest(range(CAST(floor((octet_length(text::BLOB) - 1) / $FrameStride.0) AS BIGINT) + 1)) AS u(j))
          |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
          |  md5(substr(text, CAST(frame_no * $FrameStride + 1 AS INT), $FrameBytes)) AS frame_md5
-         |FROM f ORDER BY doc_id, frame_no""".stripMargin
+         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    // decodeStub's metadata law (MediaPipeline.scala): n_bytes = len,
+    // width = 16 + len % 64, height = 16 + (len / 64) % 64 — recomputed
+    // from octet_length; `//` is DuckDB integer floor division, matching
+    // Java int division on the non-negative lengths here.
+    "q62_media_features" ->
+      """SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n,
+        |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+        |  round(avg(16 + octet_length(text::BLOB) % 64), 6) AS avg_width,
+        |  round(avg(16 + (octet_length(text::BLOB) // 64) % 64), 6) AS avg_height
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
   )
 }

@@ -45,15 +45,43 @@ object VectorFunctions {
     * collide for directionally-close vectors; near-neighbor search then
     * probes only the query's bucket.
     *
-    * The planes are pseudo-Hadamard: `s_p[d] = +1 if bit p of d is 0 else
-    * -1` — fully deterministic and embeddable as a literal in oracle SQL.
+    * The planes are Walsh functions: `s_p[d] = (-1)^popcount(d & (p+1))` —
+    * mutually orthogonal ±1 vectors, distinct for every `p < dim - 1`,
+    * fully deterministic and embeddable as literals in oracle SQL. (The
+    * first two coincide with single-bit sign masks; higher planes mix bits
+    * so the family never degenerates when planes scale past log2(dim).)
     */
-  def hyperplaneSigns(plane: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(d => if (((d >> plane) & 1) == 0) 1.0 else -1.0)
+  def hyperplaneSigns(plane: Int, dim: Int): Seq[Double] = {
+    require(plane < dim - 1, s"only ${dim - 1} distinct Walsh planes exist at dim $dim")
+    (0 until dim).map(d =>
+      if (java.lang.Integer.bitCount(d & (plane + 1)) % 2 == 0) 1.0 else -1.0)
+  }
 
   def lshBucket(v: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
       val s = typedLit(hyperplaneSigns(p, dim))
       when(dot(v, s) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** How many LSH blocking planes a corpus of `n` vectors needs: the
+    * smallest p in [floorPlanes, cap] with expected cell size n / 2^p at
+    * most `targetCell`. This is the scale dial that keeps blocked
+    * self-joins linear: within a FIXED cell count, pair work grows
+    * quadratically with corpus size; growing planes with log(n) pins the
+    * expected cell — and so the per-row pair work — constant. Spelled as
+    * integer threshold comparisons (not a float log2) so the DuckDB oracle
+    * ladder is bit-identical at every boundary.
+    */
+  def blockPlanesFor(n: Long, targetCell: Long = 256L, floorPlanes: Int = 2,
+      cap: Int = 8): Int =
+    floorPlanes + (floorPlanes until cap).count(p => n > (targetCell << p))
+
+  /** The SQL spelling of [[blockPlanesFor]] over `SELECT count(*) c` —
+    * generated from the same constants so both engines choose the same
+    * plane count for the same data.
+    */
+  def blockPlanesSql(countCol: String, targetCell: Long = 256L,
+      floorPlanes: Int = 2, cap: Int = 8): String =
+    s"$floorPlanes" + (floorPlanes until cap).map(p =>
+      s" + (CASE WHEN $countCol > ${targetCell << p} THEN 1 ELSE 0 END)").mkString
 }

@@ -124,31 +124,35 @@ object MediaPipeline {
     }.toDF("media_id", "frame_no", "frame_md5")
   }
 
-  /** Coarse LSH planes for the near-dup blocking key: 2 planes → 4 buckets
-    * per kind. The composite (kind, bucket) key bounds the self-join pair
-    * space by cell size instead of O(n²/kinds). This is standard LSH
-    * RECALL trading: bit-identical features always share a bucket, but a
-    * near-dup pair whose projections straddle a hyperplane is missed by
-    * that plane — production raises recall with multiple hash tables or
-    * multi-probe, never by falling back to all-pairs.
-    */
-  private val BlockPlanes = 2
-
   /** CANDIDATE near-duplicate media by feature cosine within (kind, LSH
     * bucket) — reuses the similarity surface over decoded features:
     * multimodal dedup is embedding dedup after decode. The join key is an
     * equality on the composite block, so Catalyst plans a hash/sort-merge
     * join (never a cross product), and the pair space stays linear in
-    * corpus size; recall is bounded by the blocking (see [[BlockPlanes]]).
+    * corpus size.
+    *
+    * `blockPlanes` defaults from the corpus size
+    * ([[graft.functions.VectorFunctions.blockPlanesFor]], one count() of
+    * the feature table): each plane halves the expected (kind, bucket)
+    * cell, so planes grow with log2(n) and the pair space never goes
+    * quadratic within a fixed cell grid. This is standard LSH RECALL
+    * trading: bit-identical features always share a bucket, but a
+    * near-dup pair whose projections straddle a hyperplane is missed by
+    * that plane — production raises recall with multiple hash tables or
+    * multi-probe, never by falling back to all-pairs. Pass an explicit
+    * value to pin recall (or to skip the sizing count on a re-used table).
     */
-  def nearDupCandidates(features: Dataset[MediaFeatures], threshold: Double): DataFrame = {
+  def nearDupCandidates(features: Dataset[MediaFeatures], threshold: Double,
+      blockPlanes: Option[Int] = None): DataFrame = {
     import features.sparkSession.implicits._
     graft.functions.expressions.GraftFunctions.register(features.sparkSession)
+    val planes = blockPlanes.getOrElse(
+      graft.functions.VectorFunctions.blockPlanesFor(features.count()))
     val f = features.toDF()
       .select($"media_id", $"kind", $"features".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot($"v", $"v")))
       .withColumn("bucket",
-        graft.functions.VectorFunctions.lshBucket($"v", BlockPlanes, FeatureDim))
+        graft.functions.VectorFunctions.lshBucket($"v", planes, FeatureDim))
     f.as("a").join(f.as("b"),
         $"a.kind" === $"b.kind" && $"a.bucket" === $"b.bucket" &&
           $"a.media_id" < $"b.media_id")

@@ -34,6 +34,21 @@ object DedupQueries {
     */
   private val MaxBand = 100
 
+  /** Bands for SimHash near-dup pairing: hamming <= bands-1 is pigeonhole-
+    * complete, so 4 bands exactly cover the <= 3 threshold.
+    */
+  private val SimhashBands = 4
+
+  /** SimHash band width for a corpus of `n` docs: the smallest w in
+    * [8, 15] whose expected band bucket n / 2^w is at most [[MaxBand]] —
+    * the same log-scaling dial as MinHash banding and q34's blocking
+    * planes, spelled as integer thresholds so the oracle ladder matches
+    * bit-for-bit. Width 15 (60-bit prints) carries ~3M docs; past that a
+    * third digest would extend the family (documented, not needed here).
+    */
+  private def simhashWidthFor(n: Long): Int =
+    8 + (8 until 15).count(w => n > (MaxBand.toLong << w))
+
   /** Per-doc DISTINCT word-3-gram SET as an array column — the narrow
     * representation every minhash stage shares: signatures become per-row
     * array folds and exact-Jaccard verification becomes per-pair array
@@ -128,12 +143,26 @@ object DedupQueries {
     */
   private def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
     import s.implicits._
-    require(bits <= 32, "one md5 hex digit per bit")
-    val words = Tables.documents(s, dir)
-      .select($"doc_id",
-        explode(transform(tokens($"text"), t => md5(t.cast("binary")))).as("h"))
+    // bit b < 32 reads hex digit b of md5(token); b >= 32 reads digit b-32
+    // of a second keyed digest md5('1:' || token) — fingerprints extend to
+    // 60 bits (beyond risks the BIGINT sign) while the common <= 32-bit
+    // path still pays exactly one digest per token.
+    require(bits <= 60, "two md5 digests give 60 usable sign-safe bits")
+    val docs = Tables.documents(s, dir)
+    val words =
+      if (bits <= 32)
+        docs.select($"doc_id",
+          explode(transform(tokens($"text"), t => md5(t.cast("binary")))).as("h"))
+      else
+        docs.select($"doc_id",
+          explode(transform(tokens($"text"), t => struct(
+            md5(t.cast("binary")).as("h"),
+            md5(concat(lit("1:"), t).cast("binary")).as("h2")))).as("hh"))
+          .select($"doc_id", $"hh.h".as("h"), $"hh.h2".as("h2"))
+    def digit(b: Int) =
+      if (b < 32) substring($"h", b + 1, 1) else substring($"h2", b - 31, 1)
     val sumCols = (0 until bits).map(b =>
-      sum(when(substring($"h", b + 1, 1) >= "8", lit(1)).otherwise(lit(-1))).as(s"s_$b"))
+      sum(when(digit(b) >= "8", lit(1)).otherwise(lit(-1))).as(s"s_$b"))
     val sums = words.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
     val simhash = (0 until bits)
       .map(b => when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
@@ -173,21 +202,28 @@ object DedupQueries {
       simhashes(s, dir).orderBy(col("doc_id"))),
 
     // SimHash near-dup pairing — the q31→q33 completion for the SimHash
-    // path: 32-bit fingerprints, 4 bands × 8 bits; by pigeonhole, any pair
-    // within hamming 3 agrees on at least one clean band, so the
-    // band-equality self-join is a complete candidate generator for the
-    // <=3 threshold. Candidates are verified with an exact
-    // popcount-of-xor. Band width tunes with corpus size exactly like
-    // MinHash bands, and the same MaxBand skew cap applies: a band bucket
-    // holding >MaxBand docs is a degenerate "everything hashes alike"
-    // cell — all pair-combinatorics, no dedup signal — and is dropped
-    // (exactly q31's guard). The join is bucket-shaped, never all-pairs.
+    // path: 4 bands of `width` bits; by pigeonhole, any pair within
+    // hamming 3 agrees on at least one clean band, so the band-equality
+    // self-join is a complete candidate generator for the <=3 threshold.
+    // Candidates are verified with an exact popcount-of-xor. Band width is
+    // NOT a constant: it ladders up with corpus size (simhashWidthFor) so
+    // the expected band bucket n/2^width stays at most MaxBand — within a
+    // fixed 256-bucket grid, pair work would grow quadratically with the
+    // corpus; widening bands with log2(n) (fingerprints stretch to a
+    // second keyed digest past 32 bits) pins it linear. The MaxBand skew
+    // cap still applies on top: a bucket holding >MaxBand docs is a
+    // degenerate "everything hashes alike" cell — all pair-combinatorics,
+    // no dedup signal — and is dropped (exactly q31's guard). The join is
+    // bucket-shaped, never all-pairs.
     "q69_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val f = graft.operators.CacheRegistry.track(simhashes(s, dir, bits = 32).cache())
-      val bands = array((0 until 4).map(j =>
+      val width = simhashWidthFor(Tables.documents(s, dir).count())
+      val f = graft.operators.CacheRegistry.track(
+        simhashes(s, dir, bits = SimhashBands * width).cache())
+      val mask = (1L << width) - 1
+      val bands = array((0 until SimhashBands).map(j =>
         struct(lit(j).as("band"),
-          shiftright($"simhash", 8 * j).bitwiseAND(lit(255L)).as("key"))): _*)
+          shiftright($"simhash", width * j).bitwiseAND(lit(mask)).as("key"))): _*)
       val wBand = Window.partitionBy($"band", $"key")
       val banded = f.select($"doc_id", $"simhash", explode(bands).as("b"))
         .select($"doc_id", $"simhash", $"b.band".as("band"), $"b.key".as("key"))
@@ -284,14 +320,29 @@ object DedupQueries {
            |    $simhashSums
            |  FROM w GROUP BY doc_id)
            |SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin,
-      "q69_simhash_neardup" ->
-        s"""WITH w AS (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) h FROM documents),
+      "q69_simhash_neardup" -> {
+        // Data-parametric mirror of the Spark side: width from the same
+        // integer ladder over count(*), bits = 4*width, bit b < 32 from
+        // md5(word), b >= 32 from the keyed second digest md5('1:'||word).
+        // All 60 sums are computed and the value MASKS to the chosen bits.
+        val sums60 = (0 until 60).map { b =>
+          val src = if (b < 32) s"substr(h, ${b + 1}, 1)" else s"substr(h2, ${b - 31}, 1)"
+          s"sum(CASE WHEN $src >= '8' THEN 1 ELSE -1 END) s_$b"
+        }.mkString(",\n    ")
+        val maskedVal = (0 until 60).map(b =>
+          s"(CASE WHEN $b < $SimhashBands * width THEN (CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END) ELSE 0 END)")
+          .mkString(" + ")
+        val widthLadder = "8" + (8 until 15).map(w =>
+          s" + (CASE WHEN c > ${MaxBand.toLong << w} THEN 1 ELSE 0 END)").mkString
+        s"""WITH ww AS (SELECT $widthLadder AS width FROM (SELECT count(*) c FROM documents) cnt),
+           |wd AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) w FROM documents),
+           |wh AS (SELECT doc_id, md5(w) h, md5('1:' || w) h2 FROM wd),
            |s AS (SELECT doc_id,
-           |    ${simhashSumsFor(32)}
-           |  FROM w GROUP BY doc_id),
-           |f AS (SELECT doc_id, CAST(${simhashValFor(32)} AS BIGINT) AS sh FROM s),
-           |b0 AS (SELECT doc_id, sh, j, (sh >> (8 * j)) & 255 AS key
-           |       FROM f, unnest(range(4)) AS u(j)),
+           |    $sums60
+           |  FROM wh GROUP BY doc_id),
+           |f AS (SELECT doc_id, CAST($maskedVal AS BIGINT) AS sh FROM s, ww),
+           |b0 AS (SELECT doc_id, sh, j, (sh >> (width * j)) & ((1::BIGINT << width) - 1) AS key
+           |       FROM f, unnest(range($SimhashBands)) AS u(j), ww),
            |b AS (SELECT doc_id, sh, j, key FROM (
            |       SELECT *, count(*) OVER (PARTITION BY j, key) bc FROM b0) WHERE bc <= $MaxBand),
            |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id,
@@ -299,7 +350,8 @@ object DedupQueries {
            |         FROM b x JOIN b y ON x.j = y.j AND x.key = y.key
            |           AND x.doc_id < y.doc_id)
            |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
-           |ORDER BY a_id, b_id""".stripMargin,
+           |ORDER BY a_id, b_id""".stripMargin
+      },
       "q33_lsh_jaccard" ->
         s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
            |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle

@@ -29,14 +29,17 @@ object SimilarityQueries {
   private val NQueries = 10 // vec_id < 10 are the query set
   private val TopK = 10
 
-  /** Coarse bucket width for q34's near-dup blocking: 2 planes → 4 buckets.
-    * Composite (label, bucket) blocking bounds the self-join pair space by
-    * cell size — at N× data the pair count grows N×, not N² (each plane
-    * roughly halves a cell; production tunes planes up with corpus size).
-    * Coarser than the ANN path's 6 planes because a dup REPORT wants recall:
-    * with 64 buckets most vectors here would sit alone in their cell.
+  /** q34's blocking planes are NOT a constant: they are derived from the
+    * corpus size ([[graft.functions.VectorFunctions.blockPlanesFor]]) so
+    * the expected (label, bucket) cell stays bounded as data grows — each
+    * plane roughly halves a cell, so planes grow with log2(n) and the
+    * blocked self-join's pair space stays linear in corpus size. The
+    * oracle evaluates the SAME integer threshold ladder over count(*), so
+    * both engines pick the same plane count at every scale. Coarser than
+    * the ANN path's 6 planes at test scale because a dup REPORT wants
+    * recall: with 64 buckets most vectors would sit alone in their cell.
     */
-  private val BlockPlanes = 2
+  private val BlockPlanesCap = 8
 
   /** Lloyd update steps for q44's k-means quantizer (init = label means). */
   private val KMeansIters = 2
@@ -191,8 +194,9 @@ object SimilarityQueries {
     "q34_embedding_nn" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
+      val planes = blockPlanesFor(Tables.embeddings(s, dir).count())
       val e = normalized(s, dir)
-        .withColumn("bucket", lshBucket($"v", BlockPlanes, Dim))
+        .withColumn("bucket", lshBucket($"v", planes, Dim))
       val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
       e.as("a").join(e.as("b"),
           $"a.label" === $"b.label" && $"a.bucket" === $"b.bucket" &&
@@ -213,6 +217,12 @@ object SimilarityQueries {
       hyperplaneSigns(p, Dim).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     def bucketExprFor(planes: Int): String = (0 until planes)
       .map(p => s"(CASE WHEN list_dot_product(v, ${signList(p)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    // Data-parametric bucket: plane p contributes only when p < planes,
+    // where `planes` comes from the count(*) ladder CTE — the SQL mirror
+    // of lshBucket(v, blockPlanesFor(n), dim).
+    def ladderBucketExpr(cap: Int): String = (0 until cap)
+      .map(p => s"(CASE WHEN $p < planes THEN (CASE WHEN list_dot_product(v, ${signList(p)}::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END) ELSE 0 END)")
       .mkString(" + ")
     val bucketExpr = bucketExprFor(Planes)
     val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -294,8 +304,9 @@ object SimilarityQueries {
            |ORDER BY q_id, rk""".stripMargin
       },
       "q34_embedding_nn" ->
-        s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
-           |e AS (SELECT vec_id, label, v, ${bucketExprFor(BlockPlanes)} AS bucket FROM e0),
+        s"""WITH nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
+           |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |e AS (SELECT vec_id, label, v, ${ladderBucketExpr(BlockPlanesCap)} AS bucket FROM e0, nn),
            |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $cos cos
            |      FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
            |        AND a.vec_id <> b.vec_id),

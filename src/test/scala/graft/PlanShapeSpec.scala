@@ -30,4 +30,36 @@ class PlanShapeSpec extends SparkSpec {
   test("star join broadcasts its dimension tables") {
     assert(plan("q12_star_nation_revenue").contains("BroadcastHashJoin"))
   }
+
+  test("blocking-cell counts scale with corpus size: expected cell stays bounded") {
+    import graft.functions.VectorFunctions.blockPlanesFor
+    // Law: for any corpus up to the cap's reach, the chosen plane count
+    // keeps the EXPECTED cell n / 2^p at or below the target — the bound
+    // that keeps blocked self-join pair work linear in n.
+    val target = 256L
+    for (n <- Seq(1L, 100L, 500L, 1024L, 1025L, 5000L, 20000L, 65536L)) {
+      val p = blockPlanesFor(n, target)
+      assert(n >> p <= target, s"n=$n planes=$p leaves cell ${n >> p} > $target")
+      assert(p >= 2 && p <= 8)
+    }
+    // monotone: more data never means fewer planes
+    val seq = (1 to 20).map(i => blockPlanesFor(i * 5000L, target))
+    assert(seq == seq.sorted)
+    // the test scales pin the concrete choices the oracles replay
+    assert(blockPlanesFor(500L) == 2)   // sf0.01 embeddings
+    assert(blockPlanesFor(5000L) == 5)  // sf0.1 embeddings
+  }
+
+  test("candidate pair space is linear: per-band buckets capped at MaxBand") {
+    // The MaxBand guard bounds every band bucket, so candidate pairs per
+    // doc per band never exceed MaxBand — total candidates <= bands * n *
+    // MaxBand, never O(n^2). Asserted empirically on the LSH and SimHash
+    // candidate generators.
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    val lshPairs = SparkEntry.queries("q31_minhash_lsh")(spark, dir).count()
+    assert(lshPairs <= 8 * nDocs * 100, s"$lshPairs LSH pairs exceeds the band-cap bound")
+    val shPairs = SparkEntry.queries("q69_simhash_neardup")(spark, dir).count()
+    assert(shPairs <= 4 * nDocs * 100, s"$shPairs simhash pairs exceeds the band-cap bound")
+    graft.operators.CacheRegistry.releaseAll()
+  }
 }

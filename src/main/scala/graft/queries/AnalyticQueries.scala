@@ -136,6 +136,53 @@ object AnalyticQueries {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
+    // Correlated EXISTS → left-semi join (TPC-H Q4 shape): orders with at
+    // least one lineitem shipped more than 30 days after the order date.
+    // The correlation is an equi-key plus a cross-table date residual, so
+    // Catalyst plans ONE hash left-semi join on o_orderkey with the date
+    // predicate as join residual — each side scanned once, no per-row
+    // subquery re-execution, and the semi join short-circuits on first
+    // match instead of materializing the multiplicity.
+    "q25_late_orders" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Explicit GROUPING SETS with grouping indicators — the general form
+    // of q18/q26's rollup/cube: (segment, priority), (segment), () in ONE
+    // Expand pass, each output row tagged with which dimensions it
+    // aggregates away. Pre-aggregated to the base grain first so Expand
+    // multiplies |groups| rows, not the fact table (q18's scale reasoning).
+    "q29_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val base = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select($"c_mktsegment".as("segment"), $"o_orderpriority".as("priority"),
+          $"o_totalprice")
+        .groupBy($"segment", $"priority")
+        .agg(count(lit(1)).as("pn"), sum($"o_totalprice".cast(dec)).as("ps"))
+      base.groupingSets(
+          Seq(Seq($"segment", $"priority"), Seq($"segment"), Seq.empty),
+          $"segment", $"priority")
+        .agg(sum($"pn").as("n"),
+          round(sum($"ps").cast("double"), 2).as("revenue"),
+          grouping($"segment").cast("int").as("g_seg"),
+          grouping($"priority").cast("int").as("g_pri"))
+        .orderBy($"g_seg", $"g_pri",
+          $"segment".asc_nulls_first, $"priority".asc_nulls_first)
+    }),
+
     // Set operation: customers active in 1995 but not 1996 (EXCEPT ≡ anti).
     "q19_except_custkeys" -> ((s, dir) => {
       import s.implicits._
@@ -241,6 +288,24 @@ object AnalyticQueries {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q25_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q29_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT segment, priority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        |  CAST(grouping(segment) AS INT) AS g_seg,
+        |  CAST(grouping(priority) AS INT) AS g_pri
+        |FROM base
+        |GROUP BY GROUPING SETS ((segment, priority), (segment), ())
+        |ORDER BY g_seg, g_pri, segment NULLS FIRST, priority NULLS FIRST""".stripMargin,
     "q19_except_custkeys" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT

@@ -191,6 +191,28 @@ object SimilarityQueries {
     // the composite key keeps the cell — and so the pair space — bounded.
     // On this corpus no pair exceeds cosine 0.48 — the report IS the
     // evidence there are no embedding-level dups.
+    // Embedding-cosine near-dup PAIRS: every blocked pair at or above the
+    // dup threshold (q34 reports each vector's single nearest neighbor;
+    // dedup wants the full pair set to close into groups). Same
+    // corpus-scaled (label, bucket) blocking — the threshold filter runs
+    // inside the bucket join, so the pair space is the blocking cells',
+    // never O(n²).
+    "q73_cosine_dup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val planes = blockPlanesFor(Tables.embeddings(s, dir).count())
+      val e = normalized(s, dir)
+        .withColumn("bucket", lshBucket($"v", planes, Dim))
+      e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.bucket" === $"b.bucket" &&
+            $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+        .where($"cos" >= 0.35)
+        .select($"a_id", $"b_id", round($"cos", 6).as("cosine"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     "q34_embedding_nn" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -303,6 +325,15 @@ object SimilarityQueries {
            |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
            |ORDER BY q_id, rk""".stripMargin
       },
+      "q73_cosine_dup_pairs" ->
+        s"""WITH nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
+           |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |e AS (SELECT vec_id, label, v, ${ladderBucketExpr(BlockPlanesCap)} AS bucket FROM e0, nn),
+           |p AS (SELECT a.vec_id a_id, b.vec_id b_id, $cos cos
+           |      FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+           |        AND a.vec_id < b.vec_id)
+           |SELECT a_id, b_id, round(cos, 6) AS cosine FROM p WHERE cos >= 0.35
+           |ORDER BY a_id, b_id""".stripMargin,
       "q34_embedding_nn" ->
         s"""WITH nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
            |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),

@@ -188,6 +188,23 @@ object TextQueries {
     // model table a classic lang-ID/perplexity scorer trains. Top-3
     // continuations of the 5 most frequent head words; counts are exact
     // integers so the conditional probabilities divide identically.
+    // Corpus length profile: 100-char buckets with doc counts, token
+    // averages and language spread — the first diagnostic a curation pass
+    // runs over a new crawl. Narrow per-row math and one small shuffle;
+    // `/` is true division in both engines, so floor(n/100) needs no
+    // integer-division caveat.
+    "q74_length_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(floor($"n_chars" / 100).cast("int").as("len_bucket"),
+          size(tokens($"text")).as("ws_toks"), $"lang")
+        .groupBy($"len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"ws_toks") * lit(1.0) / count(lit(1)), 6).as("avg_ws_toks"),
+          countDistinct($"lang").as("n_langs"))
+        .orderBy($"len_bucket")
+    }),
+
     "q57_bigram_lm" -> ((s, dir) => {
       import s.implicits._
       graft.functions.expressions.GraftFunctions.register(s)
@@ -424,6 +441,14 @@ object TextQueries {
           |        FROM documents))
           |SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc
           |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+      "q74_length_histogram" ->
+        """WITH d AS (SELECT CAST(floor(n_chars / 100) AS INT) len_bucket,
+          |    len(string_split_regex(trim(text), '\s+')) ws_toks, lang
+          |  FROM documents)
+          |SELECT len_bucket, count(*) AS n_docs,
+          |  round(sum(ws_toks) * 1.0 / count(*), 6) AS avg_ws_toks,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          |FROM d GROUP BY 1 ORDER BY len_bucket""".stripMargin,
       "q57_bigram_lm" ->
         """WITH t AS (SELECT string_split_regex(trim(text), '\s+') toks FROM documents),
           |bg AS (SELECT toks[j+1] w1, toks[j+2] w2

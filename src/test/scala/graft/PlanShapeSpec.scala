@@ -31,6 +31,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q12_star_nation_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("correlated EXISTS plans as a single hash left-semi join") {
+    val p = plan("q25_late_orders")
+    assert(p.contains("LeftSemi"), "EXISTS should decorrelate to a left-semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the date residual must ride the equi-join, not force a nested loop")
+  }
+
   test("blocking-cell counts scale with corpus size: expected cell stays bounded") {
     import graft.functions.VectorFunctions.blockPlanesFor
     // Law: for any corpus up to the cap's reach, the chosen plane count

@@ -152,7 +152,10 @@ object SimilarityQueries {
     "q44_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
-      val e = normalized(s, dir)
+      // cached: the corpus is re-read by every Lloyd assign step and the
+      // final cell build — one scan + one in-memory projection instead of
+      // 2·iters + 2 parquet scans (registry-released at batch boundaries)
+      val e = graft.operators.CacheRegistry.track(normalized(s, dir).cache())
       // component-wise means of `v` per `cl`, rounded — one k-means update
       def centroidsOf(assigned: DataFrame): DataFrame =
         assigned.select($"cl", posexplode($"v"))

@@ -272,10 +272,44 @@ object ExtendedQueries {
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_q"))
         .select($"approx_orders", $"approx_parts",
           $"price_q" (0).as("p50"), $"price_q" (1).as("p95"), $"price_q" (2).as("p99"))
+    }),
+
+    // Correlated scalar subquery, decorrelated by hand into the join
+    // Catalyst itself would rewrite it to: customers above their nation's
+    // average balance. The per-nation average table is nation-sized —
+    // broadcast — so the fact side never shuffles; the oracle keeps the
+    // correlated spelling to pin the semantics.
+    "q78_above_nation_avg" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      // bal > avg spelled as bal·n > sum with a DECIMAL sum: exact on both
+      // engines, immune to double-summation-order ulp flips at the boundary
+      val navg = c.groupBy($"c_nationkey")
+        .agg(sum($"c_acctbal".cast(dec)).as("bal_sum"),
+          count(lit(1)).as("bal_n"))
+      c.join(broadcast(navg), "c_nationkey")
+        .where($"c_acctbal".cast(dec) * $"bal_n" > $"bal_sum")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_above"),
+          round(max($"c_acctbal"), 2).as("max_bal"),
+          round(min($"bal_sum").cast("double") / min($"bal_n"), 6).as("nation_avg"))
+        .orderBy($"c_nationkey")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q78_above_nation_avg" ->
+      """SELECT c_nationkey, count(*) AS n_above,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  round(CAST(min(bal_sum) AS DOUBLE) / min(bal_n), 6) AS nation_avg
+        |FROM (SELECT c.*,
+        |        (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        |         WHERE c2.c_nationkey = c.c_nationkey) AS bal_sum,
+        |        (SELECT count(*) FROM customer c2
+        |         WHERE c2.c_nationkey = c.c_nationkey) AS bal_n
+        |      FROM customer c)
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q23_sliding_window" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,

@@ -330,6 +330,83 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // PII scrubbing — the redaction pass a web corpus takes before
+    // training: regex-count emails/phone numbers per doc, replace them
+    // with placeholder tags, and report per-language exposure. The corpus
+    // fixture is digit-free synthetic soup, so the PII is injected
+    // deterministically from doc_id first (same arithmetic in the oracle)
+    // — the redaction law itself is the thing under test. Pure per-row
+    // regex math (codegen'd RegExpReplace/RegExpCount), one small rollup;
+    // at 100 TB this is a single narrow scan.
+    "q75_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+      val withPii = Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          concat($"text",
+            when($"doc_id" % 7 === 0,
+              concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+              .otherwise(lit("")),
+            when($"doc_id" % 11 === 0,
+              concat(lit(" tel 555-"),
+                lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+                lit("-1234")))
+              .otherwise(lit(""))).as("text"))
+      val scrubbed = withPii.select($"doc_id", $"lang",
+        regexp_count($"text", lit(emailPat)).as("n_emails"),
+        regexp_count($"text", lit(phonePat)).as("n_phones"),
+        (length($"text") - length(
+          regexp_replace(regexp_replace($"text", emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]"))).as("chars_redacted"))
+      scrubbed.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_emails" + $"n_phones" > 0, 1).otherwise(0)).as("docs_with_pii"),
+          sum($"n_emails").as("total_emails"),
+          sum($"n_phones").as("total_phones"),
+          sum($"chars_redacted").as("total_chars_redacted"))
+        .orderBy($"lang")
+    }),
+
+    // Stratified sampling — a fixed-size deterministic sample per
+    // (lang, source) stratum: rank docs inside each stratum by the md5
+    // percentile law and keep the first k. The shape a curation pipeline
+    // uses to build balanced eval slices. One shuffle on the stratum key;
+    // stratum cardinality (not corpus size) bounds the window state, so
+    // the plan is unchanged at 100 TB.
+    "q76_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5
+      val hk = md5(concat(lit("strat:"), $"doc_id".cast("string")).cast("binary"))
+      val w = Window.partitionBy($"lang", $"source").orderBy($"hkey", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", hk.as("hkey"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= k)
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_kept"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"),
+          min($"hkey").as("first_key"))
+        .orderBy($"lang", $"source")
+    }),
+
+    // Corpus profile unpivot — melt the per-language rollup into tall
+    // (lang, metric, value) form, the shape metric stores and plotting
+    // layers ingest. Spark's native `unpivot` (Expand, one pass, no
+    // join); the oracle spells the same relation as UNION ALL.
+    "q77_profile_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          countDistinct($"source").as("n_sources"))
+        .unpivot(Array($"lang"), Array($"n_docs", $"total_chars", $"n_sources"),
+          "metric", "value")
+        .orderBy($"lang", $"metric")
+    }),
+
     // Deterministic mixture sampling — rebalance an English-heavy corpus
     // with per-language keep rates applied via a portable md5 percentile
     // (the same salt-keyed split trick as q56, so membership is stable
@@ -511,6 +588,47 @@ object TextQueries {
           |  FROM s)
           |SELECT shard, bin, count(*) n_docs, CAST(sum(toks) AS BIGINT) bin_toks, min(doc_id) first_doc
           |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+      "q75_pii_scrub" ->
+        """WITH aug AS (SELECT doc_id, lang,
+          |    text ||
+          |    CASE WHEN doc_id % 7 = 0
+          |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          |         ELSE '' END ||
+          |    CASE WHEN doc_id % 11 = 0
+          |         THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234'
+          |         ELSE '' END AS text
+          |  FROM documents),
+          |s AS (SELECT doc_id, lang,
+          |    len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) n_emails,
+          |    len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) n_phones,
+          |    len(text) - len(
+          |      regexp_replace(
+          |        regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+          |        '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) chars_redacted
+          |  FROM aug)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+          |  CAST(sum(n_emails) AS BIGINT) AS total_emails,
+          |  CAST(sum(n_phones) AS BIGINT) AS total_phones,
+          |  CAST(sum(chars_redacted) AS BIGINT) AS total_chars_redacted
+          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+      "q76_stratified_sample" ->
+        """WITH d AS (SELECT doc_id, lang, source,
+          |    md5('strat:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY hkey, doc_id) rk FROM d)
+          |SELECT lang, source, count(*) AS n_kept,
+          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc, min(hkey) AS first_key
+          |FROM r WHERE rk <= 5 GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+      "q77_profile_unpivot" ->
+        """WITH p AS (SELECT lang, count(*) n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) total_chars,
+          |    count(DISTINCT source) n_sources
+          |  FROM documents GROUP BY 1)
+          |SELECT lang, metric, value FROM (
+          |  SELECT lang, 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM p
+          |  UNION ALL SELECT lang, 'total_chars', total_chars FROM p
+          |  UNION ALL SELECT lang, 'n_sources', CAST(n_sources AS BIGINT) FROM p)
+          |ORDER BY lang, metric""".stripMargin,
       "q67_mixture_sample" ->
         s"""WITH p AS (SELECT doc_id, lang,
           |    ${md5PctSql("mix:")} AS pct,

@@ -44,6 +44,73 @@ object SimilarityQueries {
   /** Lloyd update steps for q44's k-means quantizer (init = label means). */
   private val KMeansIters = 2
 
+  /** Cells each query probes in q79's multi-probe IVF. */
+  private val NProbe = 2
+
+  /** IVF ANN with a real k-means coarse quantizer: deterministic init
+    * (per-label component means), then KMeansIters Lloyd updates — assign
+    * every vector to its max-cosine centroid, recompute centroids as
+    * component means of the assigned set — then final cells, top-`nprobe`
+    * cell probing, exact cosine rank inside the probed cells. Centroid
+    * components are ROUNDED to 6 decimals after every averaging step:
+    * avg is the one accumulation-order-sensitive float op in the
+    * pipeline, and rounding pins the quantizer bit-identically across
+    * engines (the oracle unrolls the same iterations in SQL). The 100 TB
+    * shape: centroids are a broadcast-sized table (k × dim); each Lloyd
+    * step is one narrow shuffle of (cell, pos, component); the corpus
+    * shuffles ONCE on cell id at index build; each probe touches `nprobe`
+    * cell partitions. nprobe=1 probing its own cell and top-1-centroid
+    * probing coincide (assignment IS nearest-centroid), so one path
+    * serves both q44 and q79.
+    */
+  private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    // cached: the corpus is re-read by every Lloyd assign step and the
+    // final cell build — one scan + one in-memory projection instead of
+    // 2·iters + 2 parquet scans (registry-released at batch boundaries)
+    val e = graft.operators.CacheRegistry.track(normalized(s, dir).cache())
+    // component-wise means of `v` per `cl`, rounded — one k-means update
+    def centroidsOf(assigned: DataFrame): DataFrame =
+      assigned.select($"cl", posexplode($"v"))
+        .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
+        .groupBy($"cl").agg(
+          transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
+            .as("cv"))
+        .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
+    // nearest-centroid (max cosine) assignment of the whole corpus
+    def assign(cent: DataFrame): DataFrame = {
+      val wAsn = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
+      e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"v", $"nrm", $"cl",
+          (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("ccos"))
+        .withColumn("rn", row_number().over(wAsn))
+        .where($"rn" === 1)
+        .select($"vec_id", $"v", $"nrm", $"cl")
+    }
+    var cent = centroidsOf(e.select($"label".as("cl"), $"v"))
+    for (_ <- 1 to KMeansIters) cent = centroidsOf(assign(cent).select($"cl", $"v"))
+    val cells = assign(cent).withColumnRenamed("cl", "cell")
+    // top-nprobe centroids per query vector (pcos desc, cl asc — the same
+    // tie-break the assignment uses, so nprobe=1 reproduces the own cell)
+    val wProbe = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"cl".asc)
+    val probes = cells.where($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .crossJoin(broadcast(cent))
+      .select($"q_id", $"qv", $"qnrm", $"cl",
+        (dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("pcos"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where($"pr" <= nprobe)
+      .select($"q_id", $"qv", $"qnrm", $"cl".as("qc"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    cells.join(broadcast(probes), $"cell" === $"qc" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** Corpus projected once to (vec_id, label, v: array<double>, nrm): the
     * cast and the L2 norm are per-VECTOR work and must not be recomputed
     * per candidate pair.
@@ -136,57 +203,14 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rk")
     }),
 
-    // IVF ANN with a real k-means coarse quantizer: deterministic init
-    // (per-label component means), then KMeansIters Lloyd updates — assign
-    // every vector to its max-cosine centroid, recompute centroids as
-    // component means of the assigned set — then final cells, nprobe=1
-    // probing, exact cosine rank inside the probed cell. Centroid
-    // components are ROUNDED to 6 decimals after every averaging step:
-    // avg is the one accumulation-order-sensitive float op in the
-    // pipeline, and rounding pins the quantizer bit-identically across
-    // engines (the oracle unrolls the same iterations in SQL). The 100 TB
-    // shape: centroids are a broadcast-sized table (k × dim); each Lloyd
-    // step is one narrow shuffle of (cell, pos, component); the corpus
-    // shuffles ONCE on cell id at index build; each probe touches one
-    // cell partition.
-    "q44_ann_ivf" -> ((s, dir) => {
-      import s.implicits._
-      GraftFunctions.register(s)
-      // cached: the corpus is re-read by every Lloyd assign step and the
-      // final cell build — one scan + one in-memory projection instead of
-      // 2·iters + 2 parquet scans (registry-released at batch boundaries)
-      val e = graft.operators.CacheRegistry.track(normalized(s, dir).cache())
-      // component-wise means of `v` per `cl`, rounded — one k-means update
-      def centroidsOf(assigned: DataFrame): DataFrame =
-        assigned.select($"cl", posexplode($"v"))
-          .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
-          .groupBy($"cl").agg(
-            transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
-              .as("cv"))
-          .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
-      // nearest-centroid (max cosine) assignment of the whole corpus
-      def assign(cent: DataFrame): DataFrame = {
-        val wAsn = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
-        e.crossJoin(broadcast(cent))
-          .select($"vec_id", $"v", $"nrm", $"cl",
-            (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("ccos"))
-          .withColumn("rn", row_number().over(wAsn))
-          .where($"rn" === 1)
-          .select($"vec_id", $"v", $"nrm", $"cl")
-      }
-      var cent = centroidsOf(e.select($"label".as("cl"), $"v"))
-      for (_ <- 1 to KMeansIters) cent = centroidsOf(assign(cent).select($"cl", $"v"))
-      val cells = assign(cent).withColumnRenamed("cl", "cell")
-      val q = cells.where($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell".as("qc"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-      cells.join(broadcast(q), $"cell" === $"qc" && $"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .where($"rk" <= 3)
-        .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
-        .orderBy($"q_id", $"rk")
-    }),
+    // IVF ANN, nprobe=1 — quantizer + plan shape documented on [[ivf]].
+    "q44_ann_ivf" -> ((s, dir) => ivf(s, dir, nprobe = 1)),
+
+    // Multi-probe IVF: same quantizer, but each query probes its NProbe
+    // nearest cells instead of one — the standard recall knob (probing 2 of
+    // 10 cells roughly doubles candidates while still touching a bounded
+    // corpus fraction). Cells are disjoint, so probes union without dedup.
+    "q79_ann_ivf_multiprobe" -> ((s, dir) => ivf(s, dir, nprobe = NProbe)),
 
     // Embedding near-dup report: each vector's nearest neighbor within its
     // (label, coarse-LSH-bucket) block. Label alone is NOT a scale-safe
@@ -234,6 +258,50 @@ object SimilarityQueries {
         .orderBy($"vec_id")
     })
   )
+
+  /** The IVF oracle: unrolled k-means — same init / Lloyd steps / rounding
+    * as [[ivf]], generated from the SAME KMeansIters/NProbe constants.
+    */
+  private def ivfOracleSql(nprobe: Int): String = {
+    def cosSql(v: String, cv: String) =
+      s"list_dot_product($v, $cv) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($cv, $cv)))"
+    // component means of `src(cl, v)` → centroids `$out(cl, cv)`
+    def update(src: String, out: String) =
+      s"""u_$out AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM $src),
+         |cp_$out AS (SELECT cl, pos, round(avg(val), 6) c FROM u_$out GROUP BY cl, pos),
+         |$out AS (SELECT cl, list(c ORDER BY pos) cv FROM cp_$out GROUP BY cl)""".stripMargin
+    // max-cosine assignment of e against centroids `$cent` → `$out(vec_id, v, cl)`
+    def assign(cent: String, out: String) =
+      s"""a_$out AS (SELECT e.vec_id, e.v, $cent.cl,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", s"$cent.cv")} DESC, $cent.cl ASC) rn
+         |  FROM e CROSS JOIN $cent),
+         |$out AS (SELECT vec_id, v, cl FROM a_$out WHERE rn = 1)""".stripMargin
+    val steps = new scala.collection.mutable.ArrayBuffer[String]
+    steps += "e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)"
+    steps += "init AS (SELECT label AS cl, v FROM e)"
+    steps += update("init", "c0")
+    for (i <- 1 to KMeansIters) {
+      steps += assign(s"c${i - 1}", s"m$i")
+      steps += update(s"m$i", s"c$i")
+    }
+    steps += assign(s"c$KMeansIters", "fin")
+    s"""WITH ${steps.mkString(",\n")},
+       |cells AS (SELECT vec_id, v, cl AS cell FROM fin),
+       |q AS (SELECT vec_id q_id, v qv FROM cells WHERE vec_id < $NQueries),
+       |pr AS (SELECT q_id, qv, cl AS qc FROM (
+       |    SELECT q.q_id, q.qv, c.cl,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cl ASC) pn
+       |    FROM q CROSS JOIN c$KMeansIters c) WHERE pn <= $nprobe),
+       |p AS (SELECT pr.q_id, c.vec_id nn_id, ${cosSql("pr.qv", "c.v")} cos
+       |      FROM cells c JOIN pr ON c.cell = pr.qc AND c.vec_id <> pr.q_id),
+       |r AS (SELECT q_id, nn_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS INT) rk
+       |      FROM p)
+       |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     // The ±1 hyperplane sign vectors, embedded as literals so the SQL and
@@ -291,43 +359,8 @@ object SimilarityQueries {
            |      FROM p)
            |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
            |ORDER BY q_id, rk""".stripMargin,
-      "q44_ann_ivf" -> {
-        // Unrolled k-means: same init / Lloyd steps / rounding as the Spark
-        // side, generated from the SAME KMeansIters constant.
-        def cosSql(v: String, cv: String) =
-          s"list_dot_product($v, $cv) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($cv, $cv)))"
-        // component means of `src(cl, v)` → centroids `$out(cl, cv)`
-        def update(src: String, out: String) =
-          s"""u_$out AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM $src),
-             |cp_$out AS (SELECT cl, pos, round(avg(val), 6) c FROM u_$out GROUP BY cl, pos),
-             |$out AS (SELECT cl, list(c ORDER BY pos) cv FROM cp_$out GROUP BY cl)""".stripMargin
-        // max-cosine assignment of e against centroids `$cent` → `$out(vec_id, v, cl)`
-        def assign(cent: String, out: String) =
-          s"""a_$out AS (SELECT e.vec_id, e.v, $cent.cl,
-             |    row_number() OVER (PARTITION BY e.vec_id
-             |      ORDER BY ${cosSql("e.v", s"$cent.cv")} DESC, $cent.cl ASC) rn
-             |  FROM e CROSS JOIN $cent),
-             |$out AS (SELECT vec_id, v, cl FROM a_$out WHERE rn = 1)""".stripMargin
-        val steps = new scala.collection.mutable.ArrayBuffer[String]
-        steps += "e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)"
-        steps += "init AS (SELECT label AS cl, v FROM e)"
-        steps += update("init", "c0")
-        for (i <- 1 to KMeansIters) {
-          steps += assign(s"c${i - 1}", s"m$i")
-          steps += update(s"m$i", s"c$i")
-        }
-        steps += assign(s"c$KMeansIters", "fin")
-        s"""WITH ${steps.mkString(",\n")},
-           |cells AS (SELECT vec_id, v, cl AS cell FROM fin),
-           |q AS (SELECT vec_id q_id, v qv, cell qc FROM cells WHERE vec_id < $NQueries),
-           |p AS (SELECT q.q_id, c.vec_id nn_id, ${cosSql("q.qv", "c.v")} cos
-           |      FROM cells c JOIN q ON c.cell = q.qc AND c.vec_id <> q.q_id),
-           |r AS (SELECT q_id, nn_id, cos,
-           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) AS INT) rk
-           |      FROM p)
-           |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
-           |ORDER BY q_id, rk""".stripMargin
-      },
+      "q44_ann_ivf" -> ivfOracleSql(nprobe = 1),
+      "q79_ann_ivf_multiprobe" -> ivfOracleSql(nprobe = NProbe),
       "q73_cosine_dup_pairs" ->
         s"""WITH nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
            |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.DatasetShim
+
+/** As-of join as a first-class Catalyst operator — the whole-operator
+  * extension rung of the ladder (logical node → strategy → physical node),
+  * complementing the expression rung (`DotProductD`, `ShinglesExpr`) and
+  * the rule rung (`NanoTimestampPushdown`).
+  *
+  * Semantics: LEFT OUTER as-of — for each left row, the single right row
+  * with an equal key and the greatest `(time, tie)` pair that is strictly
+  * below (`strict = true`) or at-or-below (`strict = false`) the left row's
+  * `(time, tie)`; unmatched left rows keep null right columns. The `tie`
+  * columns make the match deterministic when timestamps collide — the same
+  * `(ts, id)` tie-break law the event log pins for replay order
+  * (reference: src/persistence.ts:120-135 sorts replay the same way).
+  *
+  * Physical execution is a single-pass sort-merge: both sides hash-cluster
+  * on the key and sort by `(key, time, tie)` — requirements DECLARED to the
+  * planner (`requiredChildDistribution` / `requiredChildOrdering`), so
+  * EnsureRequirements plans the shuffles/sorts, AQE can re-plan them, and
+  * reuse/pushdown around the node keep working. Each co-located partition
+  * pair then merges with one cursor per side: right rows are consumed at
+  * most once, carrying O(1) state (the latest candidate per key). At 100 TB
+  * that is the same cost envelope as a shuffled sort-merge join — no per-row
+  * range probe, no re-scan, no state growth with key cardinality — and is
+  * the plan shape q27 builds by hand with a window; this operator makes it
+  * a reusable primitive instead of a spelling.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    leftTie: Expression, rightTie: Expression,
+    strict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; a no-op for everything else. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinPlan =>
+      AsOfJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
+        j.leftTie, j.rightTie, j.strict, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    leftTie: Expression, rightTie: Expression,
+    strict: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Both sides clustered on the key: EnsureRequirements inserts (and AQE
+    * tunes) co-partitioned exchanges exactly as for a shuffled join.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  /** (key, time, tie) ascending on both sides — the merge's only contract. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  /** Left rows pass through in place: partitioning and ordering survive,
+    * so a downstream window/sort over the same key plans no new exchange.
+    */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // bind on the executor: projections/orderings are not serializable
+      val lKeyP = UnsafeProjection.create(Seq(leftKey), lOut)
+      val lTimeP = UnsafeProjection.create(Seq(leftTime, leftTie), lOut)
+      val rKeyP = UnsafeProjection.create(Seq(rightKey), rOut)
+      val rTimeP = UnsafeProjection.create(Seq(rightTime, rightTie), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(leftKey.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(
+        Seq(leftTime.dataType, leftTie.dataType))
+      // bind the right side as NULLABLE: BoundReference nullability comes
+      // from the input schema, and unmatched lefts emit an all-null right
+      val resultProj = UnsafeProjection.create(out,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        // the right cursor and the latest candidate (copies: child rows are
+        // reused mutable buffers)
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTimeTie: UnsafeRow = _
+        private var matchRow: InternalRow = _
+        private var matchKey: UnsafeRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rRow = r.copy()
+            rKey = rKeyP(rRow).copy()
+            rTimeTie = rTimeP(rRow).copy()
+          } else rRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyP(l) // reused buffers — consumed within this call
+          val lt = lTimeP(l)
+          // consume every right row at or before this left position; the
+          // last equal-key one consumed is the as-of match
+          var continue = rRow != null
+          while (continue) {
+            val kc = keyOrd.compare(rKey, lk)
+            val tc = if (kc == 0) timeOrd.compare(rTimeTie, lt) else 0
+            if (kc < 0 || (kc == 0 && (if (strict) tc < 0 else tc <= 0))) {
+              if (kc == 0) { matchRow = rRow; matchKey = rKey }
+              advanceRight()
+              continue = rRow != null
+            } else continue = false
+          }
+          val m =
+            if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) matchRow
+            else nullRight
+          resultProj(joined(l, m))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point. */
+object AsOf {
+
+  /** As-of join `left` to `right`: per left row, the latest right row with
+    * `key` equal and `(time, tie)` before the left's (strictly, by
+    * default). Left outer; inputs need distinct column names across sides.
+    * Registers [[AsOfJoinStrategy]] on the session on first use.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      key: (String, String), time: (String, String), tie: (String, String),
+      strict: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column $name not found among ${p.output.map(_.name).mkString(", ")}"))
+    DatasetShim.ofRows(spark, AsOfJoinPlan(lp, rp,
+      attr(lp, key._1), attr(rp, key._2),
+      attr(lp, time._1), attr(rp, time._2),
+      attr(lp, tie._1), attr(rp, tie._2), strict))
+  }
+}

@@ -274,6 +274,27 @@ object ExtendedQueries {
           $"price_q" (0).as("p50"), $"price_q" (1).as("p95"), $"price_q" (2).as("p99"))
     }),
 
+    // The SAME purchase→last-prior-click law as q27, but through the
+    // custom whole-operator Catalyst path (`graft.plans.AsOf`): logical
+    // node → strategy → sort-merge physical exec. One oracle pins both
+    // spellings; PlanShapeSpec pins that this one actually runs
+    // AsOfJoinExec. Right side carries c_-prefixed names (the operator
+    // wants distinct columns across sides).
+    "q80_asof_custom" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+      graft.plans.AsOf.join(purchases, clicks,
+          key = ("user_id", "c_user"), time = ("ts", "c_ts"),
+          tie = ("event_id", "c_id"))
+        .select($"event_id", $"user_id", $"ts", $"c_ts".as("last_click_ts"),
+          (unix_millis($"ts") - unix_millis($"c_ts")).as("ms_since_click"))
+        .orderBy($"event_id")
+    }),
+
     // Correlated scalar subquery, decorrelated by hand into the join
     // Catalyst itself would rewrite it to: customers above their nation's
     // average balance. The per-nation average table is nation-sized —
@@ -416,6 +437,17 @@ object ExtendedQueries {
         |  round(quantile_cont(value, 0.75), 6) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_asof_join" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts, last_click_ts,
+        |  epoch_ms(ts) - epoch_ms(last_click_ts) AS ms_since_click
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // q80 = q27's law through the custom operator; one oracle, two plans.
+    "q80_asof_custom" ->
       """WITH t AS (
         |  SELECT event_id, user_id, ts, event_type,
         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)

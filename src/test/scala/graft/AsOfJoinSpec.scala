@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOf, AsOfJoinExec}
+
+/** The custom as-of operator (SURVEY.md §4.3 — the whole-operator Catalyst
+  * rung): match semantics incl. timestamp ties and strict/inclusive modes,
+  * equivalence with the window spelling on real data, and the physical
+  * plan contract (AsOfJoinExec present, children exchanged+sorted by the
+  * planner, never a cartesian product).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def quotes = Seq(
+    // key, time, tie, px
+    ("a", 10L, 1L, 1.0),
+    ("a", 20L, 2L, 2.0),
+    ("a", 20L, 3L, 3.0), // same time as above — tie decides
+    ("b", 15L, 4L, 4.0)
+  ).toDF("q_key", "q_t", "q_id", "px")
+
+  private def trades = Seq(
+    ("a", 5L, 10L), // before every quote
+    ("a", 20L, 11L), // equal time: strict excludes (q_t=20,q_id<11? both 2,3 < 11 consumed)
+    ("a", 25L, 12L),
+    ("b", 15L, 1L), // equal time, tie BELOW the quote's (15,4): strict excludes the quote
+    ("c", 30L, 13L) // key with no quotes at all
+  ).toDF("t_key", "t_t", "t_id")
+
+  test("strict as-of picks the greatest (time, tie) strictly below") {
+    val out = AsOf.join(trades, quotes,
+        key = ("t_key", "q_key"), time = ("t_t", "q_t"), tie = ("t_id", "q_id"))
+      .select($"t_id", $"q_id", $"px")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(10L) == -1L) // t=5: nothing earlier
+    assert(out(11L) == 3L) // t=20,id=11: quotes (20,2) and (20,3) both < (20,11)
+    assert(out(12L) == 3L) // t=25: latest is (20,3)
+    assert(out(1L) == -1L) // b: quote at (15,4) NOT < (15,1)
+    assert(out(13L) == -1L) // c: no quotes for key
+  }
+
+  test("inclusive mode admits the equal (time, tie) pair") {
+    val q = Seq(("a", 20L, 11L, 9.0)).toDF("q_key", "q_t", "q_id", "px")
+    val t = Seq(("a", 20L, 11L)).toDF("t_key", "t_t", "t_id")
+    def run(strict: Boolean) =
+      AsOf.join(t, q, ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"), strict)
+        .select($"px").collect().map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0))
+    assert(run(strict = true).toSeq == Seq(-1.0))
+    assert(run(strict = false).toSeq == Seq(9.0))
+  }
+
+  test("matches the window spelling on the events fixture") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val custom = AsOf.join(purchases, clicks,
+        ("user_id", "c_user"), ("ts", "c_ts"), ("event_id", "c_id"))
+      .select($"event_id", $"c_ts".as("last_click_ts"))
+      .orderBy($"event_id").collect()
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val windowed = ev
+      .withColumn("click_ts", when($"event_type" === "click", $"ts"))
+      .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"last_click_ts")
+      .orderBy($"event_id").collect()
+    assert(custom.length == windowed.length && custom.length > 0)
+    custom.zip(windowed).foreach { case (c, x) => assert(c == x) }
+  }
+
+  test("plans AsOfJoinExec with exchanged+sorted children, no cartesian") {
+    val df = AsOf.join(trades, quotes,
+      ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin")) // AsOfJoinExec prints without Exec
+    assert(plan.contains("Exchange hashpartitioning"))
+    assert(plan.contains("Sort ["))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -225,11 +225,15 @@ object DedupQueries {
         struct(lit(j).as("band"),
           shiftright($"simhash", width * j).bitwiseAND(lit(mask)).as("key"))): _*)
       val wBand = Window.partitionBy($"band", $"key")
-      val banded = f.select($"doc_id", $"simhash", explode(bands).as("b"))
-        .select($"doc_id", $"simhash", $"b.band".as("band"), $"b.key".as("key"))
-        .withColumn("bc", count(lit(1)).over(wBand))
-        .where($"bc" <= MaxBand)
-        .drop("bc")
+      // cached: both sides of the self-join read this (4n tiny rows) —
+      // without it the explode+skew-window chain executes twice
+      val banded = graft.operators.CacheRegistry.track(
+        f.select($"doc_id", $"simhash", explode(bands).as("b"))
+          .select($"doc_id", $"simhash", $"b.band".as("band"), $"b.key".as("key"))
+          .withColumn("bc", count(lit(1)).over(wBand))
+          .where($"bc" <= MaxBand)
+          .drop("bc")
+          .cache())
       banded.as("x").join(banded.as("y"),
           $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
             $"x.doc_id" < $"y.doc_id")

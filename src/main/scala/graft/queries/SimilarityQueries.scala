@@ -88,9 +88,17 @@ object SimilarityQueries {
         .where($"rn" === 1)
         .select($"vec_id", $"v", $"nrm", $"cl")
     }
-    var cent = centroidsOf(e.select($"label".as("cl"), $"v"))
-    for (_ <- 1 to KMeansIters) cent = centroidsOf(assign(cent).select($"cl", $"v"))
-    val cells = assign(cent).withColumnRenamed("cl", "cell")
+    // each centroid stage and the final cell table is cached (k×dim rows /
+    // corpus-sized respectively): the final join references cells TWICE
+    // (probe build + candidate side) and q44/q79 share every stage plan
+    // verbatim, so the cache manager dedupes the Lloyd chain to one
+    // execution per session instead of two per query
+    def tracked(df: DataFrame): DataFrame =
+      graft.operators.CacheRegistry.track(df.cache())
+    var cent = tracked(centroidsOf(e.select($"label".as("cl"), $"v")))
+    for (_ <- 1 to KMeansIters)
+      cent = tracked(centroidsOf(assign(cent).select($"cl", $"v")))
+    val cells = tracked(assign(cent).withColumnRenamed("cl", "cell"))
     // top-nprobe centroids per query vector (pcos desc, cl asc — the same
     // tie-break the assignment uses, so nprobe=1 reproduces the own cell)
     val wProbe = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"cl".asc)

@@ -254,6 +254,28 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Shingle CONTAINMENT pairs — the asymmetric near-dup Jaccard misses:
+    // a short document quoted wholesale inside a long one has tiny
+    // Jaccard (|A∩B|/|A∪B|) but containment |A∩B|/|A| ≈ 1. The standard
+    // quote/subset detector (Broder's containment sketch); same LSH
+    // candidate generation and cached shingle sets as q33, different
+    // verify law: keep pairs where the smaller side is ≥90% contained.
+    "q81_containment_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
+      lshCandidates(s, sets, 2)
+        .join(sets.as("da"), $"a_id" === $"da.doc_id")
+        .join(sets.as("db"), $"b_id" === $"db.doc_id")
+        .select($"a_id", $"b_id",
+          size(array_intersect($"da.sh", $"db.sh")).as("i"),
+          size($"da.sh").as("ca"), size($"db.sh").as("cb"))
+        .where($"i" * lit(1.0) >= lit(0.9) * least($"ca", $"cb"))
+        .select($"a_id", $"b_id",
+          round($"i" * lit(1.0) / $"ca", 6).as("cont_a"),
+          round($"i" * lit(1.0) / $"cb", 6).as("cont_b"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // Transitive near-dup closure: VERIFIED near-dup pairs (q33's exact
     // Jaccard >= 0.8, not raw LSH candidates — closing over loose
     // candidates chains unrelated docs together, the classic dedup
@@ -286,6 +308,29 @@ object DedupQueries {
         .orderBy($"group_size")
     })
   )
+
+  /** Shared DuckDB CTE chain: tokenize → distinct 3-gram shingles → K-min
+    * signatures → skew-capped bands → candidate pairs (≥2 band hits) →
+    * cardinalities + pairwise intersections. q33 (Jaccard) and q81
+    * (containment) verify the SAME candidate set under different laws.
+    */
+  private def candidateCtes: String =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
+       |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
+       |sig0 AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
+       |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, i, mh FROM (
+       |        SELECT *, count(*) OVER (PARTITION BY i, mh) bc FROM sig0) WHERE bc <= $MaxBand),
+       |cand AS (SELECT a.doc_id a_id, b.doc_id b_id
+       |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= 2),
+       |card AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+       |inter AS (SELECT c.a_id, c.b_id, count(*) i
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.a_id
+       |          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2)""".stripMargin
 
   def oracles: Map[String, String] = {
     def simhashSumsFor(bits: Int) = (0 until bits)
@@ -357,28 +402,23 @@ object DedupQueries {
            |ORDER BY a_id, b_id""".stripMargin
       },
       "q33_lsh_jaccard" ->
-        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
-           |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
-           |sig0 AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
-           |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
-           |sig AS (SELECT doc_id, i, mh FROM (
-           |        SELECT *, count(*) OVER (PARTITION BY i, mh) bc FROM sig0) WHERE bc <= $MaxBand),
-           |cand AS (SELECT a.doc_id a_id, b.doc_id b_id
-           |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
-           |         GROUP BY 1, 2 HAVING count(*) >= 2),
-           |card AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
-           |inter AS (SELECT c.a_id, c.b_id, count(*) i
-           |          FROM cand c
-           |          JOIN sh sa ON sa.doc_id = c.a_id
-           |          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
-           |          GROUP BY 1, 2)
+        s"""WITH $candidateCtes
            |SELECT i.a_id, i.b_id,
            |  round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) AS jaccard
            |FROM inter i
            |JOIN card ca ON ca.doc_id = i.a_id
            |JOIN card cb ON cb.doc_id = i.b_id
            |WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q81_containment_pairs" ->
+        s"""WITH $candidateCtes
+           |SELECT i.a_id, i.b_id,
+           |  round(i.i * 1.0 / ca.c, 6) AS cont_a,
+           |  round(i.i * 1.0 / cb.c, 6) AS cont_b
+           |FROM inter i
+           |JOIN card ca ON ca.doc_id = i.a_id
+           |JOIN card cb ON cb.doc_id = i.b_id
+           |WHERE i.i * 1.0 >= 0.9 * least(ca.c, cb.c)
            |ORDER BY a_id, b_id""".stripMargin,
       // Same verified-pair pipeline as q33, then the closure as a recursive
       // CTE: walk = all (src, reachable) pairs; comp = least(self, min

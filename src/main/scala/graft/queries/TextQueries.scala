@@ -407,6 +407,36 @@ object TextQueries {
         .orderBy($"lang", $"metric")
     }),
 
+    // Per-source drift monitor — the first dashboard a multi-source crawl
+    // ingest runs: per-source volume, length and token profile, language
+    // spread, and a drift flag for sources whose mean length strays >5%
+    // from the corpus mean. All ratios divide EXACT integer sums, so the
+    // flag comparison is deterministic across engines (no float-sum
+    // ordering). One narrow scan + source-sized aggregate; the global mean
+    // is a 20-row unpartitioned window.
+    "q82_source_drift" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.documents(s, dir)
+        .select($"source", $"n_chars", size(tokens($"text")).as("ws_toks"), $"lang")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum($"ws_toks").as("sum_toks"),
+          countDistinct($"lang").as("n_langs"))
+      val wAll = Window.partitionBy()
+      val avgChars = $"sum_chars" * lit(1.0) / $"n_docs"
+      val gavg = sum($"sum_chars").over(wAll) * lit(1.0) / sum($"n_docs").over(wAll)
+      per
+        .withColumn("gavg", gavg)
+        .select($"source", $"n_docs",
+          round(avgChars, 6).as("avg_chars"),
+          round($"sum_toks" * lit(1.0) / $"n_docs", 6).as("avg_toks"),
+          $"n_langs",
+          when(abs(avgChars - $"gavg") > lit(0.05) * $"gavg", 1).otherwise(0)
+            .cast("int").as("drift"))
+        .orderBy($"source")
+    }),
+
     // Deterministic mixture sampling — rebalance an English-heavy corpus
     // with per-language keep rates applied via a portable md5 percentile
     // (the same salt-keyed split trick as q56, so membership is stable
@@ -629,6 +659,21 @@ object TextQueries {
           |  UNION ALL SELECT lang, 'total_chars', total_chars FROM p
           |  UNION ALL SELECT lang, 'n_sources', CAST(n_sources AS BIGINT) FROM p)
           |ORDER BY lang, metric""".stripMargin,
+      "q82_source_drift" ->
+        """WITH d AS (SELECT source, n_chars,
+          |    len(string_split_regex(trim(text), '\s+')) ws_toks, lang
+          |  FROM documents),
+          |per AS (SELECT source, count(*) n_docs, sum(n_chars) sum_chars,
+          |    sum(ws_toks) sum_toks, count(DISTINCT lang) n_langs
+          |  FROM d GROUP BY 1),
+          |g AS (SELECT sum(sum_chars) * 1.0 / sum(n_docs) gavg FROM per)
+          |SELECT source, n_docs,
+          |  round(sum_chars * 1.0 / n_docs, 6) AS avg_chars,
+          |  round(sum_toks * 1.0 / n_docs, 6) AS avg_toks,
+          |  CAST(n_langs AS BIGINT) AS n_langs,
+          |  CAST(CASE WHEN abs(sum_chars * 1.0 / n_docs - gavg) > 0.05 * gavg
+          |       THEN 1 ELSE 0 END AS INT) AS drift
+          |FROM per, g ORDER BY source""".stripMargin,
       "q67_mixture_sample" ->
         s"""WITH p AS (SELECT doc_id, lang,
           |    ${md5PctSql("mix:")} AS pct,

@@ -115,7 +115,9 @@ object Bench {
     * then measure an AvailableNow StreamingSubscription in distributed
     * (unordered) delivery mode with a real per-event handler that fails on
     * 1% of events; two bounded retries each, exhaustion lands in the DLQ.
-    * Returns (seconds, events delivered, events dead-lettered).
+    * Returns (seconds, events DELIVERED — dead-lettered ones excluded —
+    * and events dead-lettered). The scratch log + checkpoint are deleted
+    * before returning.
     */
   private def streamingDrain(spark: SparkSession, sfDir: String): (Double, Long, Int) = {
     import spark.implicits._
@@ -147,8 +149,14 @@ object Bench {
         maxRetries = 2, retryDelayMillis = 0L),
       ordered = false)
     val t0 = System.nanoTime()
-    sub.runAvailable()
-    val sec = (System.nanoTime() - t0) / 1e9
-    (sec, nEvents, dlq.size)
+    try {
+      sub.runAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, nEvents - dlq.size, dlq.size)
+    } finally {
+      // a full events-table copy per bench run must not accrete in /tmp
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 }

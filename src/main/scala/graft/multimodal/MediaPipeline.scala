@@ -146,9 +146,13 @@ object MediaPipeline {
       blockPlanes: Option[Int] = None): DataFrame = {
     import features.sparkSession.implicits._
     graft.functions.expressions.GraftFunctions.register(features.sparkSession)
+    // cached BEFORE the sizing count and the self-join: `features` usually
+    // hangs off the decode mapPartitions, and without the cache the decode
+    // would run once for the count and once per join side (3 full passes)
+    val cached = graft.operators.CacheRegistry.track(features.toDF().cache())
     val planes = blockPlanes.getOrElse(
-      graft.functions.VectorFunctions.blockPlanesFor(features.count()))
-    val f = features.toDF()
+      graft.functions.VectorFunctions.blockPlanesFor(cached.count()))
+    val f = cached
       .select($"media_id", $"kind", $"features".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot($"v", $"v")))
       .withColumn("bucket",

@@ -43,11 +43,32 @@ object ConnectedComponents {
     // the fast default, but losing one executor mid-iteration then fails
     // the job unrecoverably — on a preemptible cluster that is the WRONG
     // durability trade. When the session has a reliable checkpoint dir
-    // configured (sc.setCheckpointDir), rounds checkpoint to it instead:
-    // same lineage cut, fault-tolerant blocks, survives executor loss.
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // configured (sc.setCheckpointDir), rounds are written as parquet
+    // snapshots under it instead: same lineage cut, fault-tolerant,
+    // survives executor loss — and, unlike Dataset.checkpoint() (whose
+    // files Spark only deletes under cleanCheckpoints=true, default off),
+    // each superseded round is deleted as soon as its successor is
+    // durable. Only the FINAL round's snapshot outlives the call (it backs
+    // the returned DataFrame) — the standard reliable-checkpoint residue.
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val reliableBase = sc.getCheckpointDir
+      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID}")
+    var prevRound: Option[String] = None
+    var roundIdx = 0
+    def materialize(df: DataFrame): DataFrame = reliableBase match {
+      case Some(base) =>
+        val path = s"$base/round-$roundIdx"
+        roundIdx += 1
+        df.write.mode("overwrite").parquet(path)
+        prevRound.foreach { old => // superseded once the new round is durable
+          val p = new org.apache.hadoop.fs.Path(old)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        }
+        prevRound = Some(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
@@ -72,8 +93,9 @@ object ConnectedComponents {
       labels = next
       round += 1
     }
-    // checkpoint blocks of old rounds are GC-reclaimed either way; a kept
-    // edge cache is handed to the registry so a batch-boundary releaseAll
+    // localCheckpoint blocks of old rounds are storage-reclaimed; reliable
+    // rounds were deleted as they were superseded (above). A kept edge
+    // cache is handed to the registry so a batch-boundary releaseAll
     // still frees it (warm for re-runs, never a leak)
     if (unpersistEdges) edges.unpersist(blocking = false)
     else CacheRegistry.track(edges)

@@ -19,7 +19,9 @@ import org.apache.spark.sql.graft.DatasetShim
   * Semantics: LEFT OUTER as-of — for each left row, the single right row
   * with an equal key and the greatest `(time, tie)` pair that is strictly
   * below (`strict = true`) or at-or-below (`strict = false`) the left row's
-  * `(time, tie)`; unmatched left rows keep null right columns. The `tie`
+  * `(time, tie)`; unmatched left rows keep null right columns. Null
+  * key/time/tie values follow SQL join semantics: a row carrying one never
+  * matches anything (a null-keyed left row emits null right columns). The `tie`
   * columns make the match deterministic when timestamps collide — the same
   * `(ts, id)` tie-break law the event log pins for replay order
   * (reference: src/persistence.ts:120-135 sorts replay the same way).
@@ -130,20 +132,28 @@ case class AsOfJoinExec(
             rTimeTie = rTimeP(rRow).copy()
           } else rRow = null
 
+        // SQL null semantics: a null key/time/tie on either side never
+        // matches (natural ordering would otherwise equate nulls and sort
+        // a null time "before everything" — i.e. into a spurious match)
+        private def rHasNull: Boolean =
+          rKey.isNullAt(0) || rTimeTie.isNullAt(0) || rTimeTie.isNullAt(1)
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyP(l) // reused buffers — consumed within this call
           val lt = lTimeP(l)
+          if (lk.isNullAt(0) || lt.isNullAt(0) || lt.isNullAt(1))
+            return resultProj(joined(l, nullRight)) // null never matches
           // consume every right row at or before this left position; the
-          // last equal-key one consumed is the as-of match
+          // last equal-key NON-NULL one consumed is the as-of match
           var continue = rRow != null
           while (continue) {
             val kc = keyOrd.compare(rKey, lk)
             val tc = if (kc == 0) timeOrd.compare(rTimeTie, lt) else 0
             if (kc < 0 || (kc == 0 && (if (strict) tc < 0 else tc <= 0))) {
-              if (kc == 0) { matchRow = rRow; matchKey = rKey }
+              if (kc == 0 && !rHasNull) { matchRow = rRow; matchKey = rKey }
               advanceRight()
               continue = rRow != null
             } else continue = false

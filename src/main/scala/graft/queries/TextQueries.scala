@@ -43,6 +43,11 @@ object TextQueries {
   private def md5PctSql(salt: String, key: String = "CAST(doc_id AS VARCHAR)"): String =
     s"CAST(('0x' || substr(md5('$salt' || $key), 1, 4)) AS INT) / 65536.0"
 
+  /** q76's per-stratum sample size — interpolated into BOTH the Spark side
+    * and the oracle so the two can't drift.
+    */
+  private val StratumK = 5
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
@@ -376,13 +381,12 @@ object TextQueries {
     // the plan is unchanged at 100 TB.
     "q76_stratified_sample" -> ((s, dir) => {
       import s.implicits._
-      val k = 5
       val hk = md5(concat(lit("strat:"), $"doc_id".cast("string")).cast("binary"))
       val w = Window.partitionBy($"lang", $"source").orderBy($"hkey", $"doc_id")
       Tables.documents(s, dir)
         .select($"doc_id", $"lang", $"source", hk.as("hkey"))
         .withColumn("rk", row_number().over(w))
-        .where($"rk" <= k)
+        .where($"rk" <= StratumK)
         .groupBy($"lang", $"source")
         .agg(count(lit(1)).as("n_kept"),
           min($"doc_id").as("min_doc"),
@@ -643,12 +647,12 @@ object TextQueries {
           |  CAST(sum(chars_redacted) AS BIGINT) AS total_chars_redacted
           |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
       "q76_stratified_sample" ->
-        """WITH d AS (SELECT doc_id, lang, source,
+        s"""WITH d AS (SELECT doc_id, lang, source,
           |    md5('strat:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),
           |r AS (SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY hkey, doc_id) rk FROM d)
           |SELECT lang, source, count(*) AS n_kept,
           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc, min(hkey) AS first_key
-          |FROM r WHERE rk <= 5 GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+          |FROM r WHERE rk <= $StratumK GROUP BY lang, source ORDER BY lang, source""".stripMargin,
       "q77_profile_unpivot" ->
         """WITH p AS (SELECT lang, count(*) n_docs,
           |    CAST(sum(n_chars) AS BIGINT) total_chars,

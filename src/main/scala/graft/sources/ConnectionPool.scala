@@ -26,6 +26,7 @@ final class ConnectionPool(url: String, props: Properties, maxIdle: Int = 10)
 
   private val idle = new ConcurrentLinkedQueue[Connection]()
   private val opened = new AtomicInteger(0)
+  @volatile private var closed = false
 
   /** Physical connections opened over the pool's lifetime — the spec's
     * observable for the reuse contract (N operations ≪ N connections).
@@ -33,6 +34,7 @@ final class ConnectionPool(url: String, props: Properties, maxIdle: Int = 10)
   def openedCount: Int = opened.get
 
   def withConnection[T](f: Connection => T): T = {
+    if (closed) throw new IllegalStateException("connection pool is closed")
     var c = idle.poll()
     while (c != null && !isUsable(c)) { closeQuietly(c); c = idle.poll() }
     if (c == null) {
@@ -42,7 +44,12 @@ final class ConnectionPool(url: String, props: Properties, maxIdle: Int = 10)
     val r =
       try f(c)
       catch { case t: Throwable => closeQuietly(c); throw t }
-    if (idle.size < maxIdle) idle.add(c) else closeQuietly(c)
+    // a connection borrowed across a concurrent close() must not outlive
+    // the pool: re-check the flag before returning it to idle
+    if (!closed && idle.size < maxIdle) idle.add(c) else closeQuietly(c)
+    // close() may have drained idle between the check and the add; a
+    // second drain here makes close-then-return race-safe
+    if (closed) { var d = idle.poll(); while (d != null) { closeQuietly(d); d = idle.poll() } }
     r
   }
 
@@ -53,8 +60,12 @@ final class ConnectionPool(url: String, props: Properties, maxIdle: Int = 10)
   private def closeQuietly(c: Connection): Unit =
     try c.close() catch { case _: Exception => () }
 
-  /** Close all idle connections (borrowed ones close on their error path). */
+  /** Terminal: close all idle connections and refuse new borrows. A
+    * connection checked out during close() is closed when returned (the
+    * post-return re-drain in [[withConnection]]).
+    */
   override def close(): Unit = {
+    closed = true
     var c = idle.poll()
     while (c != null) { closeQuietly(c); c = idle.poll() }
   }

@@ -54,6 +54,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(strict = false).toSeq == Seq(9.0))
   }
 
+  test("null keys and null times never match (SQL join semantics)") {
+    val q = Seq(
+      (Option("a"), Option(5L), 1L, 1.0),
+      (Option.empty[String], Option(6L), 2L, 2.0), // null key
+      (Option("a"), Option.empty[Long], 3L, 3.0)) // null time
+      .toDF("q_key", "q_t", "q_id", "px")
+    val t = Seq(
+      (Option("a"), Option(10L), 1L),
+      (Option.empty[String], Option(10L), 2L), // null-key left: no match
+      (Option("a"), Option.empty[Long], 3L)) // null-time left: no match
+      .toDF("t_key", "t_t", "t_id")
+    val out = AsOf.join(t, q, ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"))
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(1L) == 1L) // only the non-null (a, 5) quote — never (a, null)
+    assert(out(2L) == -1L)
+    assert(out(3L) == -1L)
+  }
+
   test("matches the window spelling on the events fixture") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.where($"event_type" === "purchase")

@@ -62,19 +62,28 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("reliable checkpoint mode (checkpoint dir set) reaches the same fixpoint") {
-    // With a checkpoint dir configured the rounds use fault-tolerant
-    // checkpoint() instead of executor-local blocks — same answer, blocks
-    // survive executor loss on a preemptible cluster.
+    // With a checkpoint dir configured the rounds write fault-tolerant
+    // parquet snapshots instead of executor-local blocks — same answer,
+    // rounds survive executor loss on a preemptible cluster, and every
+    // superseded round is deleted (only the final snapshot remains).
     val sc = spark.sparkContext
     val dir = tmpDir("cc-ckpt")
     sc.setCheckpointDir(dir)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 13L), (11L, 12L))
       assert(run(pairs) == unionFind(pairs))
-      // the rounds actually wrote reliable checkpoints
+      // the rounds actually wrote reliable snapshots, and superseded
+      // rounds were deleted — exactly ONE (the final) remains per run
       val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
-      val written = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty
-      assert(written, "checkpoint dir should contain round snapshots")
+      // setCheckpointDir nests a UUID subdir; rounds live under THAT
+      val ckpt = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      val ccDirs = fs.listStatus(ckpt)
+        .filter(_.getPath.getName.startsWith("graft-cc-"))
+      assert(ccDirs.nonEmpty, "checkpoint dir should contain round snapshots")
+      ccDirs.foreach { d =>
+        assert(fs.listStatus(d.getPath).length == 1,
+          s"${d.getPath}: superseded round snapshots must be deleted")
+      }
     } finally {
       // do not leak the dir into other suites' sessions
       sc.setCheckpointDir(null)

@@ -411,6 +411,43 @@ object TextQueries {
         .orderBy($"lang", $"metric")
     }),
 
+    // The composite Gopher-style document filter — the verdict table a
+    // curation pass actually ships: every gate (length, token shape,
+    // stopword density, intra-doc repetition) evaluated per document in
+    // ONE pass, with per-gate failure counts per language so threshold
+    // tuning sees what each gate costs. All gates are exact integer-ratio
+    // comparisons (deterministic across engines); dup3 is q66's pure
+    // array law — no explode, no join, a single narrow scan + one rollup.
+    "q83_gopher_filter" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .select($"doc_id", $"lang",
+          size($"toks").as("n_tok"),
+          aggregate($"toks", lit(0), (acc, t) => acc + length(t)).as("sum_len"),
+          stopCount($"toks", stop("en")).as("n_stop"),
+          wordShingles($"toks", 3).as("g3"))
+        .select($"doc_id", $"lang", $"n_tok", $"sum_len", $"n_stop",
+          when(size($"g3") > 0,
+            lit(1.0) - size(array_distinct($"g3")) * lit(1.0) / size($"g3"))
+            .otherwise(lit(0.0)).as("dup3"))
+      val tooShort = $"n_tok" < 30
+      val avgLen = $"sum_len" * lit(1.0) / $"n_tok"
+      val badLen = avgLen < 2.5 || avgLen > 8.0
+      val lowStop = $"n_stop" * lit(1.0) / $"n_tok" < 0.03
+      val repetitive = $"dup3" > 0.15
+      d.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(tooShort, 1).otherwise(0)).as("n_too_short"),
+          sum(when(badLen, 1).otherwise(0)).as("n_bad_len"),
+          sum(when(lowStop, 1).otherwise(0)).as("n_low_stop"),
+          sum(when(repetitive, 1).otherwise(0)).as("n_repetitive"),
+          sum(when(!tooShort && !badLen && !lowStop && !repetitive, 1)
+            .otherwise(0)).as("n_kept"))
+        .orderBy($"lang")
+    }),
+
     // Per-source drift monitor — the first dashboard a multi-source crawl
     // ingest runs: per-source volume, length and token profile, language
     // spread, and a drift flag for sources whose mean length strays >5%
@@ -663,6 +700,31 @@ object TextQueries {
           |  UNION ALL SELECT lang, 'total_chars', total_chars FROM p
           |  UNION ALL SELECT lang, 'n_sources', CAST(n_sources AS BIGINT) FROM p)
           |ORDER BY lang, metric""".stripMargin,
+      "q83_gopher_filter" ->
+        s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') toks FROM documents),
+          |g AS (SELECT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS g
+          |      FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
+          |g3 AS (SELECT doc_id, count(*) tot3, count(DISTINCT g) d3 FROM g GROUP BY 1),
+          |b AS (SELECT t.doc_id, t.lang, len(toks) n_tok,
+          |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+          |    len(list_filter(toks, x -> x IN (${inList(stop("en"))}))) n_stop,
+          |    CASE WHEN coalesce(g3.tot3, 0) > 0
+          |         THEN 1.0 - g3.d3 * 1.0 / g3.tot3 ELSE 0.0 END AS dup3
+          |  FROM t LEFT JOIN g3 USING (doc_id)),
+          |f AS (SELECT lang,
+          |    (n_tok < 30) too_short,
+          |    (sum_len * 1.0 / n_tok < 2.5 OR sum_len * 1.0 / n_tok > 8.0) bad_len,
+          |    (n_stop * 1.0 / n_tok < 0.03) low_stop,
+          |    (dup3 > 0.15) repetitive
+          |  FROM b)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+          |  CAST(sum(CASE WHEN bad_len THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_len,
+          |  CAST(sum(CASE WHEN low_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stop,
+          |  CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+          |  CAST(sum(CASE WHEN NOT too_short AND NOT bad_len AND NOT low_stop
+          |                     AND NOT repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
       "q82_source_drift" ->
         """WITH d AS (SELECT source, n_chars,
           |    len(string_split_regex(trim(text), '\s+')) ws_toks, lang

@@ -38,6 +38,20 @@ class PlanShapeSpec extends SparkSpec {
       "the date residual must ride the equi-join, not force a nested loop")
   }
 
+  test("round-3 queries keep their intended physical shapes") {
+    // q80 actually runs the custom operator (not a fallback join)
+    assert(plan("q80_asof_custom").contains("AsOfJoin"))
+    // q76's rank-k filter pushes into the shuffle as WindowGroupLimit —
+    // per-stratum top-k never materializes whole strata post-shuffle
+    assert(plan("q76_stratified_sample").contains("WindowGroupLimit"))
+    // q78's nation-sized aggregate broadcasts; the customer side never
+    // reshuffles for the join
+    assert(plan("q78_above_nation_avg").contains("BroadcastHashJoin"))
+    // q81 rides the same bucket-join candidate machinery as q33
+    val p81 = plan("q81_containment_pairs")
+    assert(!p81.contains("CartesianProduct") && !p81.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("blocking-cell counts scale with corpus size: expected cell stays bounded") {
     import graft.functions.VectorFunctions.blockPlanesFor
     // Law: for any corpus up to the cap's reach, the chosen plane count

@@ -296,6 +296,29 @@ object DedupQueries {
         .orderBy($"doc_id")
     }),
 
+    // The corpus duplication report a dedup pass ends with: how many
+    // documents sit in verified near-dup groups, how many are REMOVABLE
+    // (group size − 1 each — dedup keeps one representative), and the
+    // fraction of the corpus that mass is. One number row; at 100 TB the
+    // inputs are the (small) component table and a corpus count.
+    "q84_dup_rate" -> ((s, dir) => {
+      import s.implicits._
+      val comp = graft.operators.ConnectedComponents
+        .components(verifiedPairs(s, dir).select($"a_id", $"b_id"),
+          unpersistEdges = false)
+      val stats = comp.groupBy($"comp").agg(count(lit(1)).as("sz"))
+        .agg(sum($"sz").as("docs_in_dup_groups"),
+          count(lit(1)).as("n_groups"),
+          max($"sz").as("largest_group"))
+      val tot = Tables.documents(s, dir).agg(count(lit(1)).as("total_docs"))
+      stats.crossJoin(broadcast(tot))
+        .select($"total_docs", $"docs_in_dup_groups", $"n_groups",
+          $"largest_group",
+          ($"docs_in_dup_groups" - $"n_groups").as("removable_docs"),
+          round(($"docs_in_dup_groups" - $"n_groups") * lit(1.0) / $"total_docs", 6)
+            .as("dup_fraction"))
+    }),
+
     // Content-hash grouping: distribution of exact-duplicate group sizes.
     // (This corpus is all-distinct ⇒ {1, n_docs}; the query proves the law.)
     "q35_content_hash_groups" -> ((s, dir) => {
@@ -331,6 +354,24 @@ object DedupQueries {
        |          JOIN sh sa ON sa.doc_id = c.a_id
        |          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** [[candidateCtes]] extended to verified pairs and their transitive
+    * closure (`comp(doc_id, comp)`) — the recursive-CTE mirror of
+    * `ConnectedComponents`; q36 reads the labels, q84 the rollup.
+    */
+  private def componentCtes: String =
+    s"""$candidateCtes,
+       |pairs AS (SELECT i.a_id, i.b_id
+       |          FROM inter i
+       |          JOIN card ca ON ca.doc_id = i.a_id
+       |          JOIN card cb ON cb.doc_id = i.b_id
+       |          WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8),
+       |e AS (SELECT a_id s, b_id d FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(src, dst) AS (
+       |  SELECT s, d FROM e
+       |  UNION
+       |  SELECT w.src, e.d FROM walk w JOIN e ON w.dst = e.s),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS comp FROM walk GROUP BY src)""".stripMargin
 
   def oracles: Map[String, String] = {
     def simhashSumsFor(bits: Int) = (0 until bits)
@@ -425,35 +466,18 @@ object DedupQueries {
       // reachable) — definitionally the same fixpoint the Spark side's
       // min-label propagation converges to.
       "q36_dedup_components" ->
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS shingle
-           |       FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
-           |sig0 AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) mh
-           |        FROM sh, unnest(range($K)) AS h(i) GROUP BY doc_id, i),
-           |sig AS (SELECT doc_id, i, mh FROM (
-           |        SELECT *, count(*) OVER (PARTITION BY i, mh) bc FROM sig0) WHERE bc <= $MaxBand),
-           |cand AS (SELECT a.doc_id a_id, b.doc_id b_id
-           |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
-           |         GROUP BY 1, 2 HAVING count(*) >= 2),
-           |card AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
-           |inter AS (SELECT c.a_id, c.b_id, count(*) i
-           |          FROM cand c
-           |          JOIN sh sa ON sa.doc_id = c.a_id
-           |          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
-           |          GROUP BY 1, 2),
-           |pairs AS (SELECT i.a_id, i.b_id
-           |          FROM inter i
-           |          JOIN card ca ON ca.doc_id = i.a_id
-           |          JOIN card cb ON cb.doc_id = i.b_id
-           |          WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8),
-           |e AS (SELECT a_id s, b_id d FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
-           |walk(src, dst) AS (
-           |  SELECT s, d FROM e
-           |  UNION
-           |  SELECT w.src, e.d FROM walk w JOIN e ON w.dst = e.s)
-           |SELECT src AS doc_id, least(src, min(dst)) AS comp FROM walk
-           |GROUP BY src ORDER BY doc_id""".stripMargin,
+        s"""WITH RECURSIVE $componentCtes
+           |SELECT doc_id, comp FROM comp ORDER BY doc_id""".stripMargin,
+      "q84_dup_rate" ->
+        s"""WITH RECURSIVE $componentCtes,
+           |gs AS (SELECT comp, count(*) sz FROM comp GROUP BY 1),
+           |st AS (SELECT CAST(sum(sz) AS BIGINT) docs_in_dup_groups,
+           |    count(*) n_groups, CAST(max(sz) AS BIGINT) largest_group FROM gs),
+           |tot AS (SELECT count(*) total_docs FROM documents)
+           |SELECT total_docs, docs_in_dup_groups, n_groups, largest_group,
+           |  docs_in_dup_groups - n_groups AS removable_docs,
+           |  round((docs_in_dup_groups - n_groups) * 1.0 / total_docs, 6) AS dup_fraction
+           |FROM st, tot""".stripMargin,
       "q35_content_hash_groups" ->
         """SELECT n AS group_size, count(*) AS n_groups
           |FROM (SELECT md5(text) h, count(*) n FROM documents GROUP BY 1)

@@ -21,6 +21,10 @@ import graft.functions.expressions.{DotProductD, ShinglesExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator surface: the as-of join (graft.plans.AsOf). Sessions
+    // built without extensions get it injected imperatively on first
+    // AsOf.join via experimental.extraStrategies.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

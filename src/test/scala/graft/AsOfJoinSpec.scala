@@ -96,6 +96,32 @@ class AsOfJoinSpec extends SparkSpec {
     custom.zip(windowed).foreach { case (c, x) => assert(c == x) }
   }
 
+  test("seeded random tables match a brute-force reference") {
+    // few keys, tiny time domain (heavy collisions), overlapping id ranges
+    // on both sides — stresses exactly the (time, tie) lexicographic law
+    val rnd = new scala.util.Random(42)
+    val keys = Vector("k1", "k2", "k3")
+    for (trial <- 1 to 5) {
+      val lefts = (1L to 40L).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(20).toLong, i))
+      val rights = (1L to 40L).map(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(20).toLong, i, rnd.nextInt(1000) / 10.0))
+      val expected = lefts.map { case (k, t, id) =>
+        val m = rights
+          .filter(r => r._1 == k && (r._2 < t || (r._2 == t && r._3 < id)))
+          .sortBy(r => (r._2, r._3)).lastOption
+        id -> m.map(_._3).getOrElse(-1L)
+      }.toMap
+      val got = AsOf.join(
+          lefts.toDF("t_key", "t_t", "t_id"),
+          rights.toDF("q_key", "q_t", "q_id", "px"),
+          ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"))
+        .select($"t_id", $"q_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got == expected, s"trial $trial diverged from reference")
+    }
+  }
+
   test("plans AsOfJoinExec with exchanged+sorted children, no cartesian") {
     val df = AsOf.join(trades, quotes,
       ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"))

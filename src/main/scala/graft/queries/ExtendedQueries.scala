@@ -295,6 +295,43 @@ object ExtendedQueries {
         .orderBy($"event_id")
     }),
 
+    // Event-type Markov transition matrix — P(next | current) over each
+    // user's event stream in (ts, event_id) order: the behavioral-sequence
+    // statistic a session-analytics or next-event-prediction pipeline
+    // trains on. One shuffle on user_id for the lead(), one small agg;
+    // probabilities divide exact integer counts.
+    "q86_transition_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val wType = Window.partitionBy($"event_type")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .where($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round($"n" * lit(1.0) / sum($"n").over(wType), 6))
+        .orderBy($"event_type", $"next_type")
+    }),
+
+    // Retention cohort table — users grouped by first-activity day, counted
+    // per day-offset of later activity: THE product-analytics rollup. The
+    // per-user min(day) is one window (same user_id shuffle the other
+    // event analytics reuse); the distinct bounds each (user, day) to one
+    // contribution.
+    "q87_retention_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("day"))
+        .withColumn("cohort", min($"day").over(w))
+        .select($"cohort", datediff($"day", $"cohort").as("day_offset"), $"user_id")
+        .distinct()
+        .groupBy($"cohort", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort", $"day_offset")
+    }),
+
     // Correlated scalar subquery, decorrelated by hand into the join
     // Catalyst itself would rewrite it to: customers above their nation's
     // average balance. The per-nation average table is nation-sized —
@@ -319,6 +356,23 @@ object ExtendedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q86_transition_matrix" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) n FROM s
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+    "q87_retention_cohorts" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) dday FROM events),
+        |c AS (SELECT user_id, dday, min(dday) OVER (PARTITION BY user_id) cohort FROM d),
+        |u AS (SELECT DISTINCT cohort,
+        |        CAST(date_diff('day', cohort, dday) AS INT) day_offset, user_id
+        |      FROM c)
+        |SELECT cohort, day_offset, count(*) AS n_users
+        |FROM u GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "q78_above_nation_avg" ->
       """SELECT c_nationkey, count(*) AS n_above,
         |  round(max(c_acctbal), 2) AS max_bal,

@@ -62,8 +62,13 @@ object SimilarityQueries {
     * cell partitions. nprobe=1 probing its own cell and top-1-centroid
     * probing coincide (assignment IS nearest-centroid), so one path
     * serves both q44 and q79.
+    *
+    * [[ivfCells]] is the quantizer build shared by q44/q79/q85: cached
+    * corpus → k-means → (cells, centroids). Both returned frames are
+    * registry-tracked caches whose plans are identical across the sibling
+    * queries, so the Lloyd chain executes once per session.
     */
-  private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     GraftFunctions.register(s)
     // cached: the corpus is re-read by every Lloyd assign step and the
@@ -99,6 +104,12 @@ object SimilarityQueries {
     for (_ <- 1 to KMeansIters)
       cent = tracked(centroidsOf(assign(cent).select($"cl", $"v")))
     val cells = tracked(assign(cent).withColumnRenamed("cl", "cell"))
+    (cells, cent)
+  }
+
+  private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val (cells, cent) = ivfCells(s, dir)
     // top-nprobe centroids per query vector (pcos desc, cl asc — the same
     // tie-break the assignment uses, so nprobe=1 reproduces the own cell)
     val wProbe = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"cl".asc)
@@ -220,6 +231,23 @@ object SimilarityQueries {
     // corpus fraction). Cells are disjoint, so probes union without dedup.
     "q79_ann_ivf_multiprobe" -> ((s, dir) => ivf(s, dir, nprobe = NProbe)),
 
+    // IVF index health report — per-cell population and the cosine range
+    // to the cell's own centroid: the monitoring query you run before
+    // trusting the ANN path (empty/overfull cells and low min-cosine cells
+    // are where recall dies). min/max are order-free (unlike avg), so the
+    // report is bit-stable across engines and partitionings.
+    "q85_ivf_cell_quality" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, cent) = ivfCells(s, dir)
+      cells.join(broadcast(cent), $"cell" === $"cl")
+        .select($"cell", (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("cos"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min($"cos"), 6).as("min_cos"),
+          round(max($"cos"), 6).as("max_cos"))
+        .orderBy($"cell")
+    }),
+
     // Embedding near-dup report: each vector's nearest neighbor within its
     // (label, coarse-LSH-bucket) block. Label alone is NOT a scale-safe
     // block key (10 labels ⇒ O(n²/10) pairs, 100× data ⇒ 10,000× pairs);
@@ -267,12 +295,15 @@ object SimilarityQueries {
     })
   )
 
-  /** The IVF oracle: unrolled k-means — same init / Lloyd steps / rounding
-    * as [[ivf]], generated from the SAME KMeansIters/NProbe constants.
+  private def cosSql(v: String, cv: String) =
+    s"list_dot_product($v, $cv) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($cv, $cv)))"
+
+  /** The unrolled-k-means CTE chain shared by the IVF oracles — same
+    * init / Lloyd steps / rounding as [[ivfCells]], generated from the
+    * SAME KMeansIters constant. Exposes `cells(vec_id, v, cell)` and the
+    * final centroids `c$KMeansIters(cl, cv)`.
     */
-  private def ivfOracleSql(nprobe: Int): String = {
-    def cosSql(v: String, cv: String) =
-      s"list_dot_product($v, $cv) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($cv, $cv)))"
+  private def ivfCtesSql: String = {
     // component means of `src(cl, v)` → centroids `$out(cl, cv)`
     def update(src: String, out: String) =
       s"""u_$out AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM $src),
@@ -294,8 +325,13 @@ object SimilarityQueries {
       steps += update(s"m$i", s"c$i")
     }
     steps += assign(s"c$KMeansIters", "fin")
-    s"""WITH ${steps.mkString(",\n")},
-       |cells AS (SELECT vec_id, v, cl AS cell FROM fin),
+    steps += "cells AS (SELECT vec_id, v, cl AS cell FROM fin)"
+    steps.mkString(",\n")
+  }
+
+  /** IVF top-k oracle over [[ivfCtesSql]], parameterized by probe count. */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH $ivfCtesSql,
        |q AS (SELECT vec_id q_id, v qv FROM cells WHERE vec_id < $NQueries),
        |pr AS (SELECT q_id, qv, cl AS qc FROM (
        |    SELECT q.q_id, q.qv, c.cl,
@@ -309,7 +345,6 @@ object SimilarityQueries {
        |      FROM p)
        |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
-  }
 
   def oracles: Map[String, String] = {
     // The ±1 hyperplane sign vectors, embedded as literals so the SQL and
@@ -369,6 +404,13 @@ object SimilarityQueries {
            |ORDER BY q_id, rk""".stripMargin,
       "q44_ann_ivf" -> ivfOracleSql(nprobe = 1),
       "q79_ann_ivf_multiprobe" -> ivfOracleSql(nprobe = NProbe),
+      "q85_ivf_cell_quality" ->
+        s"""WITH $ivfCtesSql
+           |SELECT cell, count(*) AS n_vecs,
+           |  round(min(cos), 6) AS min_cos, round(max(cos), 6) AS max_cos
+           |FROM (SELECT cells.cell, ${cosSql("cells.v", "c.cv")} cos
+           |      FROM cells JOIN c$KMeansIters c ON cells.cell = c.cl)
+           |GROUP BY cell ORDER BY cell""".stripMargin,
       "q73_cosine_dup_pairs" ->
         s"""WITH nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
            |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),

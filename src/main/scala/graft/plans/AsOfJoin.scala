@@ -71,6 +71,15 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // UI-visible operator metrics: output cardinality is left's by
+  // construction, so numMatched is the one that tells an operator whether
+  // its as-of actually found partners
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   /** Both sides clustered on the key: EnsureRequirements inserts (and AQE
     * tunes) co-partitioned exchanges exactly as for a shuffled join.
     */
@@ -98,6 +107,8 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val out = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // bind on the executor: projections/orderings are not serializable
       val lKeyP = UnsafeProjection.create(Seq(leftKey), lOut)
@@ -144,8 +155,10 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lk = lKeyP(l) // reused buffers — consumed within this call
           val lt = lTimeP(l)
-          if (lk.isNullAt(0) || lt.isNullAt(0) || lt.isNullAt(1))
+          if (lk.isNullAt(0) || lt.isNullAt(0) || lt.isNullAt(1)) {
+            numOutputRows += 1
             return resultProj(joined(l, nullRight)) // null never matches
+          }
           // consume every right row at or before this left position; the
           // last equal-key NON-NULL one consumed is the as-of match
           var continue = rRow != null
@@ -161,6 +174,8 @@ case class AsOfJoinExec(
           val m =
             if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) matchRow
             else nullRight
+          if (m ne nullRight) numMatched += 1
+          numOutputRows += 1
           resultProj(joined(l, m))
         }
       }

@@ -122,6 +122,30 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("operator metrics count output and matched rows; bad columns throw") {
+    val df = AsOf.join(trades, quotes,
+      ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"))
+    df.collect()
+    // AQE wraps the operator in leaf QueryStageExec nodes — descend manually
+    def findAsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[AsOfJoinExec] =
+      p match {
+        case x: AsOfJoinExec => Some(x)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findAsOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findAsOf(q.plan)
+        case other => other.children.view.flatMap(findAsOf(_)).headOption
+      }
+    val exec = findAsOf(df.queryExecution.executedPlan)
+    assert(exec.isDefined, "AsOfJoinExec not found in executed plan")
+    assert(exec.get.metrics("numOutputRows").value == 5) // every trade
+    assert(exec.get.metrics("numMatched").value == 2) // t_id 11 and 12
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(trades, quotes, ("no_such", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"))
+    }
+    assert(err.getMessage.contains("no_such"))
+  }
+
   test("plans AsOfJoinExec with exchanged+sorted children, no cartesian") {
     val df = AsOf.join(trades, quotes,
       ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"))

@@ -332,6 +332,31 @@ object ExtendedQueries {
         .orderBy($"cohort", $"day_offset")
     }),
 
+    // Ordered funnel: users who viewed, then clicked AFTER their first
+    // view, then purchased AFTER that click — with stage conversion
+    // rates. Each stage is one filtered aggregate joined to the previous
+    // stage's per-user watermark; counts are exact so the rates divide
+    // deterministically. At 100 TB: three narrow filtered scans, each
+    // shuffling only (user_id, min_ts).
+    "q88_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+      val v = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.where($"event_type" === "click").join(v, "user_id")
+        .where($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p = ev.where($"event_type" === "purchase").join(c, "user_id")
+        .where($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+        .select($"n_view", $"n_view_click", $"n_full_funnel",
+          round($"n_view_click" * lit(1.0) / $"n_view", 6).as("click_rate"),
+          round($"n_full_funnel" * lit(1.0) / $"n_view_click", 6).as("purchase_rate"))
+    }),
+
     // Correlated scalar subquery, decorrelated by hand into the join
     // Catalyst itself would rewrite it to: customers above their nation's
     // average balance. The per-nation average table is nation-sized —
@@ -356,6 +381,17 @@ object ExtendedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q88_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel,
+        |  round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6) AS click_rate,
+        |  round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 6) AS purchase_rate""".stripMargin,
     "q86_transition_matrix" ->
       """WITH s AS (SELECT event_type,
         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) next_type

@@ -377,10 +377,85 @@ object ExtendedQueries {
           round(max($"c_acctbal"), 2).as("max_bal"),
           round(min($"bal_sum").cast("double") / min($"bal_n"), 6).as("nation_avg"))
         .orderBy($"c_nationkey")
+    }),
+
+    // Daily-volume anomaly detection per event type: z-score of each day's
+    // event count against that type's mean/stddev. The monitoring rollup a
+    // pipeline runs over its ingest ledger. Two small aggs (day grain then
+    // type grain) joined back broadcast-sized; counts/min/max are exact,
+    // the float stats are final-rounded, and the anomaly threshold is on
+    // the z itself (|z| > 2) where a 1e-12 stddev-algorithm difference
+    // cannot flip a verdict except exactly at the boundary.
+    "q90_anomaly_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy($"event_type")
+        .agg(avg($"cnt").as("mu"), stddev_samp($"cnt").as("sd"),
+          count(lit(1)).as("n_days"),
+          min($"cnt").as("min_cnt"), max($"cnt").as("max_cnt"))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("z", ($"cnt" - $"mu") / $"sd")
+        .groupBy($"event_type")
+        .agg(first($"n_days").as("n_days"),
+          first($"min_cnt").as("min_cnt"), first($"max_cnt").as("max_cnt"),
+          round(first($"mu"), 6).as("avg_cnt"),
+          round(first($"sd"), 6).as("sd_cnt"),
+          sum(when(abs($"z") > 2, 1).otherwise(0)).as("n_anomalies"),
+          round(max(abs($"z")), 6).as("max_abs_z"))
+        .orderBy($"event_type")
+    }),
+
+    // Z-order (Morton) locality index — the multi-dimensional clustering
+    // key a 100 TB layout sorts on so point/range lookups on EITHER
+    // dimension prune files via min-max stats. Interleaves 10 bits of
+    // (user_id mod 1024) with 10 bits of day-of-year; the rollup proves
+    // the locality property: within one z-block (top 8 bits) each
+    // dimension spans ≤ 63 — bounded rectangles, which is exactly what
+    // makes file-level min-max stats selective after a z-sort. Pure
+    // integer bit math — bit-exact against the oracle.
+    "q91_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val x = ($"user_id" % 1024).cast("long")
+      val y = (dayofyear($"ts") % 1024).cast("long")
+      val z = (0 until 10).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      Tables.events(s, dir)
+        .select(x.as("xv"), y.as("yv"), z.as("zv"))
+        .groupBy(shiftright($"zv", 12).as("z_block"))
+        .agg(count(lit(1)).as("n"),
+          (max($"xv") - min($"xv")).as("x_span"),
+          (max($"yv") - min($"yv")).as("y_span"))
+        .orderBy($"z_block")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q90_anomaly_zscore" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(cnt) mu, stddev_samp(cnt) sd, count(*) n_days,
+        |              min(cnt) min_cnt, max(cnt) max_cnt
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, st.n_days, st.min_cnt, st.max_cnt,
+        |       round(st.mu, 6) AS avg_cnt, round(st.sd, 6) AS sd_cnt,
+        |       sum(CASE WHEN abs((d.cnt - st.mu) / st.sd) > 2 THEN 1 ELSE 0 END) AS n_anomalies,
+        |       round(max(abs((d.cnt - st.mu) / st.sd)), 6) AS max_abs_z
+        |FROM d JOIN st USING (event_type)
+        |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin,
+    "q91_zorder" -> {
+      val inter = (0 until 10).map { i =>
+        s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      s"""WITH pts AS (SELECT user_id % 1024 AS x, dayofyear(ts) % 1024 AS y FROM events),
+         |zz AS (SELECT x AS xv, y AS yv, ($inter) AS zv FROM pts)
+         |SELECT zv >> 12 AS z_block, count(*) AS n,
+         |       max(xv) - min(xv) AS x_span, max(yv) - min(yv) AS y_span
+         |FROM zz GROUP BY 1 ORDER BY z_block""".stripMargin
+    },
     "q88_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) t1 FROM events WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN v USING (user_id)

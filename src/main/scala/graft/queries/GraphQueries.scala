@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.CacheRegistry
+import graft.sources.Tables
+
+/** Iterative graph analytics over the trade graph implied by the star
+  * schema: nodes = nations, edges = supplier-nation → customer-nation with
+  * lineitem counts as weights. The reference has no graph surface; this is
+  * added capability alongside [[graft.operators.ConnectedComponents]]
+  * (which handles the unweighted dedup-closure case).
+  *
+  * Scale shape: the edge list is built with ONE fact⨝fact shuffle plus
+  * broadcast dims, then collapses to |nations|² ≤ 625 rows — so the
+  * iteration itself (3 unrolled rank⨝edge joins) runs over a broadcast-
+  * sized table no matter how many lineitems fed it. At 100 TB the heavy
+  * part stays the single edge-aggregation pass; iterations are free.
+  * For graphs whose edge list does NOT collapse (user→user), the same loop
+  * shape holds with shuffle joins per round — see ConnectedComponents for
+  * the checkpointed variant of that regime.
+  *
+  * Determinism contract with the DuckDB oracle: edge weights and degrees
+  * are exact integers; transition probabilities are single exact-int
+  * divisions; each PageRank iteration rounds to 10 dp (absorbing float
+  * sum-order differences of ~1e-16) and the final projection to 6 dp.
+  */
+object GraphQueries {
+
+  private val Damping = 0.85
+  // NOT computed as 1.0 - Damping: that double is not bit-identical to the
+  // literal 0.15 the oracle SQL spells, and the teleport term must match
+  // exactly for the per-iteration rounding to agree.
+  private val Teleport = 0.15
+  private val Iterations = 3
+
+  /** Weighted nation→nation edge list: supplier nation ships to customer
+    * nation, weight = lineitem count. One shuffle join (lineitem⨝orders)
+    * plus two broadcast dims.
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(sup("s_nationkey").as("src"), c("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private val tradeEdgesSql =
+    """SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank, 3 unrolled iterations over the nation trade graph, with
+    // dangling-mass redistribution (a node with no out-edges donates its
+    // rank uniformly — without this, mass leaks and the result is no
+    // longer a distribution):
+    //   r_{k+1}(v) = (1-d)/N + d·(Σ_u r_k(u)·w(u,v)/out(u) + D_k/N),
+    //   D_k = Σ_{dangling u} r_k(u).
+    // The loop builds ONE lazy plan — no action per round — and the
+    // edge/probability table is cached once and read by all rounds; the
+    // per-round dangling mass is a 1-row broadcast cross join.
+    "q89_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val n = Tables.nation(s, dir)
+      val nN = n.count().toDouble // 25-row dimension: metadata-sized count
+      val prob = CacheRegistry.track(
+        tradeEdges(s, dir)
+          .withColumn("outw", sum($"w").over(Window.partitionBy($"src")))
+          .select($"src", $"dst", ($"w".cast("double") / $"outw").as("p"))
+          .cache())
+      val dangling = n.select($"n_nationkey".as("dnode"))
+        .join(prob.select($"src").distinct(), $"dnode" === $"src", "left_anti")
+      var ranks = n.select($"n_nationkey".as("node"), (lit(1.0) / nN).as("pr"))
+      for (_ <- 1 to Iterations) {
+        // each round reads `ranks` TWICE (dangling mass + contribution):
+        // cache every round's node-sized table or the lazy lineage doubles
+        // per iteration (2^k replays of the base plan). The 100TB-node
+        // analogue is ConnectedComponents' per-round reliable checkpoint.
+        val r = CacheRegistry.track(ranks.cache())
+        val dMass = r.join(broadcast(dangling), $"node" === $"dnode")
+          .agg(coalesce(sum($"pr"), lit(0.0)).as("dm"))
+        val contrib = prob.join(r, $"src" === $"node")
+          .groupBy($"dst").agg(sum($"p" * $"pr").as("cb"))
+        ranks = n.select($"n_nationkey".as("node"))
+          .join(contrib, $"node" === $"dst", "left")
+          .crossJoin(broadcast(dMass))
+          .select($"node",
+            round(lit(Teleport) / nN +
+              lit(Damping) * (coalesce($"cb", lit(0.0)) + $"dm" / nN), 10)
+              .as("pr"))
+      }
+      ranks.join(broadcast(n), $"node" === $"n_nationkey")
+        .select($"node".as("nation_key"), $"n_name", round($"pr", 6).as("pagerank"))
+        .orderBy($"nation_key")
+    }),
+
+    // Degree distribution of the same graph: how many nations have k
+    // outbound trade partners / what weight do they carry. Exact integer
+    // surface (no float risk) — the structural profile a partitioner
+    // would consult before choosing a skew strategy.
+    "q94_degree_hist" -> ((s, dir) => {
+      import s.implicits._
+      tradeEdges(s, dir)
+        .groupBy($"src")
+        .agg(count(lit(1)).as("out_deg"), sum($"w").as("out_w"))
+        .groupBy($"out_deg")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"out_w").as("min_w"), max($"out_w").as("max_w"))
+        .orderBy($"out_deg")
+    }))
+
+  def oracles: Map[String, String] = {
+    // One iteration of the oracle recurrence, parameterized on the previous
+    // rank CTE's name — interpolated 3× so Spark and DuckDB unroll the SAME
+    // number of rounds with the SAME per-round rounding.
+    def iter(prev: String, cur: String): String =
+      s"""d$cur AS (
+         |  SELECT coalesce(sum(pr), 0.0) AS dm FROM $prev
+         |  WHERE node NOT IN (SELECT DISTINCT src FROM pb)),
+         |$cur AS (
+         |  SELECT nd.n_nationkey AS node,
+         |         round(0.15 / (SELECT nf FROM nn) +
+         |               0.85 * (coalesce(sum(pb.p * $prev.pr), 0.0) +
+         |                       (SELECT dm FROM d$cur) / (SELECT nf FROM nn)), 10) AS pr
+         |  FROM nation nd
+         |  LEFT JOIN pb ON pb.dst = nd.n_nationkey
+         |  LEFT JOIN $prev ON $prev.node = pb.src
+         |  GROUP BY 1)""".stripMargin
+    Map(
+      "q89_pagerank" ->
+        s"""WITH e AS ($tradeEdgesSql),
+           |pb AS (SELECT src, dst,
+           |         CAST(w AS DOUBLE) / sum(CAST(w AS DOUBLE)) OVER (PARTITION BY src) AS p
+           |       FROM e),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nf FROM nation),
+           |r0 AS (SELECT n_nationkey AS node, 1.0 / (SELECT nf FROM nn) AS pr FROM nation),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT r3.node AS nation_key, n_name, round(r3.pr, 6) AS pagerank
+           |FROM r3 JOIN nation ON r3.node = n_nationkey
+           |ORDER BY nation_key""".stripMargin,
+      "q94_degree_hist" ->
+        s"""WITH e AS ($tradeEdgesSql),
+           |d AS (SELECT src, count(*) AS out_deg, sum(w) AS out_w FROM e GROUP BY 1)
+           |SELECT out_deg, count(*) AS n_nodes, min(out_w) AS min_w, max(out_w) AS max_w
+           |FROM d GROUP BY 1 ORDER BY out_deg""".stripMargin)
+  }
+}

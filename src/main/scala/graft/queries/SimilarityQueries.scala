@@ -369,6 +369,39 @@ object SimilarityQueries {
         .where($"rk" <= PqTopK)
         .select($"q_id", $"rk", $"nn_id", $"adc")
         .orderBy($"q_id", $"rk")
+    }),
+
+    // Centroid silhouette — the clustering-quality score for the label
+    // structure the ANN paths exploit: a = mean cosine distance to the own
+    // label's centroid, b = distance to the NEAREST other centroid,
+    // s = (b−a)/max(a,b) from the ROUNDED a and b (so the division is
+    // bit-stable). s near 0 here is itself the diagnostic: random labels
+    // have no cluster structure, which is why the blocked dup reports
+    // need the LSH component in their keys. One centroid agg + one
+    // broadcast join of k×dim centroids; the corpus never self-joins.
+    "q97_centroid_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val cent = e.select($"label".as("cl"), $"v")
+        .select($"cl", posexplode($"v"))
+        .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
+        .groupBy($"cl")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
+          .as("cv"))
+        .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
+      val intra = e.join(broadcast(cent), $"label" === $"cl")
+        .select($"label", (lit(1.0) - dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("dist"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), round(avg($"dist"), 6).as("a"))
+      val inter = cent.as("x").join(broadcast(cent.as("y")), $"x.cl" =!= $"y.cl")
+        .select($"x.cl".as("label2"),
+          (lit(1.0) - dot($"x.cv", $"y.cv") / ($"x.cnrm" * $"y.cnrm")).as("cd"))
+        .groupBy($"label2").agg(round(min($"cd"), 6).as("b"))
+      intra.join(broadcast(inter), $"label" === $"label2")
+        .select($"label", $"n", $"a", $"b",
+          round(($"b" - $"a") / greatest($"a", $"b"), 6).as("sil"))
+        .orderBy($"label")
     })
   )
 
@@ -514,6 +547,19 @@ object SimilarityQueries {
            |ORDER BY q_id, rk""".stripMargin,
       "q44_ann_ivf" -> ivfOracleSql(nprobe = 1),
       "q79_ann_ivf_multiprobe" -> ivfOracleSql(nprobe = NProbe),
+      "q97_centroid_silhouette" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |u AS (SELECT label AS cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM e),
+           |cp AS (SELECT cl, pos, round(avg(val), 6) c FROM u GROUP BY cl, pos),
+           |ct AS (SELECT cl, list(c ORDER BY pos) cv FROM cp GROUP BY cl),
+           |intra AS (SELECT e.label, count(*) n,
+           |            round(avg(1.0 - ${cosSql("e.v", "ct.cv")}), 6) a
+           |          FROM e JOIN ct ON e.label = ct.cl GROUP BY 1),
+           |inter AS (SELECT x.cl AS label2,
+           |            round(min(1.0 - ${cosSql("x.cv", "y.cv")}), 6) b
+           |          FROM ct x JOIN ct y ON x.cl <> y.cl GROUP BY 1)
+           |SELECT label, n, a, b, round((b - a) / greatest(a, b), 6) AS sil
+           |FROM intra JOIN inter ON label = label2 ORDER BY label""".stripMargin,
       "q95_pq_knn" -> {
         val adcSum = (0 until PqM)
           .map(m => s"max(CASE WHEN co.m = $m THEN l.pd END)").mkString(" + ")

@@ -543,6 +543,48 @@ object TextQueries {
         .select($"rnk", $"word", $"cnt",
           round(($"cnt" * $"rnk").cast("double") / $"n_total", 6).as("zipf_c"))
         .orderBy($"rnk")
+    }),
+
+    // LM-perplexity quality filter (the CCNet move): train an add-one-
+    // smoothed bigram LM on the q56 train split, score the held-out test
+    // split, and surface the 15 highest-NLL (= most LM-surprising) docs —
+    // the ones a perplexity-based curation pass would drop first. Counts
+    // and vocabulary are exact integers; per-token log-probs are floats,
+    // so each doc's NLL is ROUNDED to 6dp before ranking (duplicate texts
+    // produce identical bags of addends whose sum ORDER differs per
+    // engine — ranking the rounded value keeps the doc_id tie-break
+    // authoritative). At 100 TB: the model is one (w1,w2) count table
+    // (vocabulary-sized, bucket-joinable), scoring is a per-bigram lookup
+    // join + per-doc aggregation — embarrassingly parallel.
+    "q96_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val pct = md5Pct("", $"doc_id")
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text", pct.as("pct"))
+      def bigrams(d: DataFrame) = d
+        .select($"doc_id", $"lang", explode(wordShingles(tokens($"text"), 2)).as("bg"))
+        .select($"doc_id", $"lang",
+          split($"bg", " ")(0).as("w1"), split($"bg", " ")(1).as("w2"))
+      val train = bigrams(docs.where($"pct" < 0.8))
+      val c12 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+      val c1 = c12.groupBy($"w1").agg(sum($"n12").as("n1"))
+      val vocab = c12.select($"w2").distinct().agg(count(lit(1)).as("v"))
+      val scored = bigrams(docs.where($"pct" >= 0.9))
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select($"doc_id", $"lang",
+          log((coalesce($"n12", lit(0L)) + lit(1)).cast("double") /
+            (coalesce($"n1", lit(0L)) + $"v")).as("lp"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-sum($"lp") / count(lit(1)), 6).as("nll"))
+      val w = Window.orderBy($"nll".desc, $"doc_id".asc)
+      scored
+        .orderBy($"nll".desc, $"doc_id".asc).limit(15)
+        .withColumn("rnk", row_number().over(w))
+        .select($"rnk", $"doc_id", $"lang", $"n_bigrams", $"nll")
+        .orderBy($"rnk")
     })
   )
 
@@ -571,6 +613,27 @@ object TextQueries {
           |  FROM c ORDER BY cnt DESC, word ASC LIMIT 50)
           |SELECT rnk, word, cnt, round(CAST(cnt * rnk AS DOUBLE) / n_total, 6) AS zipf_c
           |FROM top, tot ORDER BY rnk""".stripMargin,
+      "q96_perplexity" ->
+        s"""WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') toks,
+           |    ${md5PctSql("")} AS pct FROM documents),
+           |bg AS (SELECT doc_id, lang, pct, toks[j+1] w1, toks[j+2] w2
+           |       FROM d, unnest(range(greatest(len(toks)-1, 0))) AS u(j)),
+           |c12 AS (SELECT w1, w2, count(*) n12 FROM bg WHERE pct < 0.8 GROUP BY 1, 2),
+           |c1 AS (SELECT w1, sum(n12) n1 FROM c12 GROUP BY 1),
+           |vv AS (SELECT count(DISTINCT w2) v FROM c12),
+           |sc AS (SELECT t.doc_id, t.lang,
+           |         ln(CAST(coalesce(c12.n12, 0) + 1 AS DOUBLE) /
+           |            (coalesce(c1.n1, 0) + (SELECT v FROM vv))) AS lp
+           |       FROM bg t LEFT JOIN c12 ON t.w1 = c12.w1 AND t.w2 = c12.w2
+           |                 LEFT JOIN c1 ON t.w1 = c1.w1
+           |       WHERE t.pct >= 0.9),
+           |ag AS (SELECT doc_id, lang, count(*) n_bigrams,
+           |         round(-sum(lp) / count(*), 6) nll
+           |       FROM sc GROUP BY 1, 2),
+           |r AS (SELECT doc_id, lang, n_bigrams, nll,
+           |        CAST(row_number() OVER (ORDER BY nll DESC, doc_id ASC) AS INT) rnk
+           |      FROM ag ORDER BY nll DESC, doc_id ASC LIMIT 15)
+           |SELECT rnk, doc_id, lang, n_bigrams, nll FROM r ORDER BY rnk""".stripMargin,
       "q50_token_stats" ->
         """WITH d AS (SELECT lang,
           |    len(string_split_regex(trim(text), '\s+')) ws_toks,

@@ -98,6 +98,48 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the hot key of a skewed sort-merge join at runtime") {
+    // The OTHER half of the skew story: q58 pins the static salting
+    // pattern; this pins that the engine's own runtime replan (AQE skew
+    // join) also handles a hot key — thresholds lowered to fixture scale,
+    // same mechanism a 1000-executor job relies on.
+    import org.apache.spark.sql.functions.{concat, lit, md5}
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying 50k rows vs 100 cold keys with 10 each; the
+      // pad is incompressible (md5) and aggregated downstream so it FLOWS
+      // THROUGH the shuffle — a constant-only hot partition would compress
+      // under the skew threshold and hide the skew from AQE's stats
+      val skewed = spark.range(50000).select(lit("hot").as("k"), md5($"id".cast("string")).as("pad"))
+        .union(spark.range(1000).select(concat(lit("cold"), $"id" % 100).as("k"),
+          md5($"id".cast("string"))))
+      val dim = (Seq("hot") ++ (0 until 100).map("cold" + _)).toDF("k")
+        .select($"k", md5($"k").as("attr"))
+      // global agg downstream: a per-key agg would REQUIRE the join's hash
+      // partitioning and (absent force) veto the split
+      val j = skewed.join(dim, "k")
+        .agg(org.apache.spark.sql.functions.max($"pad"))
+      j.collect() // AQE finalizes the physical plan only on execution
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a runtime skew-split sort-merge join in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("candidate pair space is linear: per-band buckets capped at MaxBand") {
     // The MaxBand guard bounds every band bucket, so candidate pairs per
     // doc per band never exceed MaxBand — total candidates <= bands * n *

@@ -37,4 +37,18 @@ class PqKnnSpec extends SparkSpec {
   test("q95 is deterministic across runs") {
     assert(rows("q95_pq_knn") == rows("q95_pq_knn"))
   }
+
+  test("q98 IVF-PQ: per-query ascending residual-ADC, candidates from the probed cell only") {
+    val out = rows("q98_ivf_pq")
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 10, "every query probes a non-empty own cell")
+    byQ.values.foreach { g =>
+      val adcs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(adcs == adcs.sorted && adcs.forall(_ >= 0.0))
+    }
+    // composition sanity: the IVF cell restriction means q98's candidate
+    // pool is a subset of the corpus — it must never return the query
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows("q98_ivf_pq") == rows("q98_ivf_pq"), "deterministic across runs")
+  }
 }

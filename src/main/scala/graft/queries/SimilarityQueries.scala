@@ -155,6 +155,24 @@ object SimilarityQueries {
   private def cached(df: DataFrame): DataFrame =
     graft.operators.CacheRegistry.track(df.cache())
 
+  /** q73/q99's shared candidate plan: (label, corpus-scaled LSH bucket)
+    * blocked pairs at or above the dup threshold, with raw cosine.
+    * Cached — the pair report and the component closure read it verbatim.
+    */
+  private def cosineDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val planes = blockPlanesFor(Tables.embeddings(s, dir).count())
+    val e = normalized(s, dir)
+      .withColumn("bucket", lshBucket($"v", planes, Dim))
+    cached(e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+        (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .where($"cos" >= 0.35))
+  }
+
   /** Squared L2 spelled as dot(a,a) − 2·dot(a,b) + dot(b,b): three
     * index-order dots, the exact expression the oracle spells.
     */
@@ -323,18 +341,23 @@ object SimilarityQueries {
     // never O(n²).
     "q73_cosine_dup_pairs" -> ((s, dir) => {
       import s.implicits._
-      GraftFunctions.register(s)
-      val planes = blockPlanesFor(Tables.embeddings(s, dir).count())
-      val e = normalized(s, dir)
-        .withColumn("bucket", lshBucket($"v", planes, Dim))
-      e.as("a").join(e.as("b"),
-          $"a.label" === $"b.label" && $"a.bucket" === $"b.bucket" &&
-            $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
-          (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
-        .where($"cos" >= 0.35)
+      cosineDupPairs(s, dir)
         .select($"a_id", $"b_id", round($"cos", 6).as("cosine"))
         .orderBy($"a_id", $"b_id")
+    }),
+
+    // Embedding dup GROUPS: the q73 pair set closed into components via
+    // min-label propagation — the semantic-dedup analogue of q36's text
+    // closure, so an embedding-level dedup pass can keep one
+    // representative per group. Same cached pair plan as q73; the
+    // oracle's recursive CTE walks the same edges.
+    "q99_embedding_dup_groups" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.ConnectedComponents
+        .components(cosineDupPairs(s, dir).select($"a_id", $"b_id"),
+          unpersistEdges = false)
+        .select($"id".as("vec_id"), $"comp")
+        .orderBy($"vec_id")
     }),
 
     "q34_embedding_nn" -> ((s, dir) => {
@@ -719,6 +742,21 @@ object SimilarityQueries {
            |        AND a.vec_id < b.vec_id)
            |SELECT a_id, b_id, round(cos, 6) AS cosine FROM p WHERE cos >= 0.35
            |ORDER BY a_id, b_id""".stripMargin,
+      "q99_embedding_dup_groups" ->
+        s"""WITH RECURSIVE nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
+           |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |e AS (SELECT vec_id, label, v, ${ladderBucketExpr(BlockPlanesCap)} AS bucket FROM e0, nn),
+           |p AS (SELECT a.vec_id a_id, b.vec_id b_id
+           |      FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+           |        AND a.vec_id < b.vec_id
+           |      WHERE $cos >= 0.35),
+           |ed AS (SELECT a_id s, b_id d FROM p UNION ALL SELECT b_id, a_id FROM p),
+           |walk(src, dst) AS (
+           |  SELECT s, d FROM ed
+           |  UNION
+           |  SELECT w.src, ed.d FROM walk w JOIN ed ON w.dst = ed.s),
+           |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp FROM walk GROUP BY src)
+           |SELECT vec_id, comp FROM comp ORDER BY vec_id""".stripMargin,
       "q34_embedding_nn" ->
         s"""WITH nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
            |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),

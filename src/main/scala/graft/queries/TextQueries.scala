@@ -585,6 +585,61 @@ object TextQueries {
         .withColumn("rnk", row_number().over(w))
         .select($"rnk", $"doc_id", $"lang", $"n_bigrams", $"nll")
         .orderBy($"rnk")
+    }),
+
+    // The END-TO-END curation funnel — every gate a training-data build
+    // applies, staged, with survivor counts: quality (q55's law) → exact
+    // content dedup (keep-min per md5(text), q35's law) → near-dup dedup
+    // (keep-min per winnowing fingerprint, q53's law) → train-split
+    // restriction (q56's law) → decontamination against the test split's
+    // word-5-grams (q71's law). Each stage filters the previous stage's
+    // survivors, so the report reads as the pipeline's loss budget. All
+    // counts are exact integers over deterministic gates; the scored base
+    // table is cached and every stage reuses it. At 100 TB each gate is
+    // the same shape it has standalone — narrow scoring, one content-hash
+    // shuffle, one fingerprint shuffle, a broadcast/bucketed gram
+    // semi-join — composed left-to-right with nothing quadratic.
+    "q100_curation_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val pct = md5Pct("", $"doc_id")
+      val t = graft.operators.CacheRegistry.track(Tables.documents(s, dir)
+        .select($"doc_id", $"text", tokens($"text").as("toks"), pct.as("pct"))
+        .select($"doc_id", $"toks", $"pct",
+          md5($"text".cast("binary")).as("ch"),
+          size($"toks").as("n_tok"),
+          aggregate($"toks", lit(0), (acc, x) => acc + length(x)).as("sum_len"),
+          stopCount($"toks", stop("en")).as("n_stop"),
+          array_min(transform(wordShingles($"toks", 5),
+            x => md5(x.cast("binary")))).as("fp"))
+        .cache())
+      val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+        lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+      val s2 = t.where(quality >= 0.5)
+      val s3 = s2
+        .withColumn("keep", $"doc_id" === min($"doc_id").over(Window.partitionBy($"ch")))
+        .where($"keep").drop("keep")
+      val s4 = s3
+        .withColumn("keep",
+          $"fp".isNull || $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp")))
+        .where($"keep").drop("keep")
+      val s5 = s4.where($"pct" < 0.8)
+      val grams = t.select($"doc_id", $"pct", explode(wordShingles($"toks", 5)).as("g"))
+        .select($"doc_id", $"pct", md5($"g".cast("binary")).as("gh"))
+      val testGrams = grams.where($"pct" >= 0.9).select($"gh").distinct()
+      val contaminated = grams.join(testGrams, "gh").select($"doc_id").distinct()
+      val s6 = s5.join(contaminated, Seq("doc_id"), "left_anti")
+      def cnt(df: DataFrame, ord: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"), $"n_docs")
+      cnt(t, 1, "total")
+        .unionAll(cnt(s2, 2, "quality_pass"))
+        .unionAll(cnt(s3, 3, "exact_dedup"))
+        .unionAll(cnt(s4, 4, "neardup_dedup"))
+        .unionAll(cnt(s5, 5, "train_split"))
+        .unionAll(cnt(s6, 6, "decontaminated"))
+        .orderBy($"stage_ord")
     })
   )
 
@@ -613,6 +668,42 @@ object TextQueries {
           |  FROM c ORDER BY cnt DESC, word ASC LIMIT 50)
           |SELECT rnk, word, cnt, round(CAST(cnt * rnk AS DOUBLE) / n_total, 6) AS zipf_c
           |FROM top, tot ORDER BY rnk""".stripMargin,
+      "q100_curation_funnel" ->
+        s"""WITH t AS (SELECT doc_id, md5(text) ch, string_split_regex(trim(text), '\\s+') toks,
+           |    ${md5PctSql("")} AS pct FROM documents),
+           |b AS (SELECT doc_id, ch, toks, pct,
+           |    len(toks) n_tok,
+           |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+           |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) n_stop,
+           |    list_min(list_transform(
+           |      [list_aggregate(toks[j+1:j+5], 'string_agg', ' ') FOR j IN range(greatest(len(toks)-4, 0))],
+           |      s -> md5(s))) fp
+           |  FROM t),
+           |s2 AS (SELECT * FROM b WHERE
+           |    0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+           |      + 0.3 * (n_stop * 1.0 / n_tok)
+           |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0) >= 0.5),
+           |s3 AS (SELECT * FROM (
+           |    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY ch) AS keep FROM s2)
+           |  WHERE keep),
+           |s4 AS (SELECT * FROM (
+           |    SELECT *, (fp IS NULL OR doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keep2 FROM s3)
+           |  WHERE keep2),
+           |s5 AS (SELECT * FROM s4 WHERE pct < 0.8),
+           |g AS (SELECT doc_id, pct,
+           |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+           |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+           |tg AS (SELECT DISTINCT gh FROM g WHERE pct >= 0.9),
+           |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN tg USING (gh)),
+           |s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+           |SELECT * FROM (
+           |  SELECT 1 stage_ord, 'total' stage, count(*) n_docs FROM t UNION ALL
+           |  SELECT 2, 'quality_pass', count(*) FROM s2 UNION ALL
+           |  SELECT 3, 'exact_dedup', count(*) FROM s3 UNION ALL
+           |  SELECT 4, 'neardup_dedup', count(*) FROM s4 UNION ALL
+           |  SELECT 5, 'train_split', count(*) FROM s5 UNION ALL
+           |  SELECT 6, 'decontaminated', count(*) FROM s6)
+           |ORDER BY stage_ord""".stripMargin,
       "q96_perplexity" ->
         s"""WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') toks,
            |    ${md5PctSql("")} AS pct FROM documents),

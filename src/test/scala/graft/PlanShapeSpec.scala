@@ -71,6 +71,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(blockPlanesFor(5000L) == 5)  // sf0.1 embeddings
   }
 
+  test("graph/layout/curation pack plans no cartesian product") {
+    // audited by hand 2026-08-13: the only BroadcastNestedLoopJoins in
+    // this pack are 1-row scalar broadcasts (q89 dangling mass, q93 token
+    // total, q96 vocabulary size) and q97's k×k centroid pairing — all
+    // bounded sides by construction. A CartesianProduct would mean a
+    // scalar subquery or join condition regressed to unbounded pair work.
+    Seq("q89_pagerank", "q90_anomaly_zscore", "q91_zorder", "q92_priority_sample",
+      "q93_zipf", "q94_degree_hist", "q96_perplexity", "q97_centroid_silhouette",
+      "q99_embedding_dup_groups", "q100_curation_funnel")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+      }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("runtime bloom filter injects on the fact side of a selective shuffle join") {
     // The 100 TB guard for fact⨝filtered-dim SHUFFLE joins (too big to
     // broadcast): Catalyst builds a bloom filter from the filtered dim keys

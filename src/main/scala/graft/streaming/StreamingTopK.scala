@@ -30,6 +30,20 @@ object StreamingTopK {
   final case class HeavyHitter(group: String, item: String,
       count: Long, err: Long, rank: Int)
 
+  /** One Space-Saving step: pure, so the sketch laws are property-testable
+    * without a streaming harness (LawProps drives this against brute-force
+    * counts on random feeds).
+    */
+  private[graft] def foldSketch(sk: Map[String, (Long, Long)], item: String,
+      capacity: Int): Map[String, (Long, Long)] =
+    sk.get(item) match {
+      case Some((c, e)) => sk.updated(item, (c + 1, e))
+      case None if sk.size < capacity => sk.updated(item, (1L, 0L))
+      case None =>
+        val (evict, (minC, _)) = sk.minBy { case (i, (c, _)) => (c, i) }
+        (sk - evict).updated(item, (minC + 1, minC))
+    }
+
   /** Top-`k` items per group after each micro-batch (`OutputMode.Update`):
     * the current sketch ranking, recomputed as state absorbs the batch.
     */
@@ -48,13 +62,7 @@ object StreamingTopK {
          state: GroupState[Map[String, (Long, Long)]]) =>
           var sk = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
           rows.toVector.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, _, item) =>
-            sk.get(item) match {
-              case Some((c, e)) => sk = sk.updated(item, (c + 1, e))
-              case None if sk.size < capacity => sk = sk.updated(item, (1L, 0L))
-              case None =>
-                val (evict, (minC, _)) = sk.minBy { case (i, (c, _)) => (c, i) }
-                sk = (sk - evict).updated(item, (minC + 1, minC))
-            }
+            sk = foldSketch(sk, item, capacity)
           }
           state.update(sk)
           sk.toVector

@@ -83,4 +83,27 @@ object LawProps extends Properties("graft-laws") {
         deleted.forall(_.timestamp.getTime < cutoff) &&
         kept.forall(_.timestamp.getTime >= cutoff)
     }
+
+  property("space-saving law: size <= capacity; reported >= true >= reported - err; " +
+      "every item with freq > N/capacity is present") =
+    forAll(
+      Gen.listOf(Gen.frequency(
+        8 -> Gen.oneOf("a", "b", "c", "d"),
+        2 -> Gen.alphaLowerStr.map(s => "r" + s.take(6)))),
+      Gen.chooseNum(2, 16)) { (feed, capacity) =>
+      val sketch = feed.foldLeft(Map.empty[String, (Long, Long)])(
+        (sk, it) => graft.streaming.StreamingTopK.foldSketch(sk, it, capacity))
+      val truth = feed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = feed.size.toLong
+      val bounds = sketch.forall { case (item, (c, e)) =>
+        val t = truth(item)
+        c >= t && c - e <= t
+      }
+      val guaranteed = truth.forall { case (item, t) =>
+        t * capacity <= n || sketch.contains(item)
+      }
+      ((sketch.size <= capacity) :| "bounded state") &&
+        (bounds :| "count bracket") &&
+        (guaranteed :| "heavy hitters present")
+    }
 }

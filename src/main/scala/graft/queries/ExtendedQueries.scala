@@ -407,6 +407,32 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // DAU / WAU / MAU — the engagement triple every product-analytics
+    // stack computes: per day, distinct active users that day, over the
+    // trailing 7 days, and over the trailing 30 days, plus stickiness
+    // (DAU/MAU). Spelled as (user, day) de-dup once, then per-day distinct
+    // counts via a self-join on the bounded day range — the exact form;
+    // at 100 TB the (user, day) table is the small derived one and the
+    // range join is day×30 rows, not event×30. (The approximate scale
+    // path is q28's HLL sketches merged over windows.)
+    "q101_dau_wau_mau" -> ((s, dir) => {
+      import s.implicits._
+      val ud = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val days = ud.select($"day").distinct()
+      val dau = ud.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+      val wau = days.as("d").join(ud.as("u"),
+          datediff($"d.day", $"u.day").between(0, 6))
+        .groupBy($"d.day").agg(countDistinct($"u.user_id").as("wau"))
+      val mau = days.as("d").join(ud.as("u"),
+          datediff($"d.day", $"u.day").between(0, 29))
+        .groupBy($"d.day").agg(countDistinct($"u.user_id").as("mau"))
+      dau.join(wau, "day").join(mau, "day")
+        .select($"day", $"dau", $"wau", $"mau",
+          round($"dau" * lit(1.0) / $"mau", 6).as("stickiness"))
+        .orderBy($"day")
+    }),
+
     // Z-order (Morton) locality index — the multi-dimensional clustering
     // key a 100 TB layout sorts on so point/range lookups on EITHER
     // dimension prune files via min-max stats. Interleaves 10 bits of
@@ -434,6 +460,17 @@ object ExtendedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q101_dau_wau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |        FROM days d JOIN ud u ON d.day - u.day BETWEEN 0 AND 6 GROUP BY 1),
+        |mau AS (SELECT d.day, count(DISTINCT u.user_id) AS mau
+        |        FROM days d JOIN ud u ON d.day - u.day BETWEEN 0 AND 29 GROUP BY 1)
+        |SELECT day, dau, wau, mau, round(dau * 1.0 / mau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
     "q90_anomaly_zscore" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
         |           FROM events GROUP BY 1, 2),

@@ -301,6 +301,43 @@ object DedupQueries {
     // (group size − 1 each — dedup keeps one representative), and the
     // fraction of the corpus that mass is. One number row; at 100 TB the
     // inputs are the (small) component table and a corpus count.
+    // INCREMENTAL dedup — the delta-ingest shape: a "new arrivals" batch
+    // (md5-split half of the fixture) deduped AGAINST the existing corpus,
+    // not against itself. Exact content hash catches republications;
+    // the winnowing fingerprint catches near-identical bodies. Both are
+    // semi-join shaped: new-side hashes probe the (bucketable, indexed)
+    // corpus hash table, so a daily delta never rescans the corpus text.
+    // Per-language rollup of arrivals: kept vs exact-dup vs near-dup.
+    "q102_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val pct = conv(substring(md5(concat(lit(""), $"doc_id".cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text", pct.as("pct"),
+          md5($"text".cast("binary")).as("ch"),
+          array_min(transform(
+            graft.functions.TextFunctions.wordShingles(
+              graft.functions.TextFunctions.tokens($"text"), 5),
+            x => md5(x.cast("binary")))).as("fp"))
+      val existing = docs.where($"pct" < 0.5)
+      val arrivals = docs.where($"pct" >= 0.5)
+      val exDup = arrivals.join(existing.select($"ch").distinct(), Seq("ch"), "left_semi")
+        .select($"doc_id").withColumn("exact_dup", lit(1))
+      val nearDup = arrivals.where($"fp".isNotNull)
+        .join(existing.where($"fp".isNotNull).select($"fp").distinct(), Seq("fp"), "left_semi")
+        .select($"doc_id").withColumn("near_dup", lit(1))
+      arrivals
+        .join(exDup, Seq("doc_id"), "left")
+        .join(nearDup, Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(coalesce($"exact_dup", lit(0))).as("n_exact_dup"),
+          sum(coalesce($"near_dup", lit(0))).as("n_near_dup"),
+          sum(when($"exact_dup".isNull && $"near_dup".isNull, 1).otherwise(0)).as("n_kept"))
+        .orderBy($"lang")
+    }),
+
     "q84_dup_rate" -> ((s, dir) => {
       import s.implicits._
       val comp = graft.operators.ConnectedComponents
@@ -478,6 +515,27 @@ object DedupQueries {
            |  docs_in_dup_groups - n_groups AS removable_docs,
            |  round((docs_in_dup_groups - n_groups) * 1.0 / total_docs, 6) AS dup_fraction
            |FROM st, tot""".stripMargin,
+      "q102_incremental_dedup" ->
+        """WITH d AS (SELECT doc_id, lang, text,
+          |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,
+          |    md5(text) ch,
+          |    string_split_regex(trim(text), '\s+') toks
+          |  FROM documents),
+          |f AS (SELECT doc_id, lang, pct, ch,
+          |    list_min(list_transform(
+          |      [list_aggregate(toks[j+1:j+5], 'string_agg', ' ') FOR j IN range(greatest(len(toks)-4, 0))],
+          |      s -> md5(s))) fp
+          |  FROM d),
+          |ex AS (SELECT * FROM f WHERE pct < 0.5),
+          |ar AS (SELECT *,
+          |    (ch IN (SELECT ch FROM ex)) AS is_exact,
+          |    (fp IS NOT NULL AND fp IN (SELECT fp FROM ex WHERE fp IS NOT NULL)) AS is_near
+          |  FROM f WHERE pct >= 0.5)
+          |SELECT lang, count(*) AS n_arrivals,
+          |  sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS n_exact_dup,
+          |  sum(CASE WHEN is_near THEN 1 ELSE 0 END) AS n_near_dup,
+          |  sum(CASE WHEN NOT is_exact AND NOT is_near THEN 1 ELSE 0 END) AS n_kept
+          |FROM ar GROUP BY lang ORDER BY lang""".stripMargin,
       "q35_content_hash_groups" ->
         """SELECT n AS group_size, count(*) AS n_groups
           |FROM (SELECT md5(text) h, count(*) n FROM documents GROUP BY 1)

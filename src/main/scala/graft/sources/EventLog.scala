@@ -301,6 +301,30 @@ final class EventLog(
     } finally part.unpersist()
   }
 
+  /** Storage layout report: one row per partition directory with file
+    * count and byte sizes — the table a compaction scheduler (or a human)
+    * reads to decide where [[compact]]/[[compactClustered]] is due. A
+    * pure filesystem-metadata listing (no data read); at object-store
+    * scale the same listing comes from the store's inventory.
+    */
+  def layoutReport(): DataFrame = {
+    val root = new Path(path)
+    val rows: Seq[(String, Long, Long, Long, Long)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).filter(_.isDirectory)
+        .filter(d => d.getPath.getName.contains("="))
+        .map { d =>
+          val files = fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
+          val sizes = files.map(_.getLen)
+          (d.getPath.getName, files.length.toLong,
+            sizes.sum, if (sizes.isEmpty) 0L else sizes.min,
+            if (sizes.isEmpty) 0L else sizes.max)
+        }.toSeq
+    spark.createDataFrame(rows)
+      .toDF("partition", "n_files", "total_bytes", "min_file_bytes", "max_file_bytes")
+      .orderBy(col("partition"))
+  }
+
   /** (partition dir name, partition data as written on disk — minus the
     * partition column itself).
     *

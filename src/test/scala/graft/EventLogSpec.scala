@@ -130,6 +130,18 @@ class EventLogSpec extends SparkSpec {
     assert(overlapping(zSpans) < 4, s"z-clustering should bound file time spans: $zSpans")
   }
 
+  test("layoutReport drives compaction: many small files in, one out") {
+    val log = new EventLog(spark, tmpDir("log"))
+    (1 to 5).foreach(i => log.appendRows(Seq(row(s"e$i", "click", "web", i * 1000L))))
+    val before = log.layoutReport().collect()
+    val web = before.find(_.getString(0) == "topic=web").get
+    assert(web.getLong(1) >= 5, s"five appends should leave >= 5 files, saw ${web.getLong(1)}")
+    assert(web.getLong(2) > 0 && web.getLong(3) <= web.getLong(4))
+    log.compact("web")
+    val after = log.layoutReport().collect().find(_.getString(0) == "topic=web").get
+    assert(after.getLong(1) == 1, "compaction collapses the partition to one file")
+  }
+
   test("append after delete keeps the log usable") {
     val log = seeded()
     log.deleteEvents("web", 5000) // delete all web

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Backfill
+
+/** Backfill laws: only the mandated partitions change, out-of-range
+  * output from a buggy transform is fenced, and re-runs converge.
+  */
+class BackfillSpec extends SparkSpec {
+
+  private def mkEvents(values: (String, Int)*) = {
+    import spark.implicits._
+    values.toDF("day", "v")
+  }
+
+  test("replaceRange rewrites exactly [from, to]; other partitions untouched; idempotent") {
+    import spark.implicits._
+    val table = tmpDir("bf") + "/daily"
+    // day-1..3 rollup v=1 each
+    Backfill.replaceRange(spark, mkEvents("d1" -> 1, "d2" -> 1, "d3" -> 1),
+      table, "day", "d1", "d3")(identity)
+    // late data doubles d2 only
+    val n = Backfill.replaceRange(spark, mkEvents("d2" -> 2), table, "day", "d2", "d2")(identity)
+    assert(n == 1)
+    def snap() = spark.read.parquet(table).select($"day", $"v")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(snap() == Seq(("d1", 1), ("d2", 2), ("d3", 1)))
+    // idempotent: same backfill again → same state
+    Backfill.replaceRange(spark, mkEvents("d2" -> 2), table, "day", "d2", "d2")(identity)
+    assert(snap() == Seq(("d1", 1), ("d2", 2), ("d3", 1)))
+  }
+
+  test("a transform leaking rows outside its mandate is fenced") {
+    import spark.implicits._
+    val table = tmpDir("bf2") + "/daily"
+    Backfill.replaceRange(spark, mkEvents("d1" -> 1, "d2" -> 1), table, "day", "d1", "d2")(identity)
+    // buggy transform emits d1 AND d2 rows, but the mandate is d2 only
+    Backfill.replaceRange(spark, mkEvents("d1" -> 99, "d2" -> 7), table, "day", "d2", "d2")(identity)
+    val got = spark.read.parquet(table).select($"day", $"v")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq(("d1", 1), ("d2", 7)), "d1 must keep its original value")
+  }
+}

@@ -301,6 +301,28 @@ object DedupQueries {
     // (group size − 1 each — dedup keeps one representative), and the
     // fraction of the corpus that mass is. One number row; at 100 TB the
     // inputs are the (small) component table and a corpus count.
+    // Cross-source contamination matrix: how many near-identical document
+    // pairs each PAIR of sources shares (winnowing-fingerprint equality,
+    // q53's law) — the provenance diagnostic that tells a corpus builder
+    // which feeds mirror each other before pair-level dedup even starts.
+    // The join key is the fingerprint, so the pair space is bounded by
+    // duplicate-group sizes, never |source|·n.
+    "q103_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val h = Tables.documents(s, dir)
+        .select($"source", array_min(transform(
+          graft.functions.TextFunctions.wordShingles(
+            graft.functions.TextFunctions.tokens($"text"), 5),
+          x => md5(x.cast("binary")))).as("fp"))
+        .where($"fp".isNotNull)
+      h.as("a").join(h.as("b"),
+          $"a.fp" === $"b.fp" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // INCREMENTAL dedup — the delta-ingest shape: a "new arrivals" batch
     // (md5-split half of the fixture) deduped AGAINST the existing corpus,
     // not against itself. Exact content hash catches republications;
@@ -515,6 +537,17 @@ object DedupQueries {
            |  docs_in_dup_groups - n_groups AS removable_docs,
            |  round((docs_in_dup_groups - n_groups) * 1.0 / total_docs, 6) AS dup_fraction
            |FROM st, tot""".stripMargin,
+      "q103_source_overlap" ->
+        """WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |h AS (SELECT source,
+          |    list_min(list_transform(
+          |      [list_aggregate(toks[j+1:j+5], 'string_agg', ' ') FOR j IN range(greatest(len(toks)-4, 0))],
+          |      s -> md5(s))) fp
+          |  FROM t),
+          |hh AS (SELECT source, fp FROM h WHERE fp IS NOT NULL)
+          |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+          |FROM hh a JOIN hh b ON a.fp = b.fp AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
       "q102_incremental_dedup" ->
         """WITH d AS (SELECT doc_id, lang, text,
           |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,

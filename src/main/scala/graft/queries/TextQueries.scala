@@ -587,6 +587,32 @@ object TextQueries {
         .orderBy($"rnk")
     }),
 
+    // Mixture-budget solver — the data-mixing arithmetic a training run
+    // does before sampling: given target LANGUAGE SHARES, the largest
+    // corpus consistent with them is budget = min_l(available_l /
+    // share_l) (the binding language caps everything), and each
+    // language's keep rate is budget·share/available. Emits the whole
+    // solve as a table: availability (exact tokens), share, keep rate,
+    // target tokens. Feeds q67's md5-percentile sampling with PRINCIPLED
+    // rates instead of hand-picked ones. One scan + 5-row window math.
+    "q104_mixture_solver" -> ((s, dir) => {
+      import s.implicits._
+      val shares = Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+      val shareCol = shares.tail.foldLeft(
+        when($"lang" === shares.head._1, lit(shares.head._2))) {
+        case (acc, (l, sh)) => acc.when($"lang" === l, lit(sh))
+      }
+      val t = Tables.documents(s, dir)
+        .select($"lang", size(tokens($"text")).as("nt"))
+        .groupBy($"lang").agg(sum($"nt").as("toks"))
+        .withColumn("share", shareCol)
+      t.withColumn("budget", min($"toks" / $"share").over(Window.partitionBy()))
+        .select($"lang", $"toks", $"share",
+          round(least(lit(1.0), $"budget" * $"share" / $"toks"), 6).as("keep_rate"),
+          round($"budget" * $"share", 2).as("target_tokens"))
+        .orderBy($"lang")
+    }),
+
     // The END-TO-END curation funnel — every gate a training-data build
     // applies, staged, with survivor counts: quality (q55's law) → exact
     // content dedup (keep-min per md5(text), q35's law) → near-dup dedup
@@ -668,6 +694,20 @@ object TextQueries {
           |  FROM c ORDER BY cnt DESC, word ASC LIMIT 50)
           |SELECT rnk, word, cnt, round(CAST(cnt * rnk AS DOUBLE) / n_total, 6) AS zipf_c
           |FROM top, tot ORDER BY rnk""".stripMargin,
+      "q104_mixture_solver" ->
+        """WITH t AS (SELECT lang,
+          |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) toks
+          |  FROM documents GROUP BY 1),
+          |w AS (SELECT lang, toks,
+          |    CASE lang WHEN 'de' THEN CAST(0.2 AS DOUBLE) WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+          |              WHEN 'es' THEN CAST(0.2 AS DOUBLE) WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+          |              ELSE CAST(0.1 AS DOUBLE) END AS share
+          |  FROM t),
+          |b AS (SELECT *, min(toks / share) OVER () AS budget FROM w)
+          |SELECT lang, toks, share,
+          |  round(least(1.0, budget * share / toks), 6) AS keep_rate,
+          |  round(budget * share, 2) AS target_tokens
+          |FROM b ORDER BY lang""".stripMargin,
       "q100_curation_funnel" ->
         s"""WITH t AS (SELECT doc_id, md5(text) ch, string_split_regex(trim(text), '\\s+') toks,
            |    ${md5PctSql("")} AS pct FROM documents),

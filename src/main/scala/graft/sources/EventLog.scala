@@ -301,6 +301,22 @@ final class EventLog(
     } finally part.unpersist()
   }
 
+  /** Remove orphaned `.staging_*` directories left by a crash between a
+    * [[rewritePartition]] write and its rename — the rename is the commit
+    * point, so anything still under a staging name is uncommitted garbage
+    * that would otherwise accrete forever. Returns directories removed.
+    * Safe concurrently with reads (staging dirs are dot-prefixed and
+    * invisible to parquet listings); do not run concurrently with a
+    * retention/compaction job on the same log.
+    */
+  def vacuum(): Int = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(".staging_"))
+      .count(d => fs.delete(d.getPath, true))
+  }
+
   /** Storage layout report: one row per partition directory with file
     * count and byte sizes — the table a compaction scheduler (or a human)
     * reads to decide where [[compact]]/[[compactClustered]] is due. A

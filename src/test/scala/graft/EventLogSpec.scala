@@ -142,6 +142,18 @@ class EventLogSpec extends SparkSpec {
     assert(after.getLong(1) == 1, "compaction collapses the partition to one file")
   }
 
+  test("vacuum removes crashed staging dirs, keeps committed data") {
+    val log = seeded()
+    // simulate a rewrite that died before its commit rename
+    val orphan = new java.io.File(log.path, ".staging_topic=web")
+    assert(orphan.mkdirs())
+    new java.io.File(orphan, "part-00000.parquet").createNewFile()
+    assert(log.vacuum() == 1)
+    assert(!orphan.exists())
+    assert(log.vacuum() == 0) // idempotent
+    assert(log.getEventsTyped("web").collect().length == 4) // data intact
+  }
+
   test("append after delete keeps the log usable") {
     val log = seeded()
     log.deleteEvents("web", 5000) // delete all web

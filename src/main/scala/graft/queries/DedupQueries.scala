@@ -309,12 +309,8 @@ object DedupQueries {
     // duplicate-group sizes, never |source|·n.
     "q103_source_overlap" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.expressions.GraftFunctions.register(s)
-      val h = Tables.documents(s, dir)
-        .select($"source", array_min(transform(
-          graft.functions.TextFunctions.wordShingles(
-            graft.functions.TextFunctions.tokens($"text"), 5),
-          x => md5(x.cast("binary")))).as("fp"))
+      val h = DocProfiles.profiled(s, dir)
+        .select($"source", $"fp")
         .where($"fp".isNotNull)
       h.as("a").join(h.as("b"),
           $"a.fp" === $"b.fp" && $"a.source" < $"b.source")
@@ -332,16 +328,8 @@ object DedupQueries {
     // Per-language rollup of arrivals: kept vs exact-dup vs near-dup.
     "q102_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.expressions.GraftFunctions.register(s)
-      val pct = conv(substring(md5(concat(lit(""), $"doc_id".cast("string"))
-        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
-      val docs = Tables.documents(s, dir)
-        .select($"doc_id", $"lang", $"text", pct.as("pct"),
-          md5($"text".cast("binary")).as("ch"),
-          array_min(transform(
-            graft.functions.TextFunctions.wordShingles(
-              graft.functions.TextFunctions.tokens($"text"), 5),
-            x => md5(x.cast("binary")))).as("fp"))
+      val docs = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"lang", $"pct", $"ch", $"fp")
       val existing = docs.where($"pct" < 0.5)
       val arrivals = docs.where($"pct" >= 0.5)
       val exDup = arrivals.join(existing.select($"ch").distinct(), Seq("ch"), "left_semi")

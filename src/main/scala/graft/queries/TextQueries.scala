@@ -149,16 +149,9 @@ object TextQueries {
     // over the fingerprint, one final rollup.
     "q55_corpus_curation" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.expressions.GraftFunctions.register(s)
       val w = Window.partitionBy($"fp")
-      val scored = Tables.documents(s, dir)
-        .select($"doc_id", $"lang", tokens($"text").as("toks"))
-        .select($"doc_id", $"lang",
-          size($"toks").as("n_tok"),
-          aggregate($"toks", lit(0), (acc, t) => acc + length(t)).as("sum_len"),
-          stopCount($"toks", stop("en")).as("n_stop"),
-          array_min(transform(wordShingles($"toks", 5),
-            x => md5(x.cast("binary")))).as("fp"))
+      val scored = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"lang", $"n_tok", $"sum_len", $"n_stop", $"fp")
       val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
         lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
         lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
@@ -180,9 +173,8 @@ object TextQueries {
     // and rand() are neither portable nor stable). Pure per-row narrow op.
     "q56_hash_split" -> ((s, dir) => {
       import s.implicits._
-      val pct = md5Pct("", $"doc_id")
-      val split = when(pct < 0.8, "train").when(pct < 0.9, "val").otherwise("test")
-      Tables.documents(s, dir)
+      val split = when($"pct" < 0.8, "train").when($"pct" < 0.9, "val").otherwise("test")
+      DocProfiles.profiled(s, dir)
         .select($"doc_id", $"lang", split.as("split"))
         .groupBy($"split", $"lang")
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
@@ -235,13 +227,9 @@ object TextQueries {
     // analogue of q31's MinHash with k=1.
     "q53_fingerprint_clusters" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.expressions.GraftFunctions.register(s)
-      Tables.documents(s, dir)
-        .select($"doc_id", tokens($"text").as("toks")) // materialize: one split per doc
-        // per-row array fold (q55's spelling) — no explode, no per-doc shuffle
-        .select($"doc_id",
-          array_min(transform(wordShingles($"toks", 5), x => md5(x.cast("binary"))))
-            .as("fingerprint"))
+      // per-row array-fold fingerprint, read from the shared profile scan
+      DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"fp".as("fingerprint"))
         .where($"fingerprint".isNotNull)
         .groupBy($"fingerprint")
         .agg(count(lit(1)).as("n_docs"),
@@ -627,18 +615,8 @@ object TextQueries {
     // semi-join — composed left-to-right with nothing quadratic.
     "q100_curation_funnel" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.expressions.GraftFunctions.register(s)
-      val pct = md5Pct("", $"doc_id")
-      val t = graft.operators.CacheRegistry.track(Tables.documents(s, dir)
-        .select($"doc_id", $"text", tokens($"text").as("toks"), pct.as("pct"))
-        .select($"doc_id", $"toks", $"pct",
-          md5($"text".cast("binary")).as("ch"),
-          size($"toks").as("n_tok"),
-          aggregate($"toks", lit(0), (acc, x) => acc + length(x)).as("sum_len"),
-          stopCount($"toks", stop("en")).as("n_stop"),
-          array_min(transform(wordShingles($"toks", 5),
-            x => md5(x.cast("binary")))).as("fp"))
-        .cache())
+      val t = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"toks", $"pct", $"ch", $"n_tok", $"sum_len", $"n_stop", $"fp")
       val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
         lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
         lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))

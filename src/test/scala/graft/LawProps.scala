@@ -84,6 +84,18 @@ object LawProps extends Properties("graft-laws") {
         kept.forall(_.timestamp.getTime >= cutoff)
     }
 
+  property("z-order law: interleave is a bijection — (x, y) decode back from z") =
+    forAll(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L)) { (x, y) =>
+      // the q91 interleave, bit-for-bit
+      val z = (0 until 10).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+      val xBack = (0 until 10).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
+      val yBack = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+      (xBack == x && yBack == y) :| s"z=$z decoded to ($xBack, $yBack)" &&
+        ((z >> 20) == 0L) :| "20 bits suffice"
+    }
+
   property("space-saving law: size <= capacity; reported >= true >= reported - err; " +
       "every item with freq > N/capacity is present") =
     forAll(

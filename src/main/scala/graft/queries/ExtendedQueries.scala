@@ -407,6 +407,39 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // As-of state reconstruction (time travel for the event-sourcing
+    // surface): every aggregate's version and last event AT a cutoff —
+    // what `rehydrate` would see if replay stopped at T. One filtered
+    // scan + per-aggregate aggregate; at 100 TB the timestamp predicate
+    // prunes row groups before any shuffle (NanoTimestampPushdown).
+    "q105_versions_asof" -> ((s, dir) => {
+      import s.implicits._
+      val wAll = Window.partitionBy($"user_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, dir)
+        .where($"ts" < lit("2024-01-15").cast("timestamp"))
+        .withColumn("version_asof", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"version_asof",
+          $"ts".as("last_event_ts"), $"event_type".as("last_event_type"))
+        .orderBy($"user_id")
+    }),
+
+    // Hour-of-week seasonality profile: the 7×24 activity matrix (share
+    // of each type's events per hour-of-week cell) a capacity planner or
+    // anomaly baseline reads. Exact counts, one division; one shuffle.
+    "q106_seasonality" -> ((s, dir) => {
+      import s.implicits._
+      val wType = Window.partitionBy($"event_type")
+      Tables.events(s, dir)
+        .select($"event_type", dayofweek($"ts").as("dow"), hour($"ts").as("hod"))
+        .groupBy($"event_type", $"dow", $"hod")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round($"n" * lit(1.0) / sum($"n").over(wType), 6))
+        .orderBy($"event_type", $"dow", $"hod")
+    }),
+
     // DAU / WAU / MAU — the engagement triple every product-analytics
     // stack computes: per day, distinct active users that day, over the
     // trailing 7 days, and over the trailing 30 days, plus stickiness
@@ -460,6 +493,20 @@ object ExtendedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q105_versions_asof" ->
+      """WITH f AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        |r AS (SELECT user_id, ts, event_type,
+        |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS version_asof,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM f)
+        |SELECT user_id, version_asof, ts AS last_event_ts, event_type AS last_event_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q106_seasonality" ->
+      """WITH c AS (SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod, count(*) AS n
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, hod, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM c ORDER BY event_type, dow, hod""".stripMargin,
     "q101_dau_wau_mau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |days AS (SELECT DISTINCT day FROM ud),

@@ -282,9 +282,14 @@ final class EventLog(
       }
       val stats = part.agg(aggs.head, aggs.tail: _*).head()
       val bins = numeric.zipWithIndex.map { case (e, i) =>
-        val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-        least(lit(1023L), floor((coalesce(e, lit(mn)) - mn) / span * 1024).cast("long"))
+        // an all-null cluster column has no range: bin it constant-0 (the
+        // rewrite degrades to plain compaction on that dimension)
+        if (stats.isNullAt(2 * i)) lit(0L)
+        else {
+          val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+          val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+          least(lit(1023L), floor((coalesce(e, lit(mn)) - mn) / span * 1024).cast("long"))
+        }
       }
       val stride = bins.size
       val z = (0 until 10).flatMap { bit =>

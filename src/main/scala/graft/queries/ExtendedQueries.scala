@@ -407,6 +407,24 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // Activity-concentration diagnostic: the Gini coefficient of events
+    // per user — how skewed the workload is, which is the number that
+    // decides whether the partitioner needs salting before the data ever
+    // does. Exact integer rank·count sums; the coefficient is two exact
+    // divisions. One shuffle to count, one sort of user-sized data.
+    "q107_activity_gini" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"cnt".asc, $"user_id".asc)
+      Tables.events(s, dir)
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_users"), sum($"cnt").as("total_events"),
+          sum($"rk" * $"cnt").as("rank_mass"))
+        .select($"n_users", $"total_events",
+          round(lit(2.0) * $"rank_mass" / ($"n_users" * $"total_events") -
+            ($"n_users" + lit(1.0)) / $"n_users", 6).as("gini"))
+    }),
+
     // As-of state reconstruction (time travel for the event-sourcing
     // surface): every aggregate's version and last event AT a cutoff —
     // what `rehydrate` would see if replay stopped at T. One filtered
@@ -493,6 +511,15 @@ object ExtendedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q107_activity_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cnt) AS BIGINT) AS total_events,
+        |  round(2.0 * CAST(sum(rk * cnt) AS BIGINT) / (count(*) * CAST(sum(cnt) AS BIGINT))
+        |        - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
     "q105_versions_asof" ->
       """WITH f AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
         |r AS (SELECT user_id, ts, event_type,

@@ -43,6 +43,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE shuffle hygiene: with parallelismFirst (the default) AQE keeps
+      // every shuffle at full parallelism, so kilobyte-sized sf0.1 shuffles
+      // pay 32-task scheduling overhead per stage — the measured 2-3×
+      // fixed-cost drift on sub-second queries at 32 cpus. Size-first
+      // coalescing collapses tiny shuffles to a handful of tasks while
+      // leaving genuinely large stages at full width; 64 MB advisory is
+      // the same setting a 100 TB cluster would run.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -85,19 +94,36 @@ object Bench {
     }
     val failedEvery = errors.keySet -- samples.keySet
 
-    // Streaming drain: its own metric line, never summed into the batch
-    // total. Failures here must not kill the main report.
+    // Streaming drain + stateful-state legs: their own metric lines, never
+    // summed into the batch total. Failures here must not kill the main
+    // report. Both legs share one staged envelope log.
     try {
-      val (sec, delivered, deadLettered) = streamingDrain(spark, sfDir)
-      println(s"""{"metric":"streaming_drain","value":$sec,"unit":"sec","events":$delivered,"dead_lettered":$deadLettered,"sf":"$sfDir"}""")
+      val base = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+      try {
+        val (logDir, nEvents) = stageEnvelopeLog(spark, sfDir, base)
+        val (sec, delivered, deadLettered) = streamingDrain(spark, base, logDir, nEvents)
+        println(s"""{"metric":"streaming_drain","value":$sec,"unit":"sec","events":$delivered,"dead_lettered":$deadLettered,"sf":"$sfDir"}""")
+        val st = streamingState(spark, base, logDir)
+        val rps = if (st.sec > 0) (st.inputRows / st.sec).round else 0L
+        println(s"""{"metric":"streaming_state","value":${st.sec},"unit":"sec","events":${st.inputRows},"rows_per_sec":$rps,"state_rows":${st.stateRows},"state_bytes":${st.stateBytes},"batches":${st.batches},"anomalies":${st.anomalies},"sf":"$sfDir"}""")
+      } finally {
+        // a full events-table copy per bench run must not accrete in /tmp
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     } catch {
       case t: Throwable =>
-        System.err.println(s"[bench] streaming_drain failed: ${t.toString.linesIterator.next().take(200)}")
+        System.err.println(s"[bench] streaming legs failed: ${t.toString.linesIterator.next().take(200)}")
     }
 
     graft.operators.CacheRegistry.releaseAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query SURVIVING sample counts — a query that flaked in some
+    // passes must not silently report a 1-sample "median"
+    val sampleJson = names.map { k =>
+      s"\"" + k + "\":" + samples.getOrElse(k, Vector.empty).size
+    }.mkString("{", ",", "}")
     val errJson = failedEvery.toSeq.sorted.map { k =>
       // control chars (tabs in Derby/Spark messages) would break the
       // one-JSON-line contract for strict parsers
@@ -106,22 +132,16 @@ object Bench {
       s"\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"sf":"$sfDir","errors":$errJson,"total_sec":$total}""")
     spark.stop()
   }
 
-  /** Time draining the sf dir's events through the streaming delivery
-    * path: convert the nanos fixture into an envelope log once (untimed),
-    * then measure an AvailableNow StreamingSubscription in distributed
-    * (unordered) delivery mode with a real per-event handler that fails on
-    * 1% of events; two bounded retries each, exhaustion lands in the DLQ.
-    * Returns (seconds, events DELIVERED — dead-lettered ones excluded —
-    * and events dead-lettered). The scratch log + checkpoint are deleted
-    * before returning.
+  /** Convert the sf dir's events into an envelope log once (untimed) under
+    * `base`; returns (logDir, row count). Both streaming legs read it.
     */
-  private def streamingDrain(spark: SparkSession, sfDir: String): (Double, Long, Int) = {
+  private def stageEnvelopeLog(spark: SparkSession, sfDir: String,
+      base: String): (String, Long) = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
     val logDir = s"$base/log"
     val events = graft.sources.Tables.events(spark, sfDir).select(
       format_string("%012d", $"event_id").as("id"),
@@ -132,8 +152,18 @@ object Bench {
       $"props".as("payload"),
       map(lit("user_id"), $"user_id".cast("string")).as("metadata"))
     events.repartition(8).write.mode("overwrite").parquet(logDir)
-    val nEvents = spark.read.parquet(logDir).count()
+    (logDir, spark.read.parquet(logDir).count())
+  }
 
+  /** Time draining the staged envelope log through the streaming delivery
+    * path: an AvailableNow StreamingSubscription in distributed
+    * (unordered) delivery mode with a real per-event handler that fails on
+    * 1% of events; two bounded retries each, exhaustion lands in the DLQ.
+    * Returns (seconds, events DELIVERED — dead-lettered ones excluded —
+    * and events dead-lettered).
+    */
+  private def streamingDrain(spark: SparkSession, base: String, logDir: String,
+      nEvents: Long): (Double, Long, Int) = {
     val dlq = new graft.dlq.InMemoryDeadLetterQueue()
     val handler: graft.model.EventRow => Unit = { e =>
       // real per-event work (payload inspection) + a deterministic 1%
@@ -149,14 +179,51 @@ object Bench {
         maxRetries = 2, retryDelayMillis = 0L),
       ordered = false)
     val t0 = System.nanoTime()
+    sub.runAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, nEvents - dlq.size, dlq.size)
+  }
+
+  final case class StateLeg(sec: Double, inputRows: Long, stateRows: Long,
+      stateBytes: Long, batches: Long, anomalies: Long)
+
+  /** Time one STATEFUL streaming leg over the staged log so the bounded-
+    * state claims carry a measured number: StreamingAnomaly's per-key
+    * Welford fold keyed by user (state = 3 doubles/key), scoring payload
+    * sizes, drained AvailableNow through the noop sink. State rows/bytes
+    * come off the progress events via [[graft.streaming.StreamingMetrics]]
+    * — the same listener a production broker would watch.
+    */
+  private def streamingState(spark: SparkSession, base: String,
+      logDir: String): StateLeg = {
+    import spark.implicits._
+    val metrics = graft.streaming.StreamingMetrics.install(spark)
     try {
-      sub.runAvailable()
+      val schema = spark.read.parquet(logDir).schema
+      val src = spark.readStream.schema(schema).parquet(logDir)
+        .select(element_at($"metadata", "user_id").as("k"),
+          $"timestamp", length($"payload").cast("double").as("v"))
+      val anomalies = graft.streaming.StreamingAnomaly
+        .detect(src, "k", "timestamp", "v", threshold = 3.0)
+      val nAnomalies = spark.sparkContext.longAccumulator("bench-anomalies")
+      val t0 = System.nanoTime()
+      val q = anomalies.map { a => nAnomalies.add(1L); a }
+        .writeStream.queryName("bench-state").format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/state-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, nEvents - dlq.size, dlq.size)
-    } finally {
-      // a full events-table copy per bench run must not accrete in /tmp
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+      val row = metrics.snapshot(spark).where($"query" === "bench-state")
+        .select($"input_rows", $"state_rows", $"state_bytes", $"batches")
+        .collect().headOption
+      StateLeg(sec,
+        row.map(_.getLong(0)).getOrElse(0L),
+        row.map(_.getLong(1)).getOrElse(0L),
+        row.map(_.getLong(2)).getOrElse(0L),
+        row.map(_.getLong(3)).getOrElse(0L),
+        nAnomalies.value)
+    } finally spark.streams.removeListener(metrics)
   }
 }

@@ -1,5 +1,8 @@
 package graft.operators
 
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -13,13 +16,21 @@ import org.apache.spark.sql.functions.col
   * frame to the requested range ON BOTH SIDES — the transform's output
   * is filtered to [from, to] so a buggy transform cannot clobber
   * partitions outside its mandate, and the overwrite is atomic per
-  * partition (staging + rename inside the committer). Re-running the
-  * same backfill converges to the same state: the operation is
-  * idempotent by construction.
+  * partition (staging + rename inside the committer). Two corners make
+  * the "re-runs converge" claim actually hold:
+  *
+  *   - the filtered output is persisted before the count + write, so a
+  *     nondeterministic transform cannot write rows that differ from
+  *     the returned count (both actions read the same materialization);
+  *   - a partition INSIDE the mandate whose recomputed output is EMPTY
+  *     is explicitly deleted after the overwrite — dynamic overwrite
+  *     alone would silently retain its stale rows, because it only
+  *     touches partitions present in the written frame.
   *
   * At 100 TB this is the same shape: the source scan prunes to the range
   * (partition/row-group pruning on the time predicate), the rewrite
-  * touches only the affected partition directories.
+  * touches only the affected partition directories, and the stale-sweep
+  * is a metadata listing of the in-range dirs.
   */
 object Backfill {
 
@@ -32,17 +43,38 @@ object Backfill {
       (transform: DataFrame => DataFrame): Long = {
     val out = transform(source)
       .where(col(partitionCol) >= from && col(partitionCol) <= to)
-    val n = out.count()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write
-      .mode("overwrite")
-      .partitionBy(partitionCol)
-      .parquet(tablePath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    n
+      .persist()
+    try {
+      val n = out.count()
+      val produced = out.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      // In-range partitions that exist NOW but are absent from the
+      // recomputed output: their mandate says "empty", so they must go.
+      // Read before the write — afterwards they are indistinguishable
+      // from legitimately-kept partitions.
+      val stale = Try(spark.read.parquet(tablePath)).toOption.map {
+        _.where(col(partitionCol) >= from && col(partitionCol) <= to)
+          .select(col(partitionCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSet
+      }.getOrElse(Set.empty) -- produced
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try out.write
+        .mode("overwrite")
+        .partitionBy(partitionCol)
+        .parquet(tablePath)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      if (stale.nonEmpty) {
+        val root = new Path(tablePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        stale.foreach { v =>
+          fs.delete(new Path(root, s"$partitionCol=$v"), true)
+        }
+      }
+      n
+    } finally out.unpersist()
   }
 }

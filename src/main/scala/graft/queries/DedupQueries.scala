@@ -553,9 +553,9 @@ object DedupQueries {
           |    (fp IS NOT NULL AND fp IN (SELECT fp FROM ex WHERE fp IS NOT NULL)) AS is_near
           |  FROM f WHERE pct >= 0.5)
           |SELECT lang, count(*) AS n_arrivals,
-          |  sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS n_exact_dup,
-          |  sum(CASE WHEN is_near THEN 1 ELSE 0 END) AS n_near_dup,
-          |  sum(CASE WHEN NOT is_exact AND NOT is_near THEN 1 ELSE 0 END) AS n_kept
+          |  CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+          |  CAST(sum(CASE WHEN is_near THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+          |  CAST(sum(CASE WHEN NOT is_exact AND NOT is_near THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           |FROM ar GROUP BY lang ORDER BY lang""".stripMargin,
       "q35_content_hash_groups" ->
         """SELECT n AS group_size, count(*) AS n_groups

@@ -411,13 +411,30 @@ object ExtendedQueries {
     // per user — how skewed the workload is, which is the number that
     // decides whether the partitioner needs salting before the data ever
     // does. Exact integer rank·count sums; the coefficient is two exact
-    // divisions. One shuffle to count, one sort of user-sized data.
+    // divisions. The global rank is the classic scale trap — a
+    // row_number() over ALL users would plan one single-task sort — so it
+    // is spelled as the distributed two-pass rank: range-partition by
+    // (cnt, user_id) (a total order — user_id is unique after the
+    // groupBy), rank WITHIN each partition, then add per-partition
+    // row-count offsets back broadcast. The only unpartitioned window
+    // runs over the per-partition count table, ≤ shuffle-partition-count
+    // rows — bounded by config, not by data. PlanShapeSpec pins this.
     "q107_activity_gini" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"cnt".asc, $"user_id".asc)
-      Tables.events(s, dir)
+      val parts = Tables.events(s, dir)
         .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+        .repartitionByRange($"cnt", $"user_id")
+        .withColumn("part", spark_partition_id())
+      val wLocal = Window.partitionBy($"part").orderBy($"cnt".asc, $"user_id".asc)
+      val ranked = parts
+        .withColumn("local_rk", row_number().over(wLocal).cast("long"))
+      val offsets = parts.groupBy($"part").agg(count(lit(1)).as("m"))
+        .withColumn("off", coalesce(
+          sum($"m").over(Window.orderBy($"part".asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"part", $"off")
+      ranked.join(broadcast(offsets), "part")
+        .withColumn("rk", $"local_rk" + $"off")
         .agg(count(lit(1)).as("n_users"), sum($"cnt").as("total_events"),
           sum($"rk" * $"cnt").as("rank_mass"))
         .select($"n_users", $"total_events",
@@ -529,7 +546,8 @@ object ExtendedQueries {
         |SELECT user_id, version_asof, ts AS last_event_ts, event_type AS last_event_type
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q106_seasonality" ->
-      """WITH c AS (SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod, count(*) AS n
+      """WITH c AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |                  CAST(hour(ts) AS INT) AS hod, count(*) AS n
         |           FROM events GROUP BY 1, 2, 3)
         |SELECT event_type, dow, hod, n,
         |  round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS share
@@ -553,7 +571,7 @@ object ExtendedQueries {
         |       FROM d GROUP BY 1)
         |SELECT d.event_type, st.n_days, st.min_cnt, st.max_cnt,
         |       round(st.mu, 6) AS avg_cnt, round(st.sd, 6) AS sd_cnt,
-        |       sum(CASE WHEN abs((d.cnt - st.mu) / st.sd) > 2 THEN 1 ELSE 0 END) AS n_anomalies,
+        |       CAST(sum(CASE WHEN abs((d.cnt - st.mu) / st.sd) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |       round(max(abs((d.cnt - st.mu) / st.sd)), 6) AS max_abs_z
         |FROM d JOIN st USING (event_type)
         |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin,

@@ -157,7 +157,7 @@ object GraphQueries {
            |ORDER BY nation_key""".stripMargin,
       "q94_degree_hist" ->
         s"""WITH e AS ($tradeEdgesSql),
-           |d AS (SELECT src, count(*) AS out_deg, sum(w) AS out_w FROM e GROUP BY 1)
+           |d AS (SELECT src, count(*) AS out_deg, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1)
            |SELECT out_deg, count(*) AS n_nodes, min(out_w) AS min_w, max(out_w) AS max_w
            |FROM d GROUP BY 1 ORDER BY out_deg""".stripMargin)
   }

@@ -75,10 +75,14 @@ object MultimodalQueries {
         .orderBy($"kind")
     }),
 
-    // The STUB-dependent half: feature-vector statistics through the same
-    // decode path. The byte-histogram features are an imperative stand-in
-    // for a real codec (no codec libs in this container) → no oracle; the
-    // driver records a rows-only check and MultimodalSpec pins the law.
+    // Feature-vector statistics through the same decode path. The
+    // byte-histogram features are an imperative codec stand-in, but they
+    // are still a PURE function of the payload bytes (bin i counts bytes
+    // with low nibble i, over max(len,1), in float32), so DuckDB can
+    // recompute them from hex(text)'s low-nibble characters with REAL
+    // division — float32 division is IEEE-identical across engines, and
+    // both sides sum the float32 values in double for the avg. Oracled
+    // since round 4 (same move that oracled q62's metadata half).
     "q72_media_feature_hist" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.MediaPipeline
@@ -119,6 +123,31 @@ object MultimodalQueries {
         |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
         |  round(avg(16 + octet_length(text::BLOB) % 64), 6) AS avg_width,
         |  round(avg(16 + (octet_length(text::BLOB) // 64) % 64), 6) AS avg_height
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // decodeStub's feature law: features[i] = (# bytes with low nibble i)
+    // / max(len, 1), computed in float32. A byte's low nibble is the
+    // second hex char of its pair in hex(blob), so bin membership is a
+    // character test over every 2nd char; the division is done in REAL
+    // (float32) so the per-doc feature is bit-identical to the JVM's
+    // Float division before both engines average in double.
+    "q72_media_feature_hist" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(text::BLOB) AS nb,
+        |    hex(text::BLOB) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT kind,
+        |    CAST(len(list_filter(list_transform(range(nb),
+        |        i -> substr(h, CAST(2*i+2 AS INT), 1)), c -> c = '0')) AS FLOAT)
+        |      / CAST(greatest(nb, 1) AS FLOAT) AS f0,
+        |    CAST(len(list_filter(list_transform(range(nb),
+        |        i -> substr(h, CAST(2*i+2 AS INT), 1)), c -> c = '1')) AS FLOAT)
+        |      / CAST(greatest(nb, 1) AS FLOAT) AS f1
+        |  FROM b)
+        |SELECT kind, count(*) AS n,
+        |  round(avg(f0), 6) AS avg_f0, round(avg(f1), 6) AS avg_f1
+        |FROM f GROUP BY 1 ORDER BY kind""".stripMargin
   )
 }

@@ -380,12 +380,13 @@ object SimilarityQueries {
 
     // Product quantization KNN — the vector-COMPRESSION scale path (IVF
     // shards the corpus; PQ shrinks every vector to M small codes, 64
-    // doubles → 4 bytes here). Each of the M=4 subspaces gets its own
-    // K=4-codeword k-means codebook (deterministic vec_id%K init, one
-    // Lloyd round, 6dp-rounded centroids — the same determinism contract
-    // as the IVF quantizer); search is asymmetric distance computation:
-    // a per-query M×K lookup table of exact subspace distances, then each
-    // candidate is scored by FOUR table lookups instead of a 64-dim dot.
+    // doubles → 32-bit codes here). Each of the M=8 subspaces gets its
+    // own K=16-codeword k-means codebook (deterministic vec_id%K init,
+    // one Lloyd round, 6dp-rounded centroids — the same determinism
+    // contract as the IVF quantizer); search is asymmetric distance
+    // computation: a per-query M×K lookup table of exact subspace
+    // distances, then each candidate is scored by M=8 table lookups
+    // instead of a 64-dim dot.
     // The per-candidate sum adds the M partials in FIXED subspace order
     // (pivoted columns, not a float groupBy-sum — two same-code vectors
     // must tie EXACTLY so ranking falls to the id tie-break identically

@@ -589,7 +589,7 @@ object TextQueries {
       val shareCol = shares.tail.foldLeft(
         when($"lang" === shares.head._1, lit(shares.head._2))) {
         case (acc, (l, sh)) => acc.when($"lang" === l, lit(sh))
-      }
+      }.otherwise(lit(0.1)) // match the oracle's ELSE for out-of-list langs
       val t = Tables.documents(s, dir)
         .select($"lang", size(tokens($"text")).as("nt"))
         .groupBy($"lang").agg(sum($"nt").as("toks"))

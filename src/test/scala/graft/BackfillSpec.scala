@@ -29,6 +29,26 @@ class BackfillSpec extends SparkSpec {
     assert(snap() == Seq(("d1", 1), ("d2", 2), ("d3", 1)))
   }
 
+  test("an in-mandate partition whose recompute is empty is deleted, not retained") {
+    import spark.implicits._
+    val table = tmpDir("bf3") + "/daily"
+    Backfill.replaceRange(spark, mkEvents("d1" -> 1, "d2" -> 1, "d3" -> 1),
+      table, "day", "d1", "d3")(identity)
+    // recompute of [d1, d3] now says d2 has NO rows (e.g. the bug fix
+    // dropped them all) — dynamic overwrite alone would keep stale d2
+    val n = Backfill.replaceRange(spark, mkEvents("d1" -> 5, "d3" -> 5),
+      table, "day", "d1", "d3")(identity)
+    assert(n == 2)
+    val got = spark.read.parquet(table).select($"day", $"v")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq(("d1", 5), ("d3", 5)), "empty-recompute d2 must be deleted")
+    // and the sweep never reaches outside the mandate
+    val n2 = Backfill.replaceRange(spark, mkEvents("d3" -> 6), table, "day", "d3", "d3")(identity)
+    assert(n2 == 1)
+    assert(spark.read.parquet(table).select($"day", $"v")
+      .as[(String, Int)].collect().sorted.toSeq == Seq(("d1", 5), ("d3", 6)))
+  }
+
   test("a transform leaking rows outside its mandate is fenced") {
     import spark.implicits._
     val table = tmpDir("bf2") + "/daily"

@@ -52,6 +52,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p81.contains("CartesianProduct") && !p81.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q107's global rank is distributed: no data-sized unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q107_activity_gini")(spark, dir).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "q107 should rank via window functions")
+    val (unpart, part) = windows.partition(_.partitionSpec.isEmpty)
+    // the user-sized rank window must be partitioned (here: by the range
+    // partition id) — a single-task sort over all users is the WindowExec
+    // scale-killer this spelling exists to avoid
+    assert(part.nonEmpty, "the rank window must be partitioned")
+    // any unpartitioned window may only run over the per-partition count
+    // table — bounded by spark.sql.shuffle.partitions, never by data
+    unpart.foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(cols.subsetOf(Set("part", "m")),
+        s"unpartitioned window over a data-sized input (child cols: $cols)")
+    }
+  }
+
   test("blocking-cell counts scale with corpus size: expected cell stays bounded") {
     import graft.functions.VectorFunctions.blockPlanesFor
     // Law: for any corpus up to the cap's reach, the chosen plane count
@@ -107,6 +126,34 @@ class PlanShapeSpec extends SparkSpec {
         .groupBy(col("o_orderdate")).agg(ssum(col("l_quantity")))
       assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
         "expected a runtime bloom semi-filter on the lineitem side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE size-first coalescing collapses a tiny shuffle to few tasks") {
+    // Bench hygiene pin: with parallelismFirst (the default) AQE keeps
+    // kilobyte shuffles at full parallelism — 32 scheduled tasks for a few
+    // KB, the measured fixed-overhead drift on sub-second bench queries.
+    // Bench.scala runs with size-first coalescing; this pins that the
+    // mechanism actually rewrites the shuffle read to fewer partitions.
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m",
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = spark.range(10000)
+        .select(($"id" % 100).as("k")).groupBy($"k").count()
+      df.collect() // AQE finalizes the physical plan only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"),
+        s"expected a coalesced AQE shuffle read in:\n$plan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

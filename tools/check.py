@@ -3,8 +3,11 @@
 
 Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
 parquet tables in <sfDir>, loads the Spark result from <outDir>/<name>/, and
-compares: columns sorted by name, rows sorted by all columns, values compared
-exactly (floats to 1e-9 rel tol, reported separately if only tol-equal).
+compares: columns sorted by name, COLUMN TYPES (the driver's hash is
+type-sensitive — a DuckDB HUGEINT vs Spark BIGINT drift fails the driver
+even when every value matches, which is exactly what shipped q90/q94/q102
+broken in round 3), rows sorted by all columns, values compared exactly
+(floats to 1e-9 rel tol, reported separately if only tol-equal).
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 (run graft.Verify first to populate <outDir>)
@@ -17,13 +20,23 @@ from pathlib import Path
 import duckdb
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(norm(r[i]) for i in order))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], [norm_type(types[i]) for i in order], out
+
+
+def norm_type(t):
+    """Canonical DuckDB type name. Only cosmetic aliases collapse; width
+    drifts the driver can see (HUGEINT vs BIGINT) must stay distinct."""
+    s = str(t).upper()
+    return {"INT64": "BIGINT", "INT32": "INTEGER", "INT128": "HUGEINT",
+            "FLOAT8": "DOUBLE", "FLOAT4": "FLOAT", "STRING": "VARCHAR",
+            "TEXT": "VARCHAR", "TIMESTAMP_NS": "TIMESTAMP",
+            "TIMESTAMP_MS": "TIMESTAMP", "BOOL": "BOOLEAN"}.get(s, s)
 
 
 def norm(v):
@@ -65,19 +78,25 @@ def main():
             continue
         try:
             o = con.sql(oracle[name])
-            o_cols = list(o.columns)
+            o_cols, o_types = list(o.columns), list(o.types)
             o_rows = o.fetchall()
             sp = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-            s_cols = list(sp.columns)
+            s_cols, s_types = list(sp.columns), list(sp.types)
             s_rows = sp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        oc, orows = canon(o_rows, o_cols)
-        sc, srows = canon(s_rows, s_cols)
+        oc, oty, orows = canon(o_rows, o_cols, o_types)
+        sc, sty, srows = canon(s_rows, s_cols, s_types)
         if oc != sc:
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
+            n_fail += 1
+            continue
+        if oty != sty:
+            diff = [f"{c}: spark={a} oracle={b}"
+                    for c, a, b in zip(oc, sty, oty) if a != b]
+            print(f"FAIL {name}: column TYPES differ ({'; '.join(diff)})")
             n_fail += 1
             continue
         if len(orows) != len(srows):

@@ -301,6 +301,44 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rk")
     }),
 
+    // ANN RECALL evaluation — "measure, don't guess" for the index
+    // family: per query vector, how much of the exact cosine top-3 (q41's
+    // law) the LSH path (q43's law) actually returns. This is the number
+    // that decides whether an approximate index is allowed to serve a
+    // workload; recall < 1 here is the EXPECTED LSH trade, and the report
+    // is what makes it a managed trade instead of a silent one. Both
+    // rankings share the id tie-break, so the intersection is exact and
+    // the whole report is bit-stable. Scale shape: truth is the brute
+    // broadcast scan (the eval is run on a SAMPLE of queries — here the
+    // fixed 10-query set), the ANN side is the bucket join, and the
+    // intersection is a semi-join on (q_id, nn_id) — nothing quadratic
+    // in the corpus beyond the sampled truth scan itself.
+    "q109_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+        .select($"vec_id", $"v", $"nrm", lshBucket($"v", Planes, Dim).as("bucket"))
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"bucket".as("qb"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      def top3(pairs: DataFrame): DataFrame = pairs
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"q_id", $"vec_id".as("nn_id"))
+      val truth = top3(e.join(broadcast(q.drop("qb")), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos")))
+      val ann = top3(e.join(broadcast(q), $"bucket" === $"qb" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos")))
+      val hits = truth.join(ann, Seq("q_id", "nn_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+      truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id", $"k", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)) * lit(1.0) / $"k", 6).as("recall"))
+        .orderBy($"q_id")
+    }),
+
     // IVF ANN, nprobe=1 — quantizer + plan shape documented on [[ivf]].
     "q44_ann_ivf" -> ((s, dir) => ivf(s, dir, nprobe = 1)),
 
@@ -672,6 +710,30 @@ object SimilarityQueries {
            |      FROM p)
            |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
            |ORDER BY q_id, rk""".stripMargin,
+      "q109_ann_recall" ->
+        s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |e AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e0),
+           |tp AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos
+           |       FROM e a JOIN (SELECT * FROM e WHERE vec_id < $NQueries) b
+           |         ON a.vec_id <> b.vec_id),
+           |truth AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+           |    FROM tp) WHERE rk <= 3),
+           |ap AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos
+           |       FROM e a JOIN (SELECT * FROM e WHERE vec_id < $NQueries) b
+           |         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |ann AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+           |    FROM ap) WHERE rk <= 3),
+           |h AS (SELECT t.q_id, count(*) AS n
+           |      FROM truth t JOIN ann a ON t.q_id = a.q_id AND t.nn_id = a.nn_id
+           |      GROUP BY 1),
+           |k AS (SELECT q_id, count(*) AS k FROM truth GROUP BY 1)
+           |SELECT k.q_id, k.k, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           |  round(coalesce(h.n, 0) * 1.0 / k.k, 6) AS recall
+           |FROM k LEFT JOIN h ON k.q_id = h.q_id ORDER BY k.q_id""".stripMargin,
       "q44_ann_ivf" -> ivfOracleSql(nprobe = 1),
       "q79_ann_ivf_multiprobe" -> ivfOracleSql(nprobe = NProbe),
       "q97_centroid_silhouette" ->

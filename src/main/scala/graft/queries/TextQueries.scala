@@ -644,6 +644,90 @@ object TextQueries {
         .unionAll(cnt(s5, 5, "train_split"))
         .unionAll(cnt(s6, 6, "decontaminated"))
         .orderBy($"stage_ord")
+    }),
+
+    // SEGMENT-level dedup (the CCNet move): documents rarely repeat whole,
+    // they repeat PARAGRAPHS — boilerplate headers, licence blocks, nav
+    // text. Doc-level hashing (q30/q35) misses all of it. Here each doc is
+    // segmented into fixed 20-token chunks (the fixture has no newlines;
+    // on real data the splitter is paragraph breaks), each chunk keeps its
+    // FIRST corpus occurrence by (doc_id, position), and the per-language
+    // rollup reports the duplicated-chunk mass plus how many docs are
+    // majority-boilerplate. Shape at 100 TB: one narrow explode (≈n_tok/20
+    // rows per doc), ONE shuffle on the chunk hash for first-occurrence
+    // ranking, then two integer aggs — the same plan CCNet runs over
+    // Common Crawl. Exact integers everywhere.
+    "q108_chunk_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .where(size($"toks") > 0)
+        .select($"doc_id", $"lang",
+          explode(sequence(lit(0L),
+            ceil(size($"toks") / lit(20.0)).cast("long") - 1)).as("j"),
+          $"toks")
+        .select($"doc_id", $"lang", $"j",
+          md5(concat_ws(" ", slice($"toks", $"j" * 20 + 1, lit(20))).cast("binary")).as("h"))
+      val wFirst = Window.partitionBy($"h").orderBy($"doc_id".asc, $"j".asc)
+      val perDoc = chunks
+        .withColumn("is_first", row_number().over(wFirst) === 1)
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"is_first", 0L).otherwise(1L)).as("n_dup"))
+      perDoc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chunks").as("n_chunks"),
+          sum($"n_dup").as("n_dup_chunks"),
+          round(sum($"n_dup") * lit(1.0) / sum($"n_chunks"), 6)
+            .as("dup_chunk_fraction"),
+          sum(when($"n_dup" * 2 > $"n_chunks", 1L).otherwise(0L))
+            .as("n_docs_half_dup"))
+        .orderBy($"lang")
+    }),
+
+    // Token-entropy quality gate — the compressibility signal web-corpus
+    // curation uses alongside the Gopher gates: a doc whose unigram
+    // distribution has low Shannon entropy (nats) is repetitive template
+    // soup even when its length/stopword gates pass. entropy = ln(n) −
+    // Σ c·ln(c) / n from EXACT integer token counts; the per-doc value is
+    // rounded to 6dp before any comparison or rollup so the one
+    // accumulation-order-sensitive float sum cannot flip a verdict.
+    // min/max are order-free; the low-entropy flag compares the rounded
+    // value. Shape: one token shuffle with map-side partials, then two
+    // tiny aggs — a single corpus pass at any scale.
+    "q111_token_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      val d = c.groupBy($"doc_id", $"lang")
+        .agg(round(log(sum($"cnt")) - sum($"cnt" * log($"cnt")) / sum($"cnt"), 6)
+          .as("ent"))
+      d.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"ent"), 6).as("avg_entropy"),
+          round(min($"ent"), 6).as("min_entropy"),
+          round(max($"ent"), 6).as("max_entropy"),
+          sum(when($"ent" < 3.0, 1L).otherwise(0L)).as("n_low_entropy"))
+        .orderBy($"lang")
+    }),
+
+    // Corpus boilerplate report — the most-duplicated word-5-grams with
+    // document reach: the diagnostic that finds the licence block / nav
+    // bar / template sentence polluting a crawl (and the memorization
+    // risk list a training run reviews). One gram shuffle with map-side
+    // partials, then a global top-20 that plans as TakeOrderedAndProject
+    // (limit BEFORE any global window — the q93 discipline).
+    "q110_boilerplate_grams" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(wordShingles(tokens($"text"), 5)).as("g"))
+        .groupBy($"g")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+        .where($"n_docs" >= 2)
+        .orderBy($"n_docs".desc, $"n_occ".desc, $"g".asc)
+        .limit(20)
     })
   )
 
@@ -987,7 +1071,46 @@ object TextQueries {
           |            FROM p WHERE pct < rate GROUP BY 1)
           |SELECT lang, n_total, n_sampled,
           |  round(n_sampled * 1.0 / n_total, 6) AS achieved_rate, min_doc, max_doc
-          |FROM total JOIN sampled USING (lang) ORDER BY lang""".stripMargin
+          |FROM total JOIN sampled USING (lang) ORDER BY lang""".stripMargin,
+      "q108_chunk_dedup" ->
+        """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks
+          |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+          |c AS (SELECT doc_id, lang, j,
+          |    md5(list_aggregate(toks[j*20+1 : j*20+20], 'string_agg', ' ')) h
+          |  FROM t, unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(j)),
+          |f AS (SELECT doc_id, lang,
+          |    (row_number() OVER (PARTITION BY h ORDER BY doc_id ASC, j ASC) = 1) AS is_first
+          |  FROM c),
+          |d AS (SELECT doc_id, lang, count(*) AS n_chunks,
+          |    CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+          |  FROM f GROUP BY 1, 2)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+          |  CAST(sum(n_dup) AS BIGINT) AS n_dup_chunks,
+          |  round(sum(n_dup) * 1.0 / sum(n_chunks), 6) AS dup_chunk_fraction,
+          |  CAST(sum(CASE WHEN n_dup * 2 > n_chunks THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_half_dup
+          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+      "q111_token_entropy" ->
+        """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |w AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+          |c AS (SELECT doc_id, lang, tok, count(*) AS cnt FROM w GROUP BY 1, 2, 3),
+          |d AS (SELECT doc_id, lang,
+          |    round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS ent
+          |  FROM c GROUP BY 1, 2)
+          |SELECT lang, count(*) AS n_docs,
+          |  round(avg(ent), 6) AS avg_entropy,
+          |  round(min(ent), 6) AS min_entropy,
+          |  round(max(ent), 6) AS max_entropy,
+          |  CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+      "q110_boilerplate_grams" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |g AS (SELECT doc_id,
+          |    toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5] AS g
+          |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j))
+          |SELECT g, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+          |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY n_docs DESC, n_occ DESC, g ASC LIMIT 20""".stripMargin
     )
   }
 }

@@ -52,6 +52,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p81.contains("CartesianProduct") && !p81.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("round-4 queries keep their intended physical shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // q110's global top-20 collapses to TakeOrderedAndProject — the limit
+    // rides the sort, no global window ever materializes the gram table
+    assert(plan("q110_boilerplate_grams").contains("TakeOrderedAndProject"))
+    // q109 composes a broadcast truth scan with the LSH bucket join —
+    // never a cartesian product
+    val p109 = plan("q109_ann_recall")
+    assert(!p109.contains("CartesianProduct"), "q109 plans a cartesian product")
+    // q108's first-occurrence ranking is partitioned by the chunk hash —
+    // segment dedup must never sort the corpus in one task
+    val q108Windows = SparkEntry.queries("q108_chunk_dedup")(spark, dir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(q108Windows.nonEmpty && q108Windows.forall(_.partitionSpec.nonEmpty),
+      "q108's dedup window must be hash-partitioned")
+  }
+
   test("q107's global rank is distributed: no data-sized unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("q107_activity_gini")(spark, dir).queryExecution

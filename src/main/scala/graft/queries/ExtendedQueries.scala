@@ -442,6 +442,38 @@ object ExtendedQueries {
             ($"n_users" + lit(1.0)) / $"n_users", 6).as("gini"))
     }),
 
+    // Join-key skew report — the OPERATIONAL complement to q107's Gini:
+    // before keying a 100 TB shuffle on user_id, this is the table that
+    // says whether it needs salting and by how much. max/avg frequency
+    // ratio is the worst-case partition blow-up under hash partitioning;
+    // salt_factor = ceil(that ratio) is the salt q58's pattern would use;
+    // the >2×/>10×-avg key counts say whether skew is one hot key or a
+    // fat head. All comparisons are exact integer cross-multiplications
+    // (cnt·n_keys vs k·total — no float thresholds); one shuffle to
+    // count, one broadcast of the 1-row totals.
+    "q112_key_skew" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.events(s, dir)
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"),
+        max($"cnt").as("mx"))
+      c.crossJoin(broadcast(tot))
+        .agg(first($"n_keys").as("n_keys"),
+          first($"total").as("total_events"),
+          first($"mx").as("max_key_events"),
+          sum(when($"cnt" * $"n_keys" > lit(2L) * $"total", 1L).otherwise(0L))
+            .as("n_keys_gt_2x"),
+          sum(when($"cnt" * $"n_keys" > lit(10L) * $"total", 1L).otherwise(0L))
+            .as("n_keys_gt_10x"))
+        .select($"n_keys", $"total_events", $"max_key_events",
+          round($"total_events" * lit(1.0) / $"n_keys", 6).as("avg_key_events"),
+          $"n_keys_gt_2x", $"n_keys_gt_10x",
+          round($"max_key_events" * $"n_keys" * lit(1.0) / $"total_events", 6)
+            .as("skew_factor"),
+          ceil($"max_key_events" * $"n_keys" * lit(1.0) / $"total_events")
+            .cast("long").as("salt_factor"))
+    }),
+
     // As-of state reconstruction (time travel for the event-sourcing
     // surface): every aggregate's version and last event AT a cutoff —
     // what `rehydrate` would see if replay stopped at T. One filtered
@@ -537,6 +569,17 @@ object ExtendedQueries {
         |  round(2.0 * CAST(sum(rk * cnt) AS BIGINT) / (count(*) * CAST(sum(cnt) AS BIGINT))
         |        - (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r""".stripMargin,
+    "q112_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) n_keys, CAST(sum(cnt) AS BIGINT) total,
+        |             CAST(max(cnt) AS BIGINT) mx FROM c)
+        |SELECT t.n_keys, t.total AS total_events, t.mx AS max_key_events,
+        |  round(t.total * 1.0 / t.n_keys, 6) AS avg_key_events,
+        |  CAST(sum(CASE WHEN c.cnt * t.n_keys > 2 * t.total THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_gt_2x,
+        |  CAST(sum(CASE WHEN c.cnt * t.n_keys > 10 * t.total THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_gt_10x,
+        |  round(t.mx * t.n_keys * 1.0 / t.total, 6) AS skew_factor,
+        |  CAST(ceil(t.mx * t.n_keys * 1.0 / t.total) AS BIGINT) AS salt_factor
+        |FROM c, t GROUP BY 1, 2, 3""".stripMargin,
     "q105_versions_asof" ->
       """WITH f AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
         |r AS (SELECT user_id, ts, event_type,

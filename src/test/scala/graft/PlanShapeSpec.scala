@@ -122,6 +122,33 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("dynamic partition pruning reaches the topic-partitioned log scan") {
+    // The partition-layout twin of the bloom-filter pin: when the fact
+    // table is PARTITIONED on the join key (the event log's topic
+    // layout), a selective dim filter prunes whole partition DIRECTORIES
+    // at runtime — at 100 TB the difference between listing five topic
+    // dirs and scanning the lake. Pinned by the dynamicpruning expression
+    // landing in the scan's partition filters.
+    import spark.implicits._
+    val base = tmpDir("dpp") + "/log"
+    (0 until 2000)
+      .map(i => (i.toLong, s"topic${i % 20}", i % 7))
+      .toDF("id", "topic", "v")
+      .write.partitionBy("topic").parquet(base)
+    val fact = spark.read.parquet(base)
+    // the dim must be a SCAN, not a local relation — a local dim's filter
+    // constant-folds away at optimization and DPP then sees no selective
+    // predicate to derive the pruning subquery from
+    (0 until 20).map(i => (s"topic$i", i)).toDF("d_topic", "weight")
+      .write.parquet(base + "-dim")
+    val dim = spark.read.parquet(base + "-dim")
+    val j = fact.join(dim.where($"weight" === 3), $"topic" === $"d_topic")
+      .agg(org.apache.spark.sql.functions.sum($"v"))
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the fact scan in:\n$plan")
+  }
+
   test("runtime bloom filter injects on the fact side of a selective shuffle join") {
     // The 100 TB guard for fact⨝filtered-dim SHUFFLE joins (too big to
     // broadcast): Catalyst builds a bloom filter from the filtered dim keys

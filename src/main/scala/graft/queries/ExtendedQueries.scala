@@ -474,6 +474,22 @@ object ExtendedQueries {
             .cast("long").as("salt_factor"))
     }),
 
+    // Calendar gap-fill (resampling) — the densification every monitoring
+    // and forecasting consumer needs: a day with NO events must appear as
+    // an explicit zero (a 7-day average over only-observed days is wrong
+    // exactly on the days that matter). Spelled as the bounded grid:
+    // distinct types × the observed date span (|types|·|days| rows — a
+    // deliberate cross join of two TINY derived sets, never event-sized),
+    // left-joined back to the daily counts, then an exact trailing-7
+    // window. At 100 TB the grid is still thousands of rows; the only
+    // data-sized work is the one daily-count shuffle.
+    // Implemented by the reusable [[graft.operators.GapFill]] operator;
+    // GapFillSpec exercises the zero-fill law on a feed with real holes
+    // (the driver fixture is dense, so the oracle here gates the grid
+    // construction and trailing-window math).
+    "q113_gap_fill" -> ((s, dir) =>
+      graft.operators.GapFill.daily(Tables.events(s, dir), "event_type", "ts")),
+
     // As-of state reconstruction (time travel for the event-sourcing
     // surface): every aggregate's version and last event AT a cutoff —
     // what `rehydrate` would see if replay stopped at T. One filtered
@@ -569,6 +585,23 @@ object ExtendedQueries {
         |  round(2.0 * CAST(sum(rk * cnt) AS BIGINT) / (count(*) * CAST(sum(cnt) AS BIGINT))
         |        - (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r""".stripMargin,
+    "q113_gap_fill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |              FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(day) d0, max(day) d1 FROM daily),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM span),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |f AS (SELECT t.event_type, dy.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |      FROM types t CROSS JOIN days dy
+        |      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day)
+        |SELECT event_type, day, n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS sum7,
+        |  round(avg(n) OVER w, 6) AS avg7
+        |FROM f
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "q112_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |t AS (SELECT CAST(count(*) AS BIGINT) n_keys, CAST(sum(cnt) AS BIGINT) total,

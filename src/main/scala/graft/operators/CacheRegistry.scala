@@ -33,11 +33,14 @@ object CacheRegistry {
   /** Number of tracked (not yet released) cache handles. */
   def size: Int = live.size
 
-  /** Unpersist every tracked cache. Non-blocking: the entries leave the
-    * cache manager immediately; block eviction completes asynchronously.
+  /** Unpersist every tracked cache and clear the eager-result memo
+    * ([[ResultMemo]] shares this batch boundary). Non-blocking: the
+    * entries leave the cache manager immediately; block eviction
+    * completes asynchronously.
     */
   def releaseAll(): Unit = {
     var d = live.poll()
     while (d != null) { d.unpersist(blocking = false); d = live.poll() }
+    ResultMemo.clear()
   }
 }

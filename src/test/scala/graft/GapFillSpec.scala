@@ -38,6 +38,37 @@ class GapFillSpec extends SparkSpec {
       ("2026-01-03", 0L), ("2026-01-04", 0L)))
   }
 
+  test("seeded-random feeds agree with a driver-side brute-force densification") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val keys = (0 until 1 + rnd.nextInt(4)).map(i => s"k$i")
+      val rows = for {
+        k <- keys
+        _ <- 0 until 1 + rnd.nextInt(10)
+      } yield (k, ts(1 + rnd.nextInt(20)))
+      val got = GapFill.daily(rows.toDF("k", "t"), "k", "t", trailing = 7)
+        .select($"k", $"day".cast("string"), $"n", $"sum7")
+        .as[(String, String, Long, Long)].collect().toSeq
+
+      // brute force: global span, per-key day counts, zero fill, trailing 7
+      val byDay = rows.groupBy(r => (r._1, r._2.toLocalDateTime.toLocalDate))
+        .view.mapValues(_.size.toLong).toMap
+      val allDays = rows.map(_._2.toLocalDateTime.toLocalDate)
+      val span = Iterator.iterate(allDays.min)(_.plusDays(1))
+        .takeWhile(!_.isAfter(allDays.max)).toSeq
+      val expected = for {
+        k <- keys.sorted
+        (day, i) <- span.zipWithIndex
+      } yield {
+        val win = span.slice(math.max(0, i - 6), i + 1)
+        (k, day.toString, byDay.getOrElse((k, day), 0L),
+          win.map(d => byDay.getOrElse((k, d), 0L)).sum)
+      }
+      assert(got == expected)
+    }
+  }
+
   test("dense input is a fixpoint: no rows added, counts unchanged") {
     import spark.implicits._
     val df = (1 to 3).flatMap(d => Seq(("x", ts(d)), ("y", ts(d)))).toDF("k", "t")

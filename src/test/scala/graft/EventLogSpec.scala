@@ -88,6 +88,25 @@ class EventLogSpec extends SparkSpec {
     assert(log.getEventsTyped("web").collect().map(_.id).last == "e9")
   }
 
+  test("CompactionAdvisor turns the layout report into executable advice") {
+    import graft.operators.CompactionAdvisor
+    val log = new EventLog(spark, tmpDir("log"))
+    // fragmented topic: five appends = five+ small files; healthy topic: one
+    (1 to 5).foreach(i => log.appendRows(Seq(row(s"e$i", "click", "web", i * 1000L))))
+    log.appendRows(Seq(row("a1", "view", "app", 1000L)))
+    val advice = CompactionAdvisor.advise(log.layoutReport(), maxFiles = 3)
+      .collect().map(r => r.getString(0) -> (r.getString(3), r.getLong(4), r.getString(5))).toMap
+    val (webAction, webTarget, webReason) = advice("topic=web")
+    assert(webAction == "compact" && webTarget == 1L && webReason == "too many files")
+    assert(advice("topic=app")._1 == "ok")
+    // execute the advice; the next run reports the partition healthy
+    log.compact("web", targetFiles = webTarget.toInt)
+    val after = CompactionAdvisor.advise(log.layoutReport(), maxFiles = 3)
+      .where(org.apache.spark.sql.functions.col("partition") === "topic=web")
+      .collect().head
+    assert(after.getString(3) == "ok" && after.getString(5) == "healthy")
+  }
+
   test("compactClustered z-sorts files so time-window scans prune on stats") {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     val mkLog = () => new EventLog(spark, tmpDir("log"))

@@ -58,9 +58,22 @@ object StreamingHeartbeat {
               Silence(key, new Timestamp(lastSeen), new Timestamp(lastSeen + silenceMs)))
           } else {
             val newest = rows.map(_._2.getTime).foldLeft(state.getOption.getOrElse(0L))(math.max)
-            state.update(newest)
-            state.setTimeoutTimestamp(newest + silenceMs)
-            Iterator.empty
+            val deadline = newest + silenceMs
+            if (deadline <= state.getCurrentWatermarkMs()) {
+              // the gap has ALREADY elapsed in stream time — a late or
+              // backfilled key whose deadline sits behind the watermark.
+              // Arming a timeout in the past would throw and kill the
+              // query; the honest semantics is to alert immediately
+              // (the key provably went silent) and clear, re-arming on
+              // its next event.
+              state.remove()
+              Iterator.single(
+                Silence(key, new Timestamp(newest), new Timestamp(deadline)))
+            } else {
+              state.update(newest)
+              state.setTimeoutTimestamp(deadline)
+              Iterator.empty
+            }
           }
       }
   }

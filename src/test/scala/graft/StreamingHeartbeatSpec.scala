@@ -55,6 +55,27 @@ class StreamingHeartbeatSpec extends SparkSpec {
     assert(drain(dir, ckpt).isEmpty)
   }
 
+  test("a very late event behind the watermark never crashes the query") {
+    val dir = tmpDir("hb3")
+    val ckpt = tmpDir("hb3-ck")
+    // batch 1 advances the watermark to ~59s
+    writeBatch(dir, Seq(("chatty", 60000L)))
+    assert(drain(dir, ckpt).isEmpty)
+    // batch 2 delivers a VERY late first event for "stale" at t=1s, whose
+    // 11s deadline sits far behind the 59s watermark. Spark's stateful
+    // late-row filtering drops it before the operator (observed: no
+    // invocation), so no alert — and crucially no crash: if a Spark
+    // version ever hands such a row through, the operator's past-deadline
+    // branch alerts immediately instead of arming an in-the-past timeout
+    // (setTimeoutTimestamp behind the watermark is a query-fatal throw).
+    writeBatch(dir, Seq(("stale", 1000L)))
+    val got = drain(dir, ckpt)
+    assert(got.forall(_.key == "stale"), s"only stale may alert, got $got")
+    // the query survived: a further live batch still processes normally
+    writeBatch(dir, Seq(("chatty", 61000L)))
+    assert(drain(dir, ckpt).forall(_.key == "stale"))
+  }
+
   test("a returning key re-arms and fires again for a second gap") {
     val dir = tmpDir("hb2")
     val ckpt = tmpDir("hb2-ck")

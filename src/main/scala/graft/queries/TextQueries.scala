@@ -48,6 +48,29 @@ object TextQueries {
     */
   private val StratumK = 5
 
+  /** q70/q114's tokens-per-packed-sequence budget. */
+  private val PackBudget = 512
+
+  /** q70's packed-bin assignment, shared with q114's efficiency report:
+    * a salt-keyed md5 shard bounds each packing domain, and within a
+    * shard a running token prefix-sum maps each doc to bin
+    * floor((cumsum − toks) / budget). One shuffle on the shard key; no
+    * global ordering, no driver loop — at 100 TB every shard packs
+    * independently and bin ids are (shard, bin) composite. Deterministic:
+    * shard and intra-shard order both derive from md5.
+    */
+  private def packedBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hk = md5(concat(lit("pack:"), $"doc_id".cast("string")).cast("binary"))
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", size(tokens($"text")).as("toks"), hk.as("hkey"))
+      .withColumn("shard", substring($"hkey", 1, 1)) // 16 shards
+    val w = Window.partitionBy($"shard").orderBy($"hkey", $"doc_id")
+    d.withColumn("cum", sum($"toks").over(w))
+      .select($"doc_id", $"shard", $"toks",
+        floor(($"cum" - $"toks") / PackBudget).cast("long").as("bin"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
@@ -279,22 +302,35 @@ object TextQueries {
     // Deterministic: shard and intra-shard order both derive from md5.
     "q70_sequence_packing" -> ((s, dir) => {
       import s.implicits._
-      val budget = 512 // tokens per packed sequence
-      val hk = md5(concat(lit("pack:"), $"doc_id".cast("string")).cast("binary"))
-      val d = Tables.documents(s, dir)
-        .select($"doc_id", size(tokens($"text")).as("toks"), hk.as("hkey"))
-        .withColumn("shard", substring($"hkey", 1, 1)) // 16 shards
-      val w = Window.partitionBy($"shard").orderBy($"hkey", $"doc_id")
-      val packed = d
-        .withColumn("cum", sum($"toks").over(w))
-        .select($"doc_id", $"shard", $"toks",
-          floor(($"cum" - $"toks") / budget).cast("long").as("bin"))
-      packed
+      packedBins(s, dir)
         .groupBy($"shard", $"bin")
         .agg(count(lit(1)).as("n_docs"),
           sum($"toks").cast("long").as("bin_toks"),
           min($"doc_id").as("first_doc"))
         .orderBy($"shard", $"bin")
+    }),
+
+    // Packing EFFICIENCY report — the number a training run checks after
+    // q70's packing: how full the 512-token sequences actually are (the
+    // complement is padding waste, which is burned compute). Per shard:
+    // bins, docs, token mass, the min/max bin fill (a straddling doc can
+    // overfill its bin — that's the packing law, and the report shows
+    // it), and the exact fill ratio against n_bins·budget capacity. All
+    // integers + one division; same single-shuffle shape as q70.
+    "q114_packing_efficiency" -> ((s, dir) => {
+      import s.implicits._
+      packedBins(s, dir)
+        .groupBy($"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").cast("long").as("bin_toks"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_bins"),
+          sum($"n_docs").as("n_docs"),
+          sum($"bin_toks").as("sum_toks"),
+          min($"bin_toks").as("min_bin_toks"),
+          max($"bin_toks").as("max_bin_toks"),
+          round(sum($"bin_toks") * lit(1.0) / (count(lit(1)) * lit(PackBudget)), 6)
+            .as("fill_ratio"))
+        .orderBy($"shard")
     }),
 
     // Eval decontamination — flag train-split documents that share any
@@ -980,6 +1016,22 @@ object TextQueries {
           |  FROM s)
           |SELECT shard, bin, count(*) n_docs, CAST(sum(toks) AS BIGINT) bin_toks, min(doc_id) first_doc
           |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+      "q114_packing_efficiency" ->
+        """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) toks,
+          |    md5('pack:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),
+          |s AS (SELECT doc_id, toks, hkey, substr(hkey, 1, 1) shard FROM d),
+          |p AS (SELECT doc_id, shard, toks,
+          |    CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY hkey, doc_id) - toks) / 512) AS BIGINT) bin
+          |  FROM s),
+          |b AS (SELECT shard, bin, count(*) n_docs, CAST(sum(toks) AS BIGINT) bin_toks
+          |      FROM p GROUP BY 1, 2)
+          |SELECT shard, count(*) AS n_bins,
+          |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          |  CAST(sum(bin_toks) AS BIGINT) AS sum_toks,
+          |  min(bin_toks) AS min_bin_toks,
+          |  max(bin_toks) AS max_bin_toks,
+          |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio
+          |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
       "q75_pii_scrub" ->
         """WITH aug AS (SELECT doc_id, lang,
           |    text ||

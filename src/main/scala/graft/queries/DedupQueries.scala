@@ -119,16 +119,26 @@ object DedupQueries {
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    scoredCandidates(s, dir).where($"jac" >= 0.8)
+  }
+
+  /** The LSH candidate set with its exact Jaccard, UNFILTERED — q33/q36/
+    * q81 verify it under their thresholds; q115 sweeps thresholds over it.
+    * jac is a ratio of exact integer set sizes, so its double value (and
+    * every threshold verdict) is bit-identical across engines.
+    */
+  private def scoredCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
     val cand = lshCandidates(s, sets, 2)
-    val scored = cand
+    cand
       .join(sets.as("da"), $"a_id" === $"da.doc_id")
       .join(sets.as("db"), $"b_id" === $"db.doc_id")
       .select($"a_id", $"b_id",
         size(array_intersect($"da.sh", $"db.sh")).as("i"),
         size($"da.sh").as("ca"), size($"db.sh").as("cb"))
-    val jac = ($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i")
-    scored.where(jac >= 0.8).select($"a_id", $"b_id", jac.as("jac"))
+      .select($"a_id", $"b_id",
+        (($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i")).as("jac"))
   }
 
   /** The document near-dup component table, memoized per (session, dir):
@@ -364,6 +374,25 @@ object DedupQueries {
         .orderBy($"lang")
     }),
 
+    // Dedup-threshold sweep — the tuning table a corpus owner reads
+    // BEFORE committing a near-dup pass: pairs retained and distinct
+    // documents touched at each candidate Jaccard threshold, all off the
+    // ONE scored candidate set the committed pass (q33/q36) verifies.
+    // Aggressiveness tuning without re-running candidate generation:
+    // at 100 TB the scored set is cached once and each threshold row is
+    // a filter + two small aggregates.
+    "q115_dedup_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val sc = scoredCandidates(s, dir)
+      Seq(0.7, 0.8, 0.9).map { t =>
+        val p = sc.where($"jac" >= t)
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(p.select(explode(array($"a_id", $"b_id")).as("d"))
+            .agg(countDistinct($"d").as("n_docs")))
+          .select(lit(t).as("threshold"), $"n_pairs", $"n_docs")
+      }.reduce(_ unionAll _).orderBy($"threshold")
+    }),
+
     "q84_dup_rate" -> ((s, dir) => {
       import s.implicits._
       val comp = docComponents(s, dir)
@@ -529,6 +558,21 @@ object DedupQueries {
       "q36_dedup_components" ->
         s"""WITH RECURSIVE $componentCtes
            |SELECT doc_id, comp FROM comp ORDER BY doc_id""".stripMargin,
+      "q115_dedup_threshold_sweep" ->
+        s"""WITH $candidateCtes,
+           |sc AS (SELECT i.a_id, i.b_id, i.i * 1.0 / (ca.c + cb.c - i.i) AS jac
+           |       FROM inter i
+           |       JOIN card ca ON ca.doc_id = i.a_id
+           |       JOIN card cb ON cb.doc_id = i.b_id),
+           |th AS (SELECT CAST(x AS DOUBLE) AS threshold FROM (VALUES (0.7), (0.8), (0.9)) v(x)),
+           |p AS (SELECT th.threshold, sc.a_id, sc.b_id FROM th JOIN sc ON sc.jac >= th.threshold),
+           |a1 AS (SELECT threshold, CAST(count(*) AS BIGINT) n_pairs FROM p GROUP BY 1),
+           |a2 AS (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) n_docs
+           |       FROM (SELECT threshold, unnest([a_id, b_id]) AS d FROM p) GROUP BY 1)
+           |SELECT th.threshold, coalesce(a1.n_pairs, 0) AS n_pairs,
+           |       coalesce(a2.n_docs, 0) AS n_docs
+           |FROM th LEFT JOIN a1 USING (threshold) LEFT JOIN a2 USING (threshold)
+           |ORDER BY th.threshold""".stripMargin,
       "q84_dup_rate" ->
         s"""WITH RECURSIVE $componentCtes,
            |gs AS (SELECT comp, count(*) sz FROM comp GROUP BY 1),

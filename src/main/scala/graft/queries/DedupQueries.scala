@@ -125,13 +125,15 @@ object DedupQueries {
   /** The LSH candidate set with its exact Jaccard, UNFILTERED — q33/q36/
     * q81 verify it under their thresholds; q115 sweeps thresholds over it.
     * jac is a ratio of exact integer set sizes, so its double value (and
-    * every threshold verdict) is bit-identical across engines.
+    * every threshold verdict) is bit-identical across engines. CACHED:
+    * the sweep alone reads it six times (3 thresholds × 2 aggregates),
+    * and the sibling queries share the identical plan.
     */
   private def scoredCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
     val cand = lshCandidates(s, sets, 2)
-    cand
+    graft.operators.CacheRegistry.track(cand
       .join(sets.as("da"), $"a_id" === $"da.doc_id")
       .join(sets.as("db"), $"b_id" === $"db.doc_id")
       .select($"a_id", $"b_id",
@@ -139,6 +141,7 @@ object DedupQueries {
         size($"da.sh").as("ca"), size($"db.sh").as("cb"))
       .select($"a_id", $"b_id",
         (($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i")).as("jac"))
+      .cache())
   }
 
   /** The document near-dup component table, memoized per (session, dir):

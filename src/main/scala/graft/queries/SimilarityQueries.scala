@@ -339,6 +339,32 @@ object SimilarityQueries {
         .orderBy($"q_id")
     }),
 
+    // q109's recall law applied to the IVF path: how much of the exact
+    // top-3 the multi-probe IVF index returns. Together with q109 (LSH)
+    // this quantifies the whole index family against one truth — the
+    // table that justifies (or vetoes) each index for a workload. Shares
+    // the session-cached quantizer with q44/q79/q85.
+    "q116_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val truth = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rk", row_number().over(w)).where($"rk" <= 3)
+        .select($"q_id", $"vec_id".as("nn_id"))
+      val ann = ivf(s, dir, nprobe = NProbe).select($"q_id", $"nn_id")
+      val hits = truth.join(ann, Seq("q_id", "nn_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+      truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id", $"k", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)) * lit(1.0) / $"k", 6).as("recall"))
+        .orderBy($"q_id")
+    }),
+
     // IVF ANN, nprobe=1 — quantizer + plan shape documented on [[ivf]].
     "q44_ann_ivf" -> ((s, dir) => ivf(s, dir, nprobe = 1)),
 
@@ -661,6 +687,37 @@ object SimilarityQueries {
        |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** IVF recall@3 oracle: [[ivfOracleSql]]'s ANN chain intersected with
+    * the brute-force truth over the same `cells` corpus.
+    */
+  private def ivfRecallOracleSql(nprobe: Int): String =
+    s"""WITH $ivfCtesSql,
+       |q AS (SELECT vec_id q_id, v qv FROM cells WHERE vec_id < $NQueries),
+       |pr AS (SELECT q_id, qv, cl AS qc FROM (
+       |    SELECT q.q_id, q.qv, c.cl,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cl ASC) pn
+       |    FROM q CROSS JOIN c$KMeansIters c) WHERE pn <= $nprobe),
+       |p AS (SELECT pr.q_id, c.vec_id nn_id, ${cosSql("pr.qv", "c.v")} cos
+       |      FROM cells c JOIN pr ON c.cell = pr.qc AND c.vec_id <> pr.q_id),
+       |ann AS (SELECT q_id, nn_id FROM (
+       |    SELECT q_id, nn_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+       |    FROM p) WHERE rk <= 3),
+       |tp AS (SELECT b.q_id, a.vec_id nn_id, ${cosSql("b.qv", "a.v")} cos
+       |       FROM cells a JOIN q b ON a.vec_id <> b.q_id),
+       |truth AS (SELECT q_id, nn_id FROM (
+       |    SELECT q_id, nn_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+       |    FROM tp) WHERE rk <= 3),
+       |h AS (SELECT t.q_id, count(*) AS n
+       |      FROM truth t JOIN ann a ON t.q_id = a.q_id AND t.nn_id = a.nn_id
+       |      GROUP BY 1),
+       |k AS (SELECT q_id, count(*) AS k FROM truth GROUP BY 1)
+       |SELECT k.q_id, k.k, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       |  round(coalesce(h.n, 0) * 1.0 / k.k, 6) AS recall
+       |FROM k LEFT JOIN h ON k.q_id = h.q_id ORDER BY k.q_id""".stripMargin
+
   def oracles: Map[String, String] = {
     // The ±1 hyperplane sign vectors, embedded as literals so the SQL and
     // the Catalyst plan share one definition (generated from the same code).
@@ -743,6 +800,7 @@ object SimilarityQueries {
            |FROM k LEFT JOIN h ON k.q_id = h.q_id ORDER BY k.q_id""".stripMargin,
       "q44_ann_ivf" -> ivfOracleSql(nprobe = 1),
       "q79_ann_ivf_multiprobe" -> ivfOracleSql(nprobe = NProbe),
+      "q116_ivf_recall" -> ivfRecallOracleSql(nprobe = NProbe),
       "q97_centroid_silhouette" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
            |u AS (SELECT label AS cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM e),

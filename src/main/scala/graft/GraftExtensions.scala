@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // built without extensions get it injected imperatively on first
     // AsOf.join via experimental.extraStrategies.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // layout knowledge: topic = 'x' over a bucketed event log prunes to the
+    // topic's hash bucket (imperative twin: TopicBucketPruning.install,
+    // called by bucketed EventLog constructors).
+    ext.injectOptimizerRule(_ => graft.plans.TopicBucketPruning)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

@@ -57,6 +57,13 @@ final class EventLog(
 
   private val BucketCol = "topic_bucket"
 
+  // The bucketed layout carries its own pruning rule: any NON-EventLog way
+  // of querying the table (`all` + DataFrame filters, SQL views) relies on
+  // [[graft.plans.TopicBucketPruning]] to map `topic = 'x'` literals onto
+  // the partition column. Installed once per session, no-op if the session
+  // was already built with GraftExtensions.
+  if (topicBuckets.isDefined) graft.plans.TopicBucketPruning.install(spark)
+
   private def fs: FileSystem =
     FileSystem.get(URI.create(path), spark.sparkContext.hadoopConfiguration)
 
@@ -66,12 +73,8 @@ final class EventLog(
     * identically driver-side (for scan pruning) and as a Column (for
     * writes) — no dependence on JVM/Spark hash implementations.
     */
-  def bucketOf(topic: String): Int = {
-    val n = topicBuckets.getOrElse(return 0)
-    val hex = MessageDigest.getInstance("MD5").digest(topic.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex, 16) % n).toInt
-  }
+  def bucketOf(topic: String): Int =
+    topicBuckets.fold(0)(EventLog.bucketOf(topic, _))
 
   private def bucketColumn(topic: Column): Column = {
     val n = topicBuckets.get
@@ -98,6 +101,22 @@ final class EventLog(
         events.toDF()
           .withColumn(BucketCol, bucketColumn(col("topic")))
           .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(path)
+        writeMetaIfAbsent()
+    }
+  }
+
+  /** Sidecar metadata so the bucket count travels WITH the table: readers
+    * that never constructed an EventLog (SQL views, other sessions) still
+    * get partition pruning via [[graft.plans.TopicBucketPruning]], which
+    * reads this file. Underscore prefix keeps it invisible to parquet
+    * directory listings (the `_SUCCESS` convention).
+    */
+  private def writeMetaIfAbsent(): Unit = topicBuckets.foreach { n =>
+    val meta = new Path(path, graft.plans.TopicBucketPruning.MetaFile)
+    if (!fs.exists(meta)) {
+      val out = fs.create(meta, true)
+      try out.write(s"""{"version":1,"topicBuckets":$n}""".getBytes("UTF-8"))
+      finally out.close()
     }
   }
 
@@ -395,4 +414,15 @@ object EventLog {
   def apply(spark: SparkSession, path: String): EventLog = new EventLog(spark, path)
   def bucketed(spark: SparkSession, path: String, buckets: Int): EventLog =
     new EventLog(spark, path, Some(buckets))
+
+  /** Stable topic→bucket hash: first 8 hex chars of md5, mod n. The single
+    * definition shared by the writer (via the instance method / the
+    * equivalent Column expression) and [[graft.plans.TopicBucketPruning]] —
+    * pruning is only sound because both sides compute the identical value.
+    */
+  def bucketOf(topic: String, n: Int): Int = {
+    val hex = MessageDigest.getInstance("MD5").digest(topic.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % n).toInt
+  }
 }

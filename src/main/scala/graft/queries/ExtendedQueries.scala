@@ -274,6 +274,45 @@ object ExtendedQueries {
           $"price_q" (0).as("p50"), $"price_q" (1).as("p95"), $"price_q" (2).as("p99"))
     }),
 
+    // Portable HyperLogLog — the sketch law q28 cannot oracle, pinned
+    // exactly. q28's approx_count_distinct is Spark's HLL++ over
+    // xxhash64: a correct sketch whose exact register values no other
+    // engine reproduces, so it stays rows-only. This query builds the
+    // SAME kind of sketch from engine-neutral parts — md5 32-bit prefix,
+    // bucket = top 8 bits, rho = leading zeros of the low 24 bits via
+    // bin()-string length, dyadic register sums (exactly representable
+    // in doubles, so summation order cannot drift) — and both engines
+    // compute the identical estimate, small-range correction included.
+    // At 100 TB this is the estimator you'd persist: registers are
+    // mergeable by max(), the per-type state is 256 bytes, and the
+    // whole build is one narrow pass + a 256-row-per-type shuffle.
+    // Registers here are exact integers; only the final estimate is
+    // float-rounded (6.5% expected error at m=256 — rel_err column
+    // shows the actual).
+    "q117_portable_hll" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val hv = conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val wBits = $"hv" % 16777216L // low 24 bits
+      val regs = ev.select($"event_type", hv.as("hv"))
+        .select($"event_type", shiftright($"hv", 24).as("bucket"),
+          when(wBits === 0L, lit(25)).otherwise(lit(25) - length(bin(wBits))).as("rho"))
+        .groupBy($"event_type", $"bucket").agg(max($"rho").as("rho"))
+      val agg = regs.groupBy($"event_type")
+        .agg(count(lit(1)).as("nb"), sum(pow(lit(2.0), -$"rho")).as("denom"))
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val raw = lit(alpha) * lit(65536.0) / ($"denom" + (lit(256.0) - $"nb"))
+      val empties = lit(256.0) - $"nb"
+      val est = when(raw <= 640.0 && empties > 0.0,
+        lit(256.0) * log(lit(256.0) / empties)).otherwise(raw)
+      val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact_users"))
+      agg.select($"event_type", est.as("e")).join(exact, "event_type")
+        .select($"event_type", round($"e", 2).as("est_users"), $"exact_users",
+          round(abs($"e" - $"exact_users") / $"exact_users", 4).as("rel_err"))
+        .orderBy($"event_type")
+    }),
+
     // The SAME purchase→last-prior-click law as q27, but through the
     // custom whole-operator Catalyst path (`graft.plans.AsOf`): logical
     // node → strategy → sort-merge physical exec. One oracle pins both
@@ -826,7 +865,39 @@ object ExtendedQueries {
         |  FROM events)
         |SELECT event_id, user_id, ts, last_click_ts,
         |  epoch_ms(ts) - epoch_ms(last_click_ts) AS ms_since_click
-        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
-    // q28_approx_sketches: intentionally no oracle (estimator-specific).
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // q117 = the engine-neutral HLL: every step below is the exact same
+    // arithmetic the Spark side runs (md5 prefix, bin()-length rho,
+    // dyadic register sums), so the ESTIMATE itself hash-matches.
+    "q117_portable_hll" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type, hv >> 24 AS bucket,
+        |    max(CASE WHEN hv % 16777216 = 0 THEN 25
+        |             ELSE 25 - length(bin(hv % 16777216)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS nb, sum(power(2.0, -rho)) AS denom
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / (denom + (256.0 - nb)) AS raw,
+        |    256.0 - nb AS empties
+        |  FROM agg),
+        |fin AS (
+        |  SELECT event_type,
+        |    CASE WHEN raw <= 640.0 AND empties > 0.0
+        |         THEN 256.0 * ln(256.0 / empties) ELSE raw END AS e
+        |  FROM est),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |      FROM events GROUP BY 1)
+        |SELECT f.event_type, round(f.e, 2) AS est_users, x.exact_users,
+        |  round(abs(f.e - x.exact_users) / x.exact_users, 4) AS rel_err
+        |FROM fin f JOIN x USING (event_type) ORDER BY event_type""".stripMargin
+    // q28_approx_sketches: intentionally no oracle (estimator-specific;
+    // its portable twin q117 pins the sketch law exactly).
   )
 }

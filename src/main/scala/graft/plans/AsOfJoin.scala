@@ -43,7 +43,8 @@ case class AsOfJoinPlan(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftTie: Expression, rightTie: Expression,
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    toleranceUnits: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -56,7 +57,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-        j.leftTie, j.rightTie, j.strict, planLater(j.left), planLater(j.right)) :: Nil
+        j.leftTie, j.rightTie, j.strict, j.toleranceUnits,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -66,7 +68,18 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     leftTie: Expression, rightTie: Expression,
     strict: Boolean,
+    toleranceUnits: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  // tolerance needs raw time arithmetic: the time column's physical long
+  // (timestamp = micros) or integral value. Checked at plan construction
+  // (AsOf.join), asserted here for direct constructors.
+  if (toleranceUnits.isDefined) {
+    import org.apache.spark.sql.types._
+    require(Seq(TimestampType, TimestampNTZType, LongType, IntegerType)
+      .contains(leftTime.dataType),
+      s"tolerance requires a timestamp or integral time column, got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -133,7 +146,20 @@ case class AsOfJoinExec(
         private var rTimeTie: UnsafeRow = _
         private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
+        private var matchTime: UnsafeRow = _
         advanceRight()
+
+        // staleness gate: the candidate must lie within `toleranceUnits`
+        // of the left's time (raw physical units — micros for timestamps).
+        // Checked at EMIT, so merge state stays the O(1) latest candidate;
+        // a stale candidate is simply not used (and may be replaced by a
+        // newer right before the next left asks).
+        private val timeIsInt = leftTime.dataType ==
+          org.apache.spark.sql.types.IntegerType
+        private def rawTime(r: UnsafeRow): Long =
+          if (timeIsInt) r.getInt(0).toLong else r.getLong(0)
+        private def withinTolerance(mt: UnsafeRow, lt: UnsafeRow): Boolean =
+          toleranceUnits.forall(tol => rawTime(lt) - rawTime(mt) <= tol)
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -166,13 +192,16 @@ case class AsOfJoinExec(
             val kc = keyOrd.compare(rKey, lk)
             val tc = if (kc == 0) timeOrd.compare(rTimeTie, lt) else 0
             if (kc < 0 || (kc == 0 && (if (strict) tc < 0 else tc <= 0))) {
-              if (kc == 0 && !rHasNull) { matchRow = rRow; matchKey = rKey }
+              if (kc == 0 && !rHasNull) {
+                matchRow = rRow; matchKey = rKey; matchTime = rTimeTie
+              }
               advanceRight()
               continue = rRow != null
             } else continue = false
           }
           val m =
-            if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) matchRow
+            if (matchRow != null && keyOrd.compare(matchKey, lk) == 0 &&
+              withinTolerance(matchTime, lt)) matchRow
             else nullRight
           if (m ne nullRight) numMatched += 1
           numOutputRows += 1
@@ -190,10 +219,17 @@ object AsOf {
     * `key` equal and `(time, tie)` before the left's (strictly, by
     * default). Left outer; inputs need distinct column names across sides.
     * Registers [[AsOfJoinStrategy]] on the session on first use.
+    *
+    * `tolerance` bounds staleness: a candidate older than the left's time
+    * by more than the duration is treated as no match (the feature-join
+    * guard — "the last click, but only if within the session horizon").
+    * Timestamp time columns take the duration exactly; integral time
+    * columns interpret it as milliseconds.
     */
   def join(left: DataFrame, right: DataFrame,
       key: (String, String), time: (String, String), tie: (String, String),
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      tolerance: Option[java.time.Duration] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -203,9 +239,19 @@ object AsOf {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"column $name not found among ${p.output.map(_.name).mkString(", ")}"))
+    val lTime = attr(lp, time._1)
+    val tolUnits = tolerance.map { d =>
+      import org.apache.spark.sql.types._
+      lTime.dataType match {
+        case TimestampType | TimestampNTZType => d.toNanos / 1000L // micros
+        case LongType | IntegerType => d.toMillis
+        case other => throw new IllegalArgumentException(
+          s"tolerance requires a timestamp or integral time column, got $other")
+      }
+    }
     DatasetShim.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, key._1), attr(rp, key._2),
-      attr(lp, time._1), attr(rp, time._2),
-      attr(lp, tie._1), attr(rp, tie._2), strict))
+      lTime, attr(rp, time._2),
+      attr(lp, tie._1), attr(rp, tie._2), strict, tolUnits))
   }
 }

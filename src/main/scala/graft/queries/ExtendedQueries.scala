@@ -334,6 +334,30 @@ object ExtendedQueries {
         .orderBy($"event_id")
     }),
 
+    // q80's law under a STALENESS HORIZON — the custom operator's
+    // tolerance bound, driver-gated: the last prior click counts only if
+    // it is within 6 hours of the purchase (the feature-join guard that
+    // keeps an as-of from matching across a session boundary). The
+    // operator enforces it at emit time with unchanged O(1) merge state;
+    // the oracle spells the same horizon as a CASE over the window
+    // form. Stale matches must become NULL, not fall back to an even
+    // older row — exactly what distinguishes tolerance from a filter.
+    "q118_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+      graft.plans.AsOf.join(purchases, clicks,
+          key = ("user_id", "c_user"), time = ("ts", "c_ts"),
+          tie = ("event_id", "c_id"),
+          tolerance = Some(java.time.Duration.ofHours(6)))
+        .select($"event_id", $"user_id", $"ts", $"c_ts".as("last_click_ts"),
+          (unix_millis($"ts") - unix_millis($"c_ts")).as("ms_since_click"))
+        .orderBy($"event_id")
+    }),
+
     // Event-type Markov transition matrix — P(next | current) over each
     // user's event stream in (ts, event_id) order: the behavioral-sequence
     // statistic a session-analytics or next-event-prediction pipeline
@@ -855,6 +879,24 @@ object ExtendedQueries {
         |SELECT event_id, user_id, ts, last_click_ts,
         |  epoch_ms(ts) - epoch_ms(last_click_ts) AS ms_since_click
         |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // q118 = q80's law gated by the 6 h staleness horizon. The gate is
+    // spelled in MICROS (the operator's comparison unit for timestamps):
+    // a millis-rounded gate would disagree on gaps with sub-ms parts.
+    "q118_asof_tolerance" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+        |  FROM events),
+        |g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lc IS NOT NULL AND epoch_us(ts) - epoch_us(lc) <= 21600000000
+        |         THEN lc END AS last_click_ts
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts, last_click_ts,
+        |  epoch_ms(ts) - epoch_ms(last_click_ts) AS ms_since_click
+        |FROM g ORDER BY event_id""".stripMargin,
     // q80 = q27's law through the custom operator; one oracle, two plans.
     "q80_asof_custom" ->
       """WITH t AS (

@@ -19,7 +19,8 @@ import org.apache.spark.sql.graft.DatasetShim
   * Semantics: LEFT OUTER as-of — for each left row, the single right row
   * with an equal key and the greatest `(time, tie)` pair that is strictly
   * below (`strict = true`) or at-or-below (`strict = false`) the left row's
-  * `(time, tie)`; unmatched left rows keep null right columns. Null
+  * `(time, tie)`; with `forward = true`, symmetrically the SMALLEST pair
+  * above (or at-or-above). Unmatched left rows keep null right columns. Null
   * key/time/tie values follow SQL join semantics: a row carrying one never
   * matches anything (a null-keyed left row emits null right columns). The `tie`
   * columns make the match deterministic when timestamps collide — the same
@@ -44,7 +45,8 @@ case class AsOfJoinPlan(
     leftTime: Expression, rightTime: Expression,
     leftTie: Expression, rightTie: Expression,
     strict: Boolean,
-    toleranceUnits: Option[Long] = None) extends BinaryNode {
+    toleranceUnits: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,7 +59,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-        j.leftTie, j.rightTie, j.strict, j.toleranceUnits,
+        j.leftTie, j.rightTie, j.strict, j.toleranceUnits, j.forward,
         planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
@@ -69,6 +71,7 @@ case class AsOfJoinExec(
     leftTie: Expression, rightTie: Expression,
     strict: Boolean,
     toleranceUnits: Option[Long],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   // tolerance needs raw time arithmetic: the time column's physical long
@@ -159,7 +162,11 @@ case class AsOfJoinExec(
         private def rawTime(r: UnsafeRow): Long =
           if (timeIsInt) r.getInt(0).toLong else r.getLong(0)
         private def withinTolerance(mt: UnsafeRow, lt: UnsafeRow): Boolean =
-          toleranceUnits.forall(tol => rawTime(lt) - rawTime(mt) <= tol)
+          toleranceUnits.forall { tol =>
+            val gap = if (forward) rawTime(mt) - rawTime(lt)
+                      else rawTime(lt) - rawTime(mt)
+            gap <= tol
+          }
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -185,8 +192,15 @@ case class AsOfJoinExec(
             numOutputRows += 1
             return resultProj(joined(l, nullRight)) // null never matches
           }
-          // consume every right row at or before this left position; the
-          // last equal-key NON-NULL one consumed is the as-of match
+          val m = if (forward) forwardMatch(lk, lt) else backwardMatch(lk, lt)
+          if (m ne nullRight) numMatched += 1
+          numOutputRows += 1
+          resultProj(joined(l, m))
+        }
+
+        // consume every right row at or before this left position; the
+        // last equal-key NON-NULL one consumed is the as-of match
+        private def backwardMatch(lk: UnsafeRow, lt: UnsafeRow): InternalRow = {
           var continue = rRow != null
           while (continue) {
             val kc = keyOrd.compare(rKey, lk)
@@ -199,13 +213,32 @@ case class AsOfJoinExec(
               continue = rRow != null
             } else continue = false
           }
-          val m =
-            if (matchRow != null && keyOrd.compare(matchKey, lk) == 0 &&
-              withinTolerance(matchTime, lt)) matchRow
-            else nullRight
-          if (m ne nullRight) numMatched += 1
-          numOutputRows += 1
-          resultProj(joined(l, m))
+          if (matchRow != null && keyOrd.compare(matchKey, lk) == 0 &&
+            withinTolerance(matchTime, lt)) matchRow
+          else nullRight
+        }
+
+        // FORWARD: skip every right at or before this left position (plus
+        // null-bearing rows — they never match anyone, so consuming them
+        // is always safe), then PEEK the cursor: the first equal-key right
+        // above the left is the match, and it stays unconsumed because the
+        // next left — ascending — may need the same row. No candidate
+        // state at all; lefts sorted ascending make every skip permanent.
+        private def forwardMatch(lk: UnsafeRow, lt: UnsafeRow): InternalRow = {
+          var continue = rRow != null
+          while (continue) {
+            if (rHasNull) { advanceRight(); continue = rRow != null }
+            else {
+              val kc = keyOrd.compare(rKey, lk)
+              val tc = if (kc == 0) timeOrd.compare(rTimeTie, lt) else 0
+              if (kc < 0 || (kc == 0 && (if (strict) tc <= 0 else tc < 0))) {
+                advanceRight(); continue = rRow != null
+              } else continue = false
+            }
+          }
+          if (rRow != null && keyOrd.compare(rKey, lk) == 0 &&
+            withinTolerance(rTimeTie, lt)) rRow
+          else nullRight
         }
       }
     }
@@ -225,11 +258,18 @@ object AsOf {
     * guard — "the last click, but only if within the session horizon").
     * Timestamp time columns take the duration exactly; integral time
     * columns interpret it as milliseconds.
+    *
+    * `forward = true` flips the direction: the EARLIEST right row strictly
+    * after (inclusive with `strict = false`) the left's `(time, tie)` —
+    * "the next fill after the order", "the response to the request".
+    * Tolerance then bounds how far AHEAD the match may be. Same merge cost
+    * either way: one ascending pass, rights consumed at most once.
     */
   def join(left: DataFrame, right: DataFrame,
       key: (String, String), time: (String, String), tie: (String, String),
       strict: Boolean = true,
-      tolerance: Option[java.time.Duration] = None): DataFrame = {
+      tolerance: Option[java.time.Duration] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -252,6 +292,6 @@ object AsOf {
     DatasetShim.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, key._1), attr(rp, key._2),
       lTime, attr(rp, time._2),
-      attr(lp, tie._1), attr(rp, tie._2), strict, tolUnits))
+      attr(lp, tie._1), attr(rp, tie._2), strict, tolUnits, forward))
   }
 }

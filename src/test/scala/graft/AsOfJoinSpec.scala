@@ -144,6 +144,31 @@ class AsOfJoinSpec extends SparkSpec {
     custom.zip(windowed).foreach { case (c, x) => assert(c == x) }
   }
 
+  test("forward as-of picks the smallest (time, tie) strictly above") {
+    val out = AsOf.join(trades, quotes,
+        key = ("t_key", "q_key"), time = ("t_t", "q_t"), tie = ("t_id", "q_id"),
+        forward = true)
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(10L) == 1L) // t=5: next quote is (10,1)
+    assert(out(11L) == -1L) // t=20,id=11: quotes (20,2),(20,3) are BELOW (20,11)
+    assert(out(12L) == -1L) // t=25: nothing after
+    assert(out(1L) == 4L) // b at (15,1): quote (15,4) is above by tie
+    assert(out(13L) == -1L) // c: no quotes
+  }
+
+  test("forward tolerance bounds how far ahead the match may be") {
+    val out = AsOf.join(trades, quotes,
+        key = ("t_key", "q_key"), time = ("t_t", "q_t"), tie = ("t_id", "q_id"),
+        forward = true, tolerance = Some(java.time.Duration.ofMillis(4)))
+      .select($"t_id", $"q_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(10L) == -1L) // next quote is 5 ms ahead > 4: no match, no fallback
+    assert(out(1L) == 4L) // gap 0 within tolerance
+  }
+
   test("seeded random tables match a brute-force reference") {
     // few keys, tiny time domain (heavy collisions), overlapping id ranges
     // on both sides — stresses exactly the (time, tie) lexicographic law
@@ -167,6 +192,24 @@ class AsOfJoinSpec extends SparkSpec {
         .select($"t_id", $"q_id").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
       assert(got == expected, s"trial $trial diverged from reference")
+
+      // forward + tolerance against the same brute force
+      val tolMs = 5L
+      val expectedFwd = lefts.map { case (k, t, id) =>
+        val m = rights
+          .filter(r => r._1 == k && (r._2 > t || (r._2 == t && r._3 > id)))
+          .filter(r => r._2 - t <= tolMs)
+          .sortBy(r => (r._2, r._3)).headOption
+        id -> m.map(_._3).getOrElse(-1L)
+      }.toMap
+      val gotFwd = AsOf.join(
+          lefts.toDF("t_key", "t_t", "t_id"),
+          rights.toDF("q_key", "q_t", "q_id", "px"),
+          ("t_key", "q_key"), ("t_t", "q_t"), ("t_id", "q_id"),
+          forward = true, tolerance = Some(java.time.Duration.ofMillis(tolMs)))
+        .select($"t_id", $"q_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(gotFwd == expectedFwd, s"trial $trial forward diverged from reference")
     }
   }
 

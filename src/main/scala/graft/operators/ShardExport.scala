@@ -64,36 +64,47 @@ object ShardExport {
         floor((col("__cum") - col(tokensCol)) / binBudget).cast("long"))
       .withColumn("pos", row_number().over(w))
       .drop("__hkey", "__cum")
+      .persist() // one materialization feeds both the write and the manifest
 
-    packed
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("bin"), col("pos"))
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+    try {
+      packed
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("bin"), col("pos"))
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
 
-    val fs = FileSystem.get(URI.create(outDir), spark.sparkContext.hadoopConfiguration)
-    val files: Seq[(String, Long, Long)] = fs.listStatus(new Path(outDir))
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("shard="))
-      .toSeq.map { d =>
-        val parts = fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
-        (d.getPath.getName.stripPrefix("shard="),
-          parts.length.toLong, parts.map(_.getLen).sum)
-      }
-    val fileDf = spark.createDataFrame(files).toDF("shard", "n_files", "file_bytes")
+      val fs = FileSystem.get(URI.create(outDir), spark.sparkContext.hadoopConfiguration)
+      val files: Seq[(String, Long, Long)] = fs.listStatus(new Path(outDir))
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("shard="))
+        .toSeq.map { d =>
+          val parts = fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
+          (d.getPath.getName.stripPrefix("shard="),
+            parts.length.toLong, parts.map(_.getLen).sum)
+        }
+      val fileDf = spark.createDataFrame(files).toDF("shard", "n_files", "file_bytes")
 
-    val manifest = spark.read.parquet(outDir)
-      .groupBy(col("shard").cast("string").as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("bin")).as("n_bins"),
-        sum(col(tokensCol)).cast("long").as("sum_toks"))
-      .join(fileDf, "shard")
-      .withColumn("fill_ratio",
-        round(col("sum_toks") * lit(1.0) / (col("n_bins") * binBudget), 6))
-      .select("shard", "n_docs", "n_bins", "sum_toks", "fill_ratio",
-        "n_files", "file_bytes")
-      .orderBy("shard")
+      // stats from the packed frame, not a re-read of the written tree:
+      // partition-type inference on a re-read can mistake an all-numeric
+      // shard set for integers and break the manifest join on `shard`
+      val manifest = packed
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum(col(tokensCol)).cast("long").as("sum_toks"))
+        .join(fileDf, "shard")
+        .withColumn("fill_ratio",
+          round(col("sum_toks") * lit(1.0) / (col("n_bins") * binBudget), 6))
+        .select("shard", "n_docs", "n_bins", "sum_toks", "fill_ratio",
+          "n_files", "file_bytes")
+        .orderBy("shard")
 
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(outDir.stripSuffix("/") + "/_manifest")
-    manifest
+      manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(outDir.stripSuffix("/") + "/_manifest")
+      // return the persisted manifest rows (reading the file back would
+      // hit the same inference hazard the derivation just avoided)
+      val spark2 = manifest.sparkSession
+      spark2.createDataFrame(
+        spark2.sparkContext.parallelize(manifest.collect().toSeq, 1),
+        manifest.schema)
+    } finally packed.unpersist()
   }
 }

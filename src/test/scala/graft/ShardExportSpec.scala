@@ -74,6 +74,28 @@ class ShardExportSpec extends SparkSpec {
     assert(ours.except(law).isEmpty && law.except(ours).isEmpty)
   }
 
+  test("all-numeric shard values (leading zeros) keep a complete manifest") {
+    import spark.implicits._
+    // docs whose 2-char md5 prefix is purely numeric — shards like "07"
+    // that partition-type inference would read back as the integer 7,
+    // which is why the manifest derives from the packed frame, not a
+    // re-read of the written tree
+    val numeric = corpus
+      .withColumn("h", substring(
+        md5(concat(lit("pack:"), $"doc_id".cast("string")).cast("binary")), 1, 2))
+      .where($"h".rlike("^[0-9]{2}$")).drop("h")
+    val n = numeric.count()
+    assert(n > 50, s"fixture too small for the hazard: $n docs")
+    val out = tmpDir("shard-numeric")
+    val manifest = ShardExport.write(numeric, out, "doc_id", "toks", Budget,
+      shardHexChars = 2).collect()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == n,
+      "manifest lost shards to partition-type inference")
+    assert(manifest.exists(_.getAs[String]("shard").startsWith("0")),
+      "no leading-zero shard present — hazard untested")
+    assert(manifest.forall(_.getAs[Long]("n_files") == 1L))
+  }
+
   test("shardHexChars widens the shard space (the 100 TB knob)") {
     import spark.implicits._
     val out = tmpDir("shard-wide")

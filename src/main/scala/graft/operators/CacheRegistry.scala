@@ -42,5 +42,6 @@ object CacheRegistry {
     var d = live.poll()
     while (d != null) { d.unpersist(blocking = false); d = live.poll() }
     ResultMemo.clear()
+    graft.sources.Tables.clearCache()
   }
 }

@@ -154,7 +154,7 @@ object DedupQueries {
   private def docComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.ResultMemo.getOrCompute(
-      s"cc:docs:$dir:${System.identityHashCode(s)}") {
+      s"cc:docs:$dir:${graft.operators.SessionKey(s)}") {
       graft.operators.CacheRegistry.track(
         graft.operators.ConnectedComponents
           .components(verifiedPairs(s, dir).select($"a_id", $"b_id"),

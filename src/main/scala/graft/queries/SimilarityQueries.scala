@@ -420,7 +420,7 @@ object SimilarityQueries {
       // memoized per batch: CC runs eagerly, so without the memo every
       // bench pass would re-execute the iteration loop
       graft.operators.ResultMemo.getOrCompute(
-        s"cc:emb:$dir:${System.identityHashCode(s)}") {
+        s"cc:emb:$dir:${graft.operators.SessionKey(s)}") {
         graft.operators.CacheRegistry.track(
           graft.operators.ConnectedComponents
             .components(cosineDupPairs(s, dir).select($"a_id", $"b_id"),

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.StringType
@@ -30,16 +30,22 @@ import org.apache.spark.sql.types.StringType
   * — same md5-prefix hash the writer used — and injects the implied
   * `topic_bucket IN (...)` conjunct. FileSourceStrategy recognizes the new
   * conjunct as a partition-key filter, so the scan lists only the matching
-  * bucket directories. The original predicate is kept: the rewrite is
-  * predicate injection, never replacement, so correctness doesn't depend on
-  * the hash (a wrong bucket count could only make the scan read MORE, never
-  * drop a matching row — and the count comes from the log's own metadata).
+  * bucket directories. The original predicate is kept (the rewrite is
+  * predicate injection, never replacement) — but note the injected conjunct
+  * is a PARTITION filter, so pruning correctness DOES depend on the bucket
+  * count matching the on-disk layout: a wrong count would exclude the
+  * directory that actually holds the topic and silently drop rows. That is
+  * why the count is never guessed (no meta ⇒ no pruning) and why the meta
+  * cache below is keyed by the sidecar file's identity, not just its path.
   *
   * The bucket count n travels with the data: the writer drops a
   * `_graft_meta.json` ({"topicBuckets": n}) next to the partition
-  * directories (EventLog.append), read here once per table root and cached.
-  * Underscore-prefixed files are invisible to parquet directory listings,
-  * the same convention as `_SUCCESS`.
+  * directories (EventLog.append), read here per (root, meta mtime, meta
+  * length) — deleting and re-creating a log at the same path with a
+  * different bucket count produces a new sidecar and therefore a fresh
+  * read, never a stale cached count. Underscore-prefixed files are
+  * invisible to parquet directory listings, the same convention as
+  * `_SUCCESS`.
   */
 object TopicBucketPruning extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -49,15 +55,26 @@ object TopicBucketPruning extends Rule[LogicalPlan] with PredicateHelper {
   /** Sidecar metadata file at the log root. */
   val MetaFile = "_graft_meta.json"
 
-  // table root → bucket count (None = no/invalid meta). Layouts are
-  // immutable once created, so entries never expire; the map stays tiny
-  // (one entry per distinct log path touched by the session).
-  private val metaCache = new ConcurrentHashMap[String, Option[Int]]()
+  // (table root, meta mtime, meta length) → bucket count (None = invalid
+  // meta). A LIVE layout is immutable, but the same PATH is not: dropping
+  // and re-creating a log there writes a new sidecar, and serving the old
+  // count would prune to the wrong directories and silently drop rows
+  // (ADVICE r4). Keying by the sidecar's identity makes staleness
+  // structural; superseded entries are garbage but bounded by the number
+  // of distinct layouts a session ever touches.
+  private val metaCache = new ConcurrentHashMap[(String, Long, Long), Option[Int]]()
 
   private def bucketsFor(hfs: HadoopFsRelation): Option[Int] = {
     val roots = hfs.location.rootPaths
     if (roots.size != 1) return None
-    metaCache.computeIfAbsent(roots.head.toString, _ => readMeta(roots.head, hfs.sparkSession))
+    val root = roots.head
+    try {
+      val fs = root.getFileSystem(hfs.sparkSession.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(new Path(root, MetaFile))
+      metaCache.computeIfAbsent(
+        (root.toString, st.getModificationTime, st.getLen),
+        _ => readMeta(root, hfs.sparkSession))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def readMeta(root: Path, spark: SparkSession): Option[Int] =
@@ -91,35 +108,64 @@ object TopicBucketPruning extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, rel: LogicalRelation)
-        if rel.relation.isInstanceOf[HadoopFsRelation] &&
-          rel.relation.asInstanceOf[HadoopFsRelation]
-            .partitionSchema.fieldNames.contains(BucketCol) =>
-      val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
-      val bucketAttr = rel.output.find(_.name == BucketCol)
-      val topicAttr = rel.output.find(a => a.name == "topic" && a.dataType == StringType)
-      val conjuncts = splitConjunctivePredicates(cond)
-      (bucketAttr, topicAttr) match {
-        // idempotence: once any conjunct constrains the bucket column
-        // (ours from a previous fixed-point pass, or the caller's own),
-        // there is nothing to add
-        case (Some(b), Some(t)) if !conjuncts.exists(_.references.contains(b)) =>
-          bucketsFor(hfs) match {
-            case Some(n) =>
-              val topics = conjuncts.flatMap(literalTopics(_, t)).flatten.distinct
-              if (topics.isEmpty) f
-              else {
-                val buckets = topics.map(graft.sources.EventLog.bucketOf(_, n)).distinct.sorted
-                val pruned: Expression =
-                  if (buckets.size == 1) EqualTo(b, Literal(buckets.head))
-                  else In(b, buckets.map(Literal(_)))
-                Filter(And(cond, pruned), rel)
-              }
-            case None => f
+  private def isBucketed(rel: LogicalRelation): Boolean =
+    rel.relation.isInstanceOf[HadoopFsRelation] &&
+      rel.relation.asInstanceOf[HadoopFsRelation]
+        .partitionSchema.fieldNames.contains(BucketCol)
+
+  /** The `topic_bucket` conjunct implied by `cond` (expressed over `rel`'s
+    * own attributes), or None when nothing applies — no literal topic
+    * constraint, no/invalid meta, or the bucket column already constrained
+    * (idempotence: ours from a previous fixed-point pass, or the caller's
+    * own).
+    */
+  private def impliedBucketPredicate(cond: Expression,
+      rel: LogicalRelation): Option[Expression] = {
+    val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+    val bucketAttr = rel.output.find(_.name == BucketCol)
+    val topicAttr = rel.output.find(a => a.name == "topic" && a.dataType == StringType)
+    val conjuncts = splitConjunctivePredicates(cond)
+    (bucketAttr, topicAttr) match {
+      case (Some(b), Some(t)) if !conjuncts.exists(_.references.contains(b)) =>
+        bucketsFor(hfs).flatMap { n =>
+          val topics = conjuncts.flatMap(literalTopics(_, t)).flatten.distinct
+          if (topics.isEmpty) None
+          else {
+            val buckets = topics.map(graft.sources.EventLog.bucketOf(_, n)).distinct.sorted
+            Some(
+              if (buckets.size == 1) EqualTo(b, Literal(buckets.head))
+              else In(b, buckets.map(Literal(_))))
           }
-        case _ => f
+        }
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: LogicalRelation) if isBucketed(rel) =>
+      impliedBucketPredicate(cond, rel)
+        .map(pruned => Filter(And(cond, pruned), rel))
+        .getOrElse(f)
+
+    // A SQL view with a select-list plans Filter(Project(relation)) — e.g.
+    // `CREATE VIEW v AS SELECT topic AS t, ... FROM log` queried with
+    // `WHERE t = 'x'`. Re-express the condition through the project's
+    // alias map and inject the bucket conjunct BENEATH the project, directly
+    // on the relation (where the partition column lives even when projected
+    // away). The rewritten inner Filter matches the first arm on the next
+    // fixed-point pass, where the already-constrained check stops it.
+    case f @ Filter(cond, Project(projList, rel: LogicalRelation)) if isBucketed(rel) =>
+      val aliasMap: Map[ExprId, AttributeReference] = projList.collect {
+        case a @ Alias(ar: AttributeReference, _) => a.exprId -> ar
+        case ar: AttributeReference => ar.exprId -> ar
+      }.toMap
+      val overRelation = cond.transform {
+        case attr: AttributeReference if aliasMap.contains(attr.exprId) =>
+          aliasMap(attr.exprId)
       }
+      impliedBucketPredicate(overRelation, rel)
+        .map(pruned => Filter(cond, Project(projList, Filter(pruned, rel))))
+        .getOrElse(f)
   }
 
   /** Idempotently add this rule to a session's extra optimizer batch (the

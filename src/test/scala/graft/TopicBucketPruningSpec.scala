@@ -78,6 +78,46 @@ class TopicBucketPruningSpec extends SparkSpec {
     assert(df.head().getLong(0) == 5L)
   }
 
+  test("a SQL view with a select-list (aliased topic) still prunes to one bucket") {
+    // plans Filter(Project(relation)) — the shape the plain-relation match
+    // arm misses; the rule must rewrite the aliased predicate through the
+    // project and inject the bucket conjunct beneath it
+    val log = mkLog()
+    log.all.createOrReplaceTempView("bucketed_raw")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW bucketed_view AS
+                 SELECT topic AS subject, type AS kind, id FROM bucketed_raw""")
+    val df = spark.sql(
+      "SELECT subject, kind, id FROM bucketed_view WHERE subject = 'aggregate.acct.4'")
+    val scan = scanOf(df)
+    assert(scan.metadata("PartitionFilters").contains("topic_bucket"),
+      s"no bucket partition filter:\n${scan.metadata("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 bucket, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(df.count() == 5)
+  }
+
+  test("re-creating a log at the same path with a different bucket count is not served stale") {
+    import spark.implicits._
+    val dir = tmpDir("bucket-prune-stale")
+    val mk = (buckets: Int) => {
+      val log = EventLog.bucketed(spark, dir, buckets)
+      log.appendRows((0 until 5).map(i => EventRow(s"e$i", "type0", "acct.stale",
+        new Timestamp(1700000000000L + i), "1", "{}", Map.empty)))
+      log
+    }
+    // first layout populates the meta cache for this path
+    assert(mk(8).all.where($"topic" === "acct.stale").count() == 5)
+    // drop and re-create with a different count at the SAME path: a cache
+    // keyed by path alone would serve n=8, prune to the wrong directory,
+    // and silently return 0 rows
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Thread.sleep(5) // distinct sidecar mtime even on coarse filesystems
+    val df = mk(3).all.where($"topic" === "acct.stale")
+    assert(scanOf(df).selectedPartitions.partitionCount == 1)
+    assert(df.count() == 5, "stale bucket count dropped rows")
+  }
+
   test("non-topic filters are left alone; unbucketed logs are untouched") {
     import spark.implicits._
     val log = mkLog()

@@ -71,7 +71,17 @@ object Backfill {
         val root = new Path(tablePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         stale.foreach { v =>
-          fs.delete(new Path(root, s"$partitionCol=$v"), true)
+          // Spark escapes special chars (space, ':', '/', '%', …) in
+          // partition directory names; reconstruct with the same escaping
+          // or the delete would target a nonexistent path and silently
+          // retain the stale partition (ADVICE r4). A missing target is
+          // an invariant breach (the value was listed from this table
+          // moments ago), so fail loudly rather than converge silently.
+          val dir = new Path(root, s"$partitionCol=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+          if (!fs.delete(dir, true))
+            throw new IllegalStateException(
+              s"stale-partition sweep: expected to delete $dir but it was not there")
         }
       }
       n

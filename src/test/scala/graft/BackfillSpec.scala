@@ -49,6 +49,24 @@ class BackfillSpec extends SparkSpec {
       .as[(String, Int)].collect().sorted.toSeq == Seq(("d1", 5), ("d3", 6)))
   }
 
+  test("empty-recompute sweep deletes partitions whose values need path escaping") {
+    import spark.implicits._
+    // Spark writes these as escaped directory names (space → %20, ':' →
+    // %3A); a sweep that reconstructs "day=<raw value>" would miss them
+    // and silently retain the stale rows
+    val table = tmpDir("bf4") + "/hourly"
+    val k1 = "2024-01-01 00:00"
+    val k2 = "2024-01-01 01:00"
+    Backfill.replaceRange(spark, mkEvents(k1 -> 1, k2 -> 1),
+      table, "day", k1, k2)(identity)
+    val n = Backfill.replaceRange(spark, mkEvents(k2 -> 9),
+      table, "day", k1, k2)(identity)
+    assert(n == 1)
+    val got = spark.read.parquet(table).select($"day", $"v")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq((k2, 9)), s"escaped stale partition must be deleted, got $got")
+  }
+
   test("a transform leaking rows outside its mandate is fenced") {
     import spark.implicits._
     val table = tmpDir("bf2") + "/daily"

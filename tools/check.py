@@ -35,8 +35,7 @@ def norm_type(t):
     s = str(t).upper()
     return {"INT64": "BIGINT", "INT32": "INTEGER", "INT128": "HUGEINT",
             "FLOAT8": "DOUBLE", "FLOAT4": "FLOAT", "STRING": "VARCHAR",
-            "TEXT": "VARCHAR", "TIMESTAMP_NS": "TIMESTAMP",
-            "TIMESTAMP_MS": "TIMESTAMP", "BOOL": "BOOLEAN"}.get(s, s)
+            "TEXT": "VARCHAR", "BOOL": "BOOLEAN"}.get(s, s)
 
 
 def norm(v):

@@ -15,30 +15,35 @@ final case class MediaAsset(
     content: Array[Byte],
     meta: Map[String, String])
 
-/** Decoded features for one asset: fixed-width vector + shape metadata. */
+/** Decoded features for one asset: fixed-width vector + shape metadata.
+  * `decoded` records provenance — true when a real codec produced the
+  * dims/features, false for the deterministic byte-histogram fallback.
+  */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
     n_bytes: Int,
     width: Int,
     height: Int,
-    features: Array[Float])
+    features: Array[Float],
+    decoded: Boolean)
 
 /** Multimodal column plumbing (north-star surface): treat image/audio/video
   * as opaque `binary` columns, decode/feature-extract in BATCHED
   * per-partition workers, keep everything else relational.
   *
-  * The decode step is a clearly-marked STUB: no codec libraries exist in
-  * this container, so `decodeStub` derives deterministic fake
-  * width/height/features from the bytes (byte histogram → normalized
-  * float vector). Swapping in a real decoder changes ONLY the body of
-  * `decodeStub` — the Spark-side contract (schema, partition-level
-  * batching, feature width, null law) is real and tested.
+  * Decoding is REAL for images: `javax.imageio` (in-JDK; PNG/JPEG/BMP/GIF)
+  * yields actual pixel dimensions and a luminance-histogram feature
+  * vector. Payloads ImageIO cannot read — audio/video (no JDK codec) and
+  * opaque/undecodable bytes, including this container's synthetic
+  * text-byte corpus — take the deterministic byte-histogram featurizer
+  * ([[byteHistogramFeatures]]) so the pipeline is total: every asset gets
+  * features, and the `decoded` flag records which path produced them.
   *
-  * Scale notes: `mapPartitions` amortizes per-batch setup (a real decoder
-  * loads its codec/model once per partition, exactly like a Python
-  * `mapInPandas` worker would); binary payloads never pass through a
-  * shuffle — features (256 floats) do. Partition sizing is the caller's
+  * Scale notes: `mapPartitions` amortizes per-batch setup (a heavier
+  * decoder loads its codec/model once per partition, exactly like a
+  * Python `mapInPandas` worker would); binary payloads never pass through
+  * a shuffle — features (16 floats) do. Partition sizing is the caller's
   * lever: `spark.sql.files.maxPartitionBytes` bounds decoder memory.
   */
 object MediaPipeline {
@@ -60,21 +65,73 @@ object MediaPipeline {
       .as[MediaAsset]
   }
 
-  /** STUB decoder — deterministic fake. Real implementation would dispatch
-    * on `kind` to an image/audio/video codec here.
+  /** Deterministic byte-histogram featurizer — the TOTAL fallback for
+    * payloads with no in-JDK codec (audio/video) or undecodable bytes.
+    * Law (recomputed SQL-side by the q62/q72 oracles): width = 16 +
+    * len % 64, height = 16 + (len / 64) % 64, features[i] = count(bytes
+    * with low nibble i) / max(len, 1) in float32.
     */
-  private[multimodal] def decodeStub(asset: MediaAsset): MediaFeatures = {
+  private[multimodal] def byteHistogramFeatures(asset: MediaAsset): MediaFeatures = {
     val bytes = asset.content
-    // Fake "dimensions": derived from content length, stable across runs.
     val width = 16 + (bytes.length % 64)
     val height = 16 + ((bytes.length / 64) % 64)
-    // Fake "features": L1-normalized 16-bin byte histogram.
     val hist = new Array[Float](FeatureDim)
     bytes.foreach(b => hist((b & 0xff) % FeatureDim) += 1f)
     val total = math.max(bytes.length, 1).toFloat
     MediaFeatures(asset.media_id, asset.kind, bytes.length, width, height,
-      hist.map(_ / total))
+      hist.map(_ / total), decoded = false)
   }
+
+  /** Cheap magic-byte sniff so the undecodable common case skips ImageIO's
+    * stream machinery entirely (PNG, JPEG, BMP, GIF — the formats the JDK
+    * reader handles).
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+
+  /** REAL image decode via the in-JDK `javax.imageio` (PNG/JPEG/BMP/GIF):
+    * actual pixel dimensions, features = L1-normalized 16-bin luminance
+    * histogram (integer Rec.601 weights — (299r+587g+114b)/1000 — so the
+    * binning is exact integer arithmetic and bit-stable across runs).
+    * None when ImageIO has no reader for the bytes.
+    */
+  private[multimodal] def decodeImage(asset: MediaAsset): Option[MediaFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(asset.content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum * FeatureDim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = math.max(w * h, 1).toFloat
+        Some(MediaFeatures(asset.media_id, asset.kind, asset.content.length,
+          w, h, hist.map(_ / total), decoded = true))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode one asset: images through the real codec, everything else —
+    * and image-kind payloads the codec rejects — through the fallback, so
+    * decode is total and never throws on a malformed payload.
+    */
+  private[multimodal] def decodeOne(asset: MediaAsset): MediaFeatures =
+    (if (asset.kind == "image" && looksLikeImage(asset.content)) decodeImage(asset)
+     else None).getOrElse(byteHistogramFeatures(asset))
 
   /** Batched decode: one worker instantiation per PARTITION, not per row.
     * This is the Scala analogue of `mapInPandas` batch shape.
@@ -82,8 +139,10 @@ object MediaPipeline {
   def decode(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
-      // Real decoder: initialize codec/session HERE (once per partition).
-      batch.map(decodeStub)
+      // per-partition decoder setup: keep ImageIO off its temp-file cache
+      // (pure in-memory decode; executors may lack a scratch dir)
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map(decodeOne)
     }
   }
 

@@ -57,7 +57,7 @@ object MultimodalQueries {
     // Batched decode through MediaPipeline.mapPartitions (the real
     // multimodal plumbing) rolled up per kind — the DETERMINISTIC half of
     // the decode contract: n_bytes/width/height are pure functions of the
-    // payload's byte length (MediaPipeline.decodeStub's documented law),
+    // payload's byte length (MediaPipeline.byteHistogramFeatures, the fallback the synthetic text-byte corpus always takes),
     // so even though the Spark side runs the imperative mapPartitions
     // decoder, DuckDB can recompute the same rollup from octet_length —
     // the oracle verifies the decode plumbing end-to-end.
@@ -112,7 +112,7 @@ object MultimodalQueries {
          |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
          |  md5(substr(text, CAST(frame_no * $FrameStride + 1 AS INT), $FrameBytes)) AS frame_md5
          |FROM f ORDER BY doc_id, frame_no""".stripMargin,
-    // decodeStub's metadata law (MediaPipeline.scala): n_bytes = len,
+    // byteHistogramFeatures fallback metadata law (MediaPipeline.scala): n_bytes = len,
     // width = 16 + len % 64, height = 16 + (len / 64) % 64 — recomputed
     // from octet_length; `//` is DuckDB integer floor division, matching
     // Java int division on the non-negative lengths here.
@@ -124,7 +124,7 @@ object MultimodalQueries {
         |  round(avg(16 + octet_length(text::BLOB) % 64), 6) AS avg_width,
         |  round(avg(16 + (octet_length(text::BLOB) // 64) % 64), 6) AS avg_height
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
-    // decodeStub's feature law: features[i] = (# bytes with low nibble i)
+    // byteHistogramFeatures fallback feature law: features[i] = (# bytes with low nibble i)
     // / max(len, 1), computed in float32. A byte's low nibble is the
     // second hex char of its pair in hex(blob), so bin membership is a
     // character test over every 2nd char; the division is done in REAL

@@ -42,6 +42,64 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach(f => assert(f.n_bytes == byId(f.media_id).content.length))
   }
 
+  /** Deterministic tiny PNG: pixel (x,y) = RGB from an integer recurrence,
+    * round-tripped through the in-JDK encoder. Returns (png bytes, the
+    * BufferedImage it encodes).
+    */
+  private def pngFixture(w: Int, h: Int): (Array[Byte], java.awt.image.BufferedImage) = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 31 + y * 17) % 256
+      val g = (x * 7 + y * 131) % 256
+      val b = (x * 101 + y * 3) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    (out.toByteArray, img)
+  }
+
+  test("decode: real PNGs get actual pixel dimensions and a luminance histogram") {
+    import spark.implicits._
+    val (png1, img1) = pngFixture(7, 5)
+    val (png2, img2) = pngFixture(32, 16)
+    val assets = Seq(
+      MediaAsset(100L, "image", png1, Map.empty),
+      MediaAsset(101L, "image", png2, Map.empty)).toDS()
+    val feats = MediaPipeline.decode(assets).collect().sortBy(_.media_id).toSeq
+    assert(feats.map(f => (f.width, f.height, f.decoded)) ==
+      Seq((7, 5, true), (32, 16, true)))
+    // features match an independent recompute from the ORIGINAL pixels
+    // (decode reads them back out of the encoded PNG — lossless for PNG)
+    def lumHist(img: java.awt.image.BufferedImage): Seq[Float] = {
+      val hist = new Array[Float](MediaPipeline.FeatureDim)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum * MediaPipeline.FeatureDim / 256) += 1f
+      }
+      hist.map(_ / (img.getWidth * img.getHeight).toFloat).toSeq
+    }
+    assert(feats(0).features.toSeq == lumHist(img1))
+    assert(feats(1).features.toSeq == lumHist(img2))
+    feats.foreach(f => assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-5))
+  }
+
+  test("decode: undecodable image payloads fall back to the byte-histogram law") {
+    import spark.implicits._
+    val bytes = "not actually a png".getBytes("UTF-8")
+    val (png, _) = pngFixture(4, 4)
+    val assets = Seq(
+      MediaAsset(200L, "image", bytes, Map.empty), // image kind, bogus bytes
+      MediaAsset(201L, "audio", png, Map.empty), // real png, non-image kind
+      MediaAsset(202L, "image", png, Map.empty)).toDS()
+    val byId = MediaPipeline.decode(assets).collect().map(f => f.media_id -> f).toMap
+    assert(!byId(200L).decoded && byId(200L).width == 16 + bytes.length % 64)
+    assert(!byId(201L).decoded, "non-image kinds must not enter the image codec")
+    assert(byId(202L).decoded && byId(202L).width == 4)
+  }
+
   test("sampleFrames: video-only, fixed stride, stable digests") {
     val assets = MediaPipeline.assetsFromDocuments(docs())
     val frames = MediaPipeline.sampleFrames(assets, frameBytes = 32, stride = 128).collect()

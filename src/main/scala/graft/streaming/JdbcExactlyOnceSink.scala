@@ -71,7 +71,7 @@ final class JdbcExactlyOnceSink(
     val colDDL = columns.map { case (n, t) => s""""$n" $t""" }.mkString(",\n  ")
     withConn { c =>
       tolerant(c)(s"CREATE TABLE $table (\n  $colDDL\n)")
-      tolerant(c)(s"""CREATE TABLE $staging (\n  $colDDL,\n  "batch_id" BIGINT NOT NULL\n)""")
+      tolerant(c)(s"""CREATE TABLE $staging (\n  $colDDL,\n  "batch_id" BIGINT NOT NULL,\n  "row_tag" BIGINT NOT NULL\n)""")
       tolerant(c)(s"""CREATE INDEX ${staging}_bid_idx ON $staging ("batch_id")""")
       tolerant(c)(
         s"""CREATE TABLE $ledger (
@@ -100,13 +100,24 @@ final class JdbcExactlyOnceSink(
   /** The atomic commit point: move + ledger + staging cleanup, one
     * transaction.
     */
-  private def commitBatch(batchId: Long): Unit = withConn { c =>
+  private[graft] def commitBatch(batchId: Long): Unit = withConn { c =>
     val auto = c.getAutoCommit
     c.setAutoCommit(false)
     try {
+      // DISTINCT over (row_tag, data): Spark's JDBC writer commits per
+      // task partition, so a task retry or speculative duplicate that
+      // re-commits its partition leaves the same rows staged twice under
+      // identical row_tags (monotonically_increasing_id is a pure
+      // function of partition id and row position). The dedupe closes
+      // that at-least-once window inside the commit transaction. Caveat
+      // this cannot lift: the tag is only stable when each partition's
+      // content and order are deterministic for the batch — true for
+      // Structured Streaming's replayed sources, not for a
+      // nondeterministic upstream transform.
       val mv = c.prepareStatement(
         s"""INSERT INTO $table ($colList)
-           |SELECT $colList FROM $staging WHERE "batch_id" = ?""".stripMargin)
+           |SELECT $colList FROM
+           |  (SELECT DISTINCT "row_tag", $colList FROM $staging WHERE "batch_id" = ?) t""".stripMargin)
       mv.setLong(1, batchId)
       val n = mv.executeUpdate()
       val lg = c.prepareStatement(
@@ -130,17 +141,28 @@ final class JdbcExactlyOnceSink(
   def writer: (Dataset[Row], Long) => Unit = { (df, batchId) =>
     if (!isCommitted(batchId)) {
       clearStaging(batchId) // a crashed attempt's partial stage
-      df.selectExpr(columns.map { case (n, _) => s"`$n`" } :+ s"CAST($batchId AS BIGINT) AS batch_id": _*)
-        .write.mode(SaveMode.Append)
-        .format("jdbc")
-        .option("url", url)
-        .option("dbtable", staging)
-        .options(user.map { case (u, _) => "user" -> u }.toMap)
-        .options(user.map { case (_, p) => "password" -> p }.toMap)
-        .save()
+      stage(df, batchId)
       commitBatch(batchId)
     }
   }
+
+  /** Stage the batch (executor-parallel JDBC appends). `row_tag` =
+    * monotonically_increasing_id(): partitionId in the high bits, row
+    * position in the low — the identity the commit's DISTINCT dedupes on
+    * when a task retry stages a partition twice. Package-visible so the
+    * spec can model exactly that double-stage.
+    */
+  private[graft] def stage(df: Dataset[Row], batchId: Long): Unit =
+    df.selectExpr(columns.map { case (n, _) => s"`$n`" } :+
+        s"CAST($batchId AS BIGINT) AS batch_id" :+
+        "monotonically_increasing_id() AS row_tag": _*)
+      .write.mode(SaveMode.Append)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", staging)
+      .options(user.map { case (u, _) => "user" -> u }.toMap)
+      .options(user.map { case (_, p) => "password" -> p }.toMap)
+      .save()
 
   /** The committed target table (raw relational shape). */
   def committed(spark: SparkSession): DataFrame =

@@ -44,7 +44,8 @@ class JdbcExactlyOnceSinkSpec extends SparkSpec {
     try {
       // simulate: attempt of batch 0 staged rows, crashed before commit
       Seq(("stale", 7L)).toDF("k", "v")
-        .selectExpr("k", "v", "CAST(0 AS BIGINT) AS batch_id")
+        .selectExpr("k", "v", "CAST(0 AS BIGINT) AS batch_id",
+          "CAST(0 AS BIGINT) AS row_tag")
         .write.mode("append").format("jdbc")
         .option("url", s"jdbc:derby:memory:xsink${dbId.get()}")
         .option("dbtable", "metrics_stage").save()
@@ -53,6 +54,28 @@ class JdbcExactlyOnceSinkSpec extends SparkSpec {
       val got = sink.committed(spark).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got == Seq(("real", 1L)), s"stale staging leaked: $got")
+    } finally sink.close()
+  }
+
+  test("a task retry's duplicate partition stage is deduped in the commit") {
+    import spark.implicits._
+    val sink = mkSink()
+    try {
+      // Spark's JDBC staging write commits per task partition; a retried
+      // or speculative task that re-commits leaves its partition staged
+      // twice with the same row_tags. Model that by staging the SAME
+      // frame twice (deterministic content+order → identical tags), then
+      // committing once: the target must hold each row exactly once.
+      val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v").repartition(2)
+      sink.stage(df, 0L)
+      sink.stage(df, 0L)
+      sink.commitBatch(0L)
+      val got = sink.committed(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq(("a", 1L), ("b", 2L), ("c", 3L)),
+        s"duplicate stage leaked into the target: $got")
+      assert(sink.ledgerDF(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((0L, 3L)), "ledger must record the deduped count")
     } finally sink.close()
   }
 

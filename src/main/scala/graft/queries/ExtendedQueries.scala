@@ -25,6 +25,35 @@ object ExtendedQueries {
     * trivial broadcast. Cleared with [[graft.operators.ResultMemo]] at
     * batch boundaries.
     */
+  /** Distinct (user_id, day) pairs, cached and shared by the engagement
+    * family (q101 dau/wau/mau, q120's exact leg) — one events scan and one
+    * dedup shuffle per batch instead of one per query.
+    */
+  private def userDays(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ResultMemo.getOrCompute(
+      s"userdays:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      graft.operators.CacheRegistry.track(
+        Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("day")).distinct().cache())
+    }
+
+  /** Trailing-7-day exact distinct users per day (the WAU grid), cached
+    * and shared by q101 and q120 (where it is the rel_err reference).
+    */
+  private def wau7(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ResultMemo.getOrCompute(
+      s"wau7:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val ud = userDays(s, dir)
+      val days = ud.select($"day").distinct()
+      graft.operators.CacheRegistry.track(
+        days.as("d").join(ud.as("u"),
+            datediff($"d.day", $"u.day").between(0, 6))
+          .groupBy($"d.day").agg(countDistinct($"u.user_id").as("wau"))
+          .cache())
+    }
+
   private def exactPricePercentiles(s: SparkSession, dir: String): DataFrame =
     graft.operators.ResultMemo.getOrCompute(
       s"pricepct:$dir:${graft.operators.SessionKey(s)}") {
@@ -399,6 +428,96 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // Sketch ROLLUP law through the driver gate — q117's portable HLL
+    // registers stored per DAY, every trailing-7 estimate computed ONLY
+    // from the stored registers (union = max per bucket), never a second
+    // scan of the raw events: the exact move [[graft.operators.SketchRollup]]
+    // makes with Datasketches sketches (mergeability pinned by
+    // SketchRollupSpec), here in the engine-neutral arithmetic so the
+    // ESTIMATES hash-match DuckDB running the same rollup. exact_active_7
+    // (the q101 WAU grid) supplies the measured rel_err. Bounded work:
+    // registers are ≤256/day; the union join is days×7×registers.
+    "q120_sketch_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val hv = conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val wBits = $"hv" % 16777216L
+      val daily = ev.select(to_date($"ts").as("day"), hv.as("hv"))
+        .select($"day", shiftright($"hv", 24).as("bucket"),
+          when(wBits === 0L, lit(25)).otherwise(lit(25) - length(bin(wBits))).as("rho"))
+        .groupBy($"day", $"bucket").agg(max($"rho").as("rho"))
+      val days = daily.select($"day").distinct()
+      val un = days.as("d").join(daily.as("s"),
+          datediff($"d.day", $"s.day").between(0, 6))
+        .groupBy($"d.day", $"bucket").agg(max($"rho").as("rho"))
+      val agg = un.groupBy($"day")
+        .agg(count(lit(1)).as("nb"), sum(pow(lit(2.0), -$"rho")).as("denom"))
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val raw = lit(alpha) * lit(65536.0) / ($"denom" + (lit(256.0) - $"nb"))
+      val empties = lit(256.0) - $"nb"
+      val est = when(raw <= 640.0 && empties > 0.0,
+        lit(256.0) * log(lit(256.0) / empties)).otherwise(raw)
+      val exact = wau7(s, dir).select($"day", $"wau".as("exact_active_7"))
+      agg.select($"day", est.as("e")).join(exact, "day")
+        .select($"day", round($"e", 2).as("est_active_7"), $"exact_active_7")
+        .withColumn("rel_err",
+          round(abs($"est_active_7" - $"exact_active_7") / $"exact_active_7", 4))
+        .orderBy($"day")
+    }),
+
+    // Incremental-rollup CONVERGENCE law through the driver gate: build a
+    // day-partitioned rollup of the first five event days with the REAL
+    // [[graft.operators.IncrementalRollup]] machinery — two streamed
+    // increments, with half of day 2 arriving LATE in the second
+    // increment, so only recompute-not-delta keeps the non-distributive
+    // countDistinct exact — then hand the driver the final table, which
+    // the oracle recomputes from scratch in SQL. Equality IS the
+    // operator's claim: incrementally-maintained == from-scratch. The
+    // build runs once per batch (ResultMemo, like ConnectedComponents);
+    // the collected result is bounded (days × types rows) and returned
+    // as a literal frame; all scratch dirs are deleted after collect.
+    "q121_incremental_rollup" -> ((s, dir) => {
+      graft.operators.ResultMemo.getOrCompute(
+        s"incroll:$dir:${graft.operators.SessionKey(s)}") {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"user_id", $"value", $"ts")
+        val days = ev.select(to_date($"ts").as("day")).distinct()
+          .orderBy($"day").limit(5).as[java.sql.Date].collect().toSeq
+        val slice = ev.where(to_date($"ts").isin(days: _*))
+        val splitDay = days(1)
+        val lateHalf = to_date($"ts") === splitDay && $"event_id" % 2 === 0
+        val inc1 = slice.where(to_date($"ts") <= days(2) && !lateHalf)
+        val inc2 = slice.where(to_date($"ts") > days(2) || lateHalf)
+        val base = java.nio.file.Files.createTempDirectory("graft-q121").toString
+        try {
+          val logDir = s"$base/log"
+          val rollup = new graft.operators.IncrementalRollup(
+            s, logDir, s"$base/rollup", s"$base/ckpt", tsCol = "ts")(df =>
+            df.groupBy(to_date($"ts").as("day"), $"event_type")
+              .agg(count(lit(1)).as("n"),
+                countDistinct($"user_id").as("users"),
+                round(sum($"value".cast(dec)).cast("double"), 2).as("total_v")))
+          inc1.repartition(1).write.mode("append").parquet(logDir)
+          rollup.runAvailable()
+          inc2.repartition(1).write.mode("append").parquet(logDir)
+          rollup.runAvailable()
+          val rows = s.read.parquet(s"$base/rollup")
+            .select($"day".cast("string").as("day_s"), $"event_type",
+              $"n", $"users", $"total_v")
+            .as[(String, String, Long, Long, Double)].collect().toSeq.sorted
+          rows.toDF("day_s", "event_type", "n", "users", "total_v")
+            .select(to_date($"day_s").as("day"), $"event_type",
+              $"n", $"users", $"total_v")
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(base)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          ()
+        }
+      }
+    }),
+
     // The SAME purchase→last-prior-click law as q27, but through the
     // custom whole-operator Catalyst path (`graft.plans.AsOf`): logical
     // node → strategy → sort-merge physical exec. One oracle pins both
@@ -682,13 +801,10 @@ object ExtendedQueries {
     // path is q28's HLL sketches merged over windows.)
     "q101_dau_wau_mau" -> ((s, dir) => {
       import s.implicits._
-      val ud = Tables.events(s, dir)
-        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val ud = userDays(s, dir)
       val days = ud.select($"day").distinct()
       val dau = ud.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
-      val wau = days.as("d").join(ud.as("u"),
-          datediff($"d.day", $"u.day").between(0, 6))
-        .groupBy($"d.day").agg(countDistinct($"u.user_id").as("wau"))
+      val wau = wau7(s, dir)
       val mau = days.as("d").join(ud.as("u"),
           datediff($"d.day", $"u.day").between(0, 29))
         .groupBy($"d.day").agg(countDistinct($"u.user_id").as("mau"))
@@ -1067,6 +1183,57 @@ object ExtendedQueries {
         |  SELECT 'p99', quantile_cont(l_extendedprice, 0.99) FROM lineitem)
         |SELECT est.q, round(mid / 100.0, 2) AS est_price, round(ev, 2) AS exact_price,
         |  round(abs(round(mid / 100.0, 2) - round(ev, 2)) / round(ev, 2), 4) AS rel_err
-        |FROM est JOIN exact ON est.q = exact.q ORDER BY est.q""".stripMargin
+        |FROM est JOIN exact ON est.q = exact.q ORDER BY est.q""".stripMargin,
+    // q120 = the portable-HLL ROLLUP: per-day registers, trailing-7 union
+    // by max per bucket, q117's estimate formula — identical arithmetic
+    // both engines, so the rolled-up estimates hash-match.
+    "q120_sketch_rollup" ->
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM events),
+        |daily AS (
+        |  SELECT day, hv >> 24 AS bucket,
+        |    max(CASE WHEN hv % 16777216 = 0 THEN 25
+        |             ELSE 25 - length(bin(hv % 16777216)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |un AS (
+        |  SELECT d.day, s.bucket, max(s.rho) AS rho
+        |  FROM days d JOIN daily s ON d.day - s.day BETWEEN 0 AND 6
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT day, count(*) AS nb, sum(power(2.0, -rho)) AS denom
+        |  FROM un GROUP BY 1),
+        |est AS (
+        |  SELECT day,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / (denom + (256.0 - nb)) AS raw,
+        |    256.0 - nb AS empties
+        |  FROM agg),
+        |fin AS (
+        |  SELECT day,
+        |    CASE WHEN raw <= 640.0 AND empties > 0.0
+        |         THEN 256.0 * ln(256.0 / empties) ELSE raw END AS e
+        |  FROM est),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |x AS (SELECT d.day, count(DISTINCT u.user_id) AS exact_active_7
+        |      FROM days d JOIN ud u ON d.day - u.day BETWEEN 0 AND 6 GROUP BY 1)
+        |SELECT f.day, round(f.e, 2) AS est_active_7, x.exact_active_7,
+        |  round(abs(round(f.e, 2) - x.exact_active_7) / x.exact_active_7, 4) AS rel_err
+        |FROM fin f JOIN x USING (day) ORDER BY day""".stripMargin,
+    // q121 = from-scratch recompute of the first-5-days rollup; equality
+    // with the incrementally-maintained table (late day-2 half included)
+    // IS the operator's convergence law.
+    "q121_incremental_rollup" ->
+      """WITH d5 AS (
+        |  SELECT day FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |  ORDER BY day LIMIT 5),
+        |slice AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, user_id, value FROM events
+        |  WHERE CAST(ts AS DATE) IN (SELECT day FROM d5))
+        |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  count(DISTINCT user_id) AS users,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_v
+        |FROM slice GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
   )
 }

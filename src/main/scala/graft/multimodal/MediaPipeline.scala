@@ -32,9 +32,11 @@ final case class MediaFeatures(
   * as opaque `binary` columns, decode/feature-extract in BATCHED
   * per-partition workers, keep everything else relational.
   *
-  * Decoding is REAL for images: `javax.imageio` (in-JDK; PNG/JPEG/BMP/GIF)
-  * yields actual pixel dimensions and a luminance-histogram feature
-  * vector. Payloads ImageIO cannot read — audio/video (no JDK codec) and
+  * Decoding is REAL for images and WAV audio, via in-JDK codecs only:
+  * `javax.imageio` (PNG/JPEG/BMP/GIF) yields actual pixel dimensions and
+  * a luminance-histogram feature vector; `javax.sound.sampled` (WAV
+  * PCM16) yields sample rate, channel count and an amplitude histogram.
+  * Payloads neither codec reads — video (no JDK codec) and
   * opaque/undecodable bytes, including this container's synthetic
   * text-byte corpus — take the deterministic byte-histogram featurizer
   * ([[byteHistogramFeatures]]) so the pipeline is total: every asset gets
@@ -125,13 +127,62 @@ object MediaPipeline {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Decode one asset: images through the real codec, everything else —
-    * and image-kind payloads the codec rejects — through the fallback, so
-    * decode is total and never throws on a malformed payload.
+  /** RIFF/WAVE magic — the container `javax.sound.sampled` decodes
+    * without any external codec.
+    */
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL audio decode via the in-JDK `javax.sound.sampled` (WAV PCM):
+    * width = sample rate (Hz), height = channel count, features =
+    * L1-normalized 16-bin amplitude histogram of the signed 16-bit
+    * samples (bin = (s + 32768) · 16 / 65536 — exact integer
+    * arithmetic). Non-PCM16 encodings and unreadable streams fall back
+    * (None).
+    */
+  private[multimodal] def decodeAudio(asset: MediaAsset): Option[MediaFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(asset.content))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val hist = new Array[Float](FeatureDim)
+          var i = 0
+          var n = 0
+          while (i + 1 < bytes.length) {
+            val lo = bytes(i) & 0xff
+            val hi = bytes(i + 1).toInt // sign-carrying high byte (LE WAV)
+            val s = if (fmt.isBigEndian) (bytes(i).toInt << 8) | (bytes(i + 1) & 0xff)
+                    else (hi << 8) | lo
+            hist((s + 32768) * FeatureDim / 65536) += 1f
+            n += 1
+            i += 2
+          }
+          val total = math.max(n, 1).toFloat
+          Some(MediaFeatures(asset.media_id, asset.kind, asset.content.length,
+            fmt.getSampleRate.toInt, fmt.getChannels, hist.map(_ / total),
+            decoded = true))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode one asset: images and WAV audio through the real in-JDK
+    * codecs, everything else — and payloads the codecs reject — through
+    * the fallback, so decode is total and never throws on a malformed
+    * payload. Video has no JDK codec; it always takes the fallback.
     */
   private[multimodal] def decodeOne(asset: MediaAsset): MediaFeatures =
-    (if (asset.kind == "image" && looksLikeImage(asset.content)) decodeImage(asset)
-     else None).getOrElse(byteHistogramFeatures(asset))
+    (asset.kind match {
+      case "image" if looksLikeImage(asset.content) => decodeImage(asset)
+      case "audio" if looksLikeWav(asset.content) => decodeAudio(asset)
+      case _ => None
+    }).getOrElse(byteHistogramFeatures(asset))
 
   /** Batched decode: one worker instantiation per PARTITION, not per row.
     * This is the Scala analogue of `mapInPandas` batch shape.

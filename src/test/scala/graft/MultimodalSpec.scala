@@ -86,6 +86,42 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach(f => assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-5))
   }
 
+  /** Deterministic mono PCM16 WAV: sample i = ((i * 2731) % 65536) - 32768,
+    * wrapped by the in-JDK writer. Returns (wav bytes, the raw samples).
+    */
+  private def wavFixture(nSamples: Int, rate: Int = 8000): (Array[Byte], Seq[Int]) = {
+    val samples = (0 until nSamples).map(i => ((i * 2731) % 65536) - 32768)
+    val pcm = new Array[Byte](nSamples * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    (out.toByteArray, samples)
+  }
+
+  test("decode: real WAVs get sample rate, channels and an amplitude histogram") {
+    import spark.implicits._
+    val (wav, samples) = wavFixture(1000)
+    val assets = Seq(MediaAsset(300L, "audio", wav, Map.empty)).toDS()
+    val f = MediaPipeline.decode(assets).collect().head
+    assert(f.decoded && f.width == 8000 && f.height == 1)
+    val expected = {
+      val hist = new Array[Float](MediaPipeline.FeatureDim)
+      samples.foreach(s => hist((s + 32768) * MediaPipeline.FeatureDim / 65536) += 1f)
+      hist.map(_ / samples.size.toFloat).toSeq
+    }
+    assert(f.features.toSeq == expected)
+    // a WAV under image kind must not enter the image codec (falls back)
+    val cross = Seq(MediaAsset(301L, "image", wav, Map.empty)).toDS()
+    assert(!MediaPipeline.decode(cross).collect().head.decoded)
+  }
+
   test("decode: undecodable image payloads fall back to the byte-histogram law") {
     import spark.implicits._
     val bytes = "not actually a png".getBytes("UTF-8")

@@ -69,6 +69,28 @@ class PlanShapeSpec extends SparkSpec {
       "q108's dedup window must be hash-partitioned")
   }
 
+  test("round-5 queries keep their intended physical shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // q28's separate narrow aggregations must stay separate: no Expand
+    // node (the fused multi-countDistinct agg that cost 7.8s at sf0.1),
+    // and the 1-row legs combine via broadcast nested loop, never a
+    // cartesian product
+    val p28 = plan("q28_approx_sketches")
+    assert(!p28.contains("Expand"), "q28 regressed to a fused Expand aggregation")
+    assert(!p28.contains("CartesianProduct"))
+    // q119/q120's global windows may run only over aggregated bucket /
+    // register tables (octaves×32 resp. ≤256/day), never raw rows
+    for (q <- Seq("q119_portable_quantile", "q120_sketch_rollup")) {
+      SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        assert(w.child.collectFirst { case _: Aggregate => true }.isDefined,
+          s"$q: unpartitioned window not above an aggregate")
+      }
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q107's global rank is distributed: no data-sized unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("q107_activity_gini")(spark, dir).queryExecution

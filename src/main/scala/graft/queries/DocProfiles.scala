@@ -38,4 +38,31 @@ object DocProfiles {
         x => md5(x.cast("binary")))))
       .cache())
   }
+
+  /** ONE cached explode of every document's word-5-grams — (doc_id, pct,
+    * g, gh) — shared by the decontamination legs (q71, q100's stage 6)
+    * and the boilerplate report (q110), which otherwise each re-explode
+    * and re-hash ~n_tok grams per document per run. Rides [[profiled]],
+    * so the tokenization itself is also computed once. The gram STRING is
+    * kept alongside its hash: q110 reports the grams, the join legs use
+    * the hash.
+    */
+  def grams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CacheRegistry.track(profiled(s, dir)
+      .select($"doc_id", $"pct", explode(wordShingles($"toks", 5)).as("g"))
+      .withColumn("gh", md5($"g".cast("binary")))
+      .cache())
+  }
+
+  /** The distinct test-split gram hashes (pct >= 0.9) both decontamination
+    * legs (q71, q100 stage 6) probe — cached so the distinct shuffle runs
+    * once per session. IDENTICAL plan spelling in both callers is what
+    * lets the cache manager serve both from this one entry.
+    */
+  def testGrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CacheRegistry.track(
+      grams(s, dir).where($"pct" >= 0.9).select($"gh").distinct().cache())
+  }
 }

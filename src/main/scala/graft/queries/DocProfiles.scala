@@ -25,7 +25,7 @@ object DocProfiles {
     import s.implicits._
     graft.functions.expressions.GraftFunctions.register(s)
     graft.operators.CacheRegistry.track(Tables.documents(s, dir)
-      .select($"doc_id", $"lang", $"source", $"text",
+      .select($"doc_id", $"lang", $"source", $"text", $"n_chars",
         tokens($"text").as("toks"),
         (conv(substring(md5(concat(lit(""), $"doc_id".cast("string")).cast("binary")),
           1, 4), 16, 10).cast("double") / 65536.0).as("pct"),

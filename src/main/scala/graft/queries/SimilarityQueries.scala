@@ -57,6 +57,11 @@ object SimilarityQueries {
   private val PqK = 16
   private val PqIters = 1
   private val PqTopK = 5
+  // q122 SemDeDup similarity threshold — 0.4 against the synthetic corpus
+  // (pairs exist but components stay small); web-scale deployments of the
+  // method run ~0.95 on real embedding geometry. Interpolated into BOTH
+  // engines' spellings.
+  private val SemDedupTau = "0.4"
 
   /** IVF ANN with a real k-means coarse quantizer: deterministic init
     * (per-label component means), then KMeansIters Lloyd updates — assign
@@ -441,6 +446,48 @@ object SimilarityQueries {
       }
         .select($"id".as("vec_id"), $"comp")
         .orderBy($"vec_id")
+    }),
+
+    // SemDeDup — SEMANTIC deduplication (Abbas et al. 2023,
+    // arXiv:2303.09540): k-means-cluster the embedding corpus, compute
+    // pairwise cosine only WITHIN each cluster, connect pairs above the
+    // similarity threshold into duplicate groups, keep one representative
+    // per group. The quantizer is the SAME session-cached IVF tower the
+    // ANN family uses (q44/q79/q85/q116), so clustering costs nothing
+    // extra here; pair work is bounded by cluster size (k ladders with
+    // the corpus — never corpus²), and at 100 TB each cluster's pair join
+    // runs inside its own cell partition of the codes layout. The
+    // representative is min vec_id (deterministic; the paper's
+    // keep-lowest-centroid-similarity variant is an orderBy swap on the
+    // same plan). Output = the per-cluster dedup ledger: corpus size,
+    // duplicate groups, dropped mass, drop fraction. Memoized per batch
+    // like the other CC-backed reports (q36/q84/q99).
+    "q122_semantic_dedup" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+        s"semdedup:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val (cells, _) = ivfCells(s, dir)
+      val pairs = cells.as("a").join(cells.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+        .where($"cos" >= SemDedupTau.toDouble)
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs.select($"a_id", $"b_id"))
+      // every member of a component shares its cell (edges are within-cell)
+      val groups = comp.join(cells.select($"vec_id", $"cell"), $"id" === $"vec_id")
+        .groupBy($"comp", $"cell").agg(count(lit(1)).as("sz"))
+      val out = cached(cells.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+        .join(groups.groupBy($"cell").agg(
+            count(lit(1)).as("n_groups"), sum($"sz" - 1).as("n_dropped")),
+          Seq("cell"), "left")
+        .select($"cell", $"n_vecs",
+          coalesce($"n_groups", lit(0L)).as("n_groups"),
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+          round(coalesce($"n_dropped", lit(0L)) * lit(1.0) / $"n_vecs", 6)
+            .as("drop_frac"))
+        .orderBy($"cell"))
+      out.count()
+      out
     }),
 
     "q34_embedding_nn" -> ((s, dir) => {
@@ -929,6 +976,30 @@ object SimilarityQueries {
            |  SELECT w.src, ed.d FROM walk w JOIN ed ON w.dst = ed.s),
            |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp FROM walk GROUP BY src)
            |SELECT vec_id, comp FROM comp ORDER BY vec_id""".stripMargin,
+      "q122_semantic_dedup" ->
+        s"""WITH RECURSIVE $ivfCtesSql,
+           |p AS (SELECT a.vec_id a_id, b.vec_id b_id
+           |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |      WHERE $cos >= $SemDedupTau),
+           |ed AS (SELECT a_id s, b_id d FROM p UNION ALL SELECT b_id, a_id FROM p),
+           |walk(src, dst) AS (
+           |  SELECT s, d FROM ed
+           |  UNION
+           |  SELECT w.src, ed.d FROM walk w JOIN ed ON w.dst = ed.s),
+           |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp FROM walk GROUP BY src),
+           |gs AS (SELECT c.comp, cl.cell, count(*) AS sz
+           |       FROM comp c JOIN cells cl ON cl.vec_id = c.vec_id
+           |       GROUP BY 1, 2),
+           |ga AS (SELECT cell, count(*) AS n_groups,
+           |         CAST(sum(sz - 1) AS BIGINT) AS n_dropped
+           |       FROM gs GROUP BY cell),
+           |cv AS (SELECT cell, count(*) AS n_vecs FROM cells GROUP BY cell)
+           |SELECT cv.cell, cv.n_vecs,
+           |  coalesce(ga.n_groups, 0) AS n_groups,
+           |  coalesce(ga.n_dropped, 0) AS n_dropped,
+           |  round(coalesce(ga.n_dropped, 0) * 1.0 / cv.n_vecs, 6) AS drop_frac
+           |FROM cv LEFT JOIN ga ON cv.cell = ga.cell
+           |ORDER BY cv.cell""".stripMargin,
       "q34_embedding_nn" ->
         s"""WITH nn AS (SELECT ${blockPlanesSql("count(*)")} AS planes FROM embeddings),
            |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),

@@ -784,6 +784,24 @@ object TextQueries {
     // risk list a training run reviews). One gram shuffle with map-side
     // partials, then a global top-20 that plans as TakeOrderedAndProject
     // (limit BEFORE any global window — the q93 discipline).
+    // Tokenizer-fertility report — the tokenizer-efficiency ledger a
+    // training run reads per (language, source): characters per token
+    // (fertility — CJK text runs high, whitespace languages low; a drift
+    // here means the tokenizer or the feed changed) and tokens per
+    // document. Exact integer sums off the shared profile cache, two
+    // divisions at the end; one 5×4-group shuffle at any corpus size.
+    "q123_token_fertility" -> ((s, dir) => {
+      import s.implicits._
+      DocProfiles.profiled(s, dir)
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          sum($"n_chars").as("total_chars"),
+          round(sum($"n_chars") * lit(1.0) / sum($"n_tok"), 6).as("chars_per_tok"),
+          round(sum($"n_tok") * lit(1.0) / count(lit(1)), 6).as("toks_per_doc"))
+        .orderBy($"lang", $"source")
+    }),
+
     "q110_boilerplate_grams" -> ((s, dir) => {
       import s.implicits._
       graft.functions.expressions.GraftFunctions.register(s)
@@ -1185,6 +1203,15 @@ object TextQueries {
           |  round(max(ent), 6) AS max_entropy,
           |  CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
           |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+      "q123_token_fertility" ->
+        """WITH d AS (SELECT lang, source, n_chars,
+          |    len(string_split_regex(trim(text), '\s+')) n_tok FROM documents)
+          |SELECT lang, source, count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  round(sum(n_chars) * 1.0 / sum(n_tok), 6) AS chars_per_tok,
+          |  round(sum(n_tok) * 1.0 / count(*), 6) AS toks_per_doc
+          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q110_boilerplate_grams" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
           |g AS (SELECT doc_id,

@@ -74,6 +74,42 @@ object TextQueries {
       paths
     })
 
+  /** q124's hashed-feature space: bigrams hash into this many buckets
+    * (DSIR's hashing trick — model size is fixed at the bucket count
+    * regardless of vocabulary). Interpolated into BOTH engines' spellings.
+    */
+  private val DsirBuckets = 256
+
+  /** q124's model build, the [[bigramLmIndex]] treatment: the 256-row
+    * target/raw log-ratio table is TRAINED ONCE per sf dir and persisted —
+    * DSIR fits its importance estimator once and ships it to the scoring
+    * fleet; only per-doc scoring runs per query. Exact integer counts feed
+    * ln() once at build; the DOUBLE round-trips losslessly through parquet,
+    * so scoring against the artifact equals scoring against the in-plan
+    * chain.
+    */
+  private val dsirModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dsirModelIndex(s: SparkSession, dir: String,
+      hist: () => DataFrame): String =
+    dsirModelDirs.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-dsir-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
+      val counts = hist().groupBy($"b").agg(
+        sum($"nf").as("nr"),
+        sum(when($"lang" === "en", $"nf").otherwise(0L)).as("nt"))
+      val tot = counts.agg(sum($"nr").as("tr"), sum($"nt").as("tt"))
+      counts.crossJoin(broadcast(tot))
+        .select($"b",
+          (log(($"nt" + 1).cast("double") / ($"tt" + DsirBuckets)) -
+            log(($"nr" + 1).cast("double") / ($"tr" + DsirBuckets))).as("lp"))
+        .write.mode("overwrite").parquet(s"$base/lp")
+      s"$base/lp"
+    })
+
   private val StratumK = 5
 
   /** q70/q114's tokens-per-packed-sequence budget. */
@@ -778,12 +814,6 @@ object TextQueries {
         .orderBy($"lang")
     }),
 
-    // Corpus boilerplate report — the most-duplicated word-5-grams with
-    // document reach: the diagnostic that finds the licence block / nav
-    // bar / template sentence polluting a crawl (and the memorization
-    // risk list a training run reviews). One gram shuffle with map-side
-    // partials, then a global top-20 that plans as TakeOrderedAndProject
-    // (limit BEFORE any global window — the q93 discipline).
     // Tokenizer-fertility report — the tokenizer-efficiency ledger a
     // training run reads per (language, source): characters per token
     // (fertility — CJK text runs high, whitespace languages low; a drift
@@ -802,6 +832,52 @@ object TextQueries {
         .orderBy($"lang", $"source")
     }),
 
+    // DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): select raw-corpus documents that LOOK LIKE a
+    // target domain by importance weight under two hashed-n-gram unigram
+    // models. Features are bigrams hashed into DsirBuckets buckets (the
+    // paper's hashing trick — the model is a fixed-size count vector, not
+    // a vocabulary); target model = the 'en' slice, raw model = the whole
+    // corpus, both with add-one smoothing over the bucket space; a doc's
+    // log importance weight is the sum of log(p_target(b)/p_raw(b)) over
+    // its feature OCCURRENCES. Output = the top-15 most target-like docs
+    // (the ones resampling keeps first), weight rounded to 6dp BEFORE
+    // ranking (q96's round-before-rank law). The explode+hash runs ONCE:
+    // everything downstream reads the per-doc bucket HISTOGRAM (doc_id,
+    // b, nf) — ≤DsirBuckets rows/doc with map-side combine, session-
+    // cached — and the 256-row model is TRAINED ONCE and PERSISTED
+    // ([[dsirModelIndex]], the q96 stored-LM treatment); per-query work
+    // is one broadcast join with w = Σ nf·lp (the SAME addend bag both
+    // engines sum, spelled identically in the oracle). At 100 TB: the
+    // model table is the shippable artifact and scoring is
+    // embarrassingly parallel.
+    "q124_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      def hist = graft.operators.CacheRegistry.track(DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"lang", explode(wordShingles($"toks", 2)).as("bg"))
+        .select($"doc_id", $"lang",
+          (conv(substring(md5(concat(lit("dsir:"), $"bg").cast("binary")), 1, 4), 16, 10)
+            .cast("long") % DsirBuckets).cast("int").as("b"))
+        .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("nf"))
+        .cache())
+      val lp = s.read.parquet(dsirModelIndex(s, dir, () => hist))
+      val scored = hist.join(broadcast(lp), Seq("b"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"nf").as("n_feats"), round(sum($"nf" * $"lp"), 6).as("w"))
+      val win = Window.orderBy($"w".desc, $"doc_id".asc)
+      scored.orderBy($"w".desc, $"doc_id".asc).limit(15)
+        .withColumn("rnk", row_number().over(win))
+        .select($"rnk", $"doc_id", $"lang", $"n_feats", $"w")
+        .orderBy($"rnk")
+    }),
+
+    // Corpus boilerplate report — the most-duplicated word-5-grams with
+    // document reach: the diagnostic that finds the licence block / nav
+    // bar / template sentence polluting a crawl (and the memorization
+    // risk list a training run reviews). One gram shuffle with map-side
+    // partials, then a global top-20 that plans as TakeOrderedAndProject
+    // (limit BEFORE any global window — the q93 discipline).
     "q110_boilerplate_grams" -> ((s, dir) => {
       import s.implicits._
       graft.functions.expressions.GraftFunctions.register(s)
@@ -1212,6 +1288,25 @@ object TextQueries {
           |  round(sum(n_chars) * 1.0 / sum(n_tok), 6) AS chars_per_tok,
           |  round(sum(n_tok) * 1.0 / count(*), 6) AS toks_per_doc
           |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q124_dsir_weights" ->
+        s"""WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |bg AS (SELECT doc_id, lang,
+           |    CAST(('0x' || substr(md5('dsir:' || toks[j+1] || ' ' || toks[j+2]), 1, 4)) AS INT)
+           |      % $DsirBuckets AS b
+           |  FROM d, unnest(range(greatest(len(toks)-1, 0))) AS u(j)),
+           |h AS (SELECT doc_id, lang, b, count(*) nf FROM bg GROUP BY 1, 2, 3),
+           |c AS (SELECT b, sum(nf) nr,
+           |        sum(CASE WHEN lang = 'en' THEN nf ELSE 0 END) nt FROM h GROUP BY 1),
+           |t AS (SELECT sum(nr) tr, sum(nt) tt FROM c),
+           |lp AS (SELECT b, ln(CAST(nt + 1 AS DOUBLE) / (tt + $DsirBuckets)) -
+           |         ln(CAST(nr + 1 AS DOUBLE) / (tr + $DsirBuckets)) AS lp FROM c, t),
+           |sc AS (SELECT doc_id, lang, CAST(sum(nf) AS BIGINT) n_feats,
+           |         round(sum(nf * lp), 6) w
+           |       FROM h JOIN lp USING (b) GROUP BY 1, 2),
+           |r AS (SELECT doc_id, lang, n_feats, w,
+           |        CAST(row_number() OVER (ORDER BY w DESC, doc_id ASC) AS INT) rnk
+           |      FROM sc ORDER BY w DESC, doc_id ASC LIMIT 15)
+           |SELECT rnk, doc_id, lang, n_feats, w FROM r ORDER BY rnk""".stripMargin,
       "q110_boilerplate_grams" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
           |g AS (SELECT doc_id,

@@ -34,6 +34,14 @@ object DedupQueries {
     */
   private val MaxBand = 100
 
+  /** q127's verbatim-run length (tokens) and its boilerplate df cap —
+    * grams appearing in more documents than the cap carry no pair-level
+    * dedup signal and are the quadratic blowup at scale. Interpolated
+    * into BOTH engines' spellings.
+    */
+  private val SpanK = 10
+  private val SpanDfCap = 32
+
   /** Bands for SimHash near-dup pairing: hamming <= bands-1 is pigeonhole-
     * complete, so 4 bands exactly cover the <= 3 threshold.
     */
@@ -377,6 +385,39 @@ object DedupQueries {
         .orderBy($"lang")
     }),
 
+    // Exact shared-span detection — the pair-level diagnostic behind
+    // exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 find
+    // 50-token verbatim runs with a suffix array; the distributed
+    // re-expression: two docs share a K-token verbatim run iff they share
+    // a K-token shingle, so shingle-hash equality IS span equality).
+    // Pairs of documents sharing ≥1 exact SpanK-token run, scored by how
+    // many distinct such runs they share, top-20 pairs. Plan shape at
+    // scale: explode → per-doc DISTINCT gram hashes → df-capped
+    // ([[SpanDfCap]] — a gram shared by more docs than the cap is
+    // boilerplate, q110's territory, and would alone generate O(m²)
+    // pairs; same skew law as [[MaxBand]]) → ONE self-join on the gram
+    // hash bounded by cap²·n_grams, → count per pair. All-integer output:
+    // no float law needed.
+    "q127_span_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val g = graft.operators.CacheRegistry.track(DocProfiles.profiled(s, dir)
+        .select($"doc_id", explode(wordShingles($"toks", SpanK)).as("g"))
+        .select($"doc_id", md5($"g".cast("binary")).as("gh"))
+        .distinct().cache())
+      val rare = g.groupBy($"gh").agg(count(lit(1)).as("m"))
+        .where($"m" >= 2 && $"m" <= SpanDfCap)
+      val gg = g.join(rare.select($"gh"), Seq("gh"), "left_semi")
+      val win = Window.orderBy($"n_shared".desc, $"a_id".asc, $"b_id".asc)
+      gg.as("a").join(gg.as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"n_shared".desc, $"a_id".asc, $"b_id".asc).limit(20)
+        .withColumn("rnk", row_number().over(win))
+        .select($"rnk", $"a_id", $"b_id", $"n_shared")
+        .orderBy($"rnk")
+    }),
+
     // Dedup-threshold sweep — the tuning table a corpus owner reads
     // BEFORE committing a near-dup pass: pairs retained and distinct
     // documents touched at each candidate Jaccard threshold, all off the
@@ -475,7 +516,24 @@ object DedupQueries {
       .mkString(" + ")
     val simhashSums = simhashSumsFor(16)
     val simhashVal = simhashValFor(16)
+    // q127's SpanK-token gram, spelled as the same ' '-joined concat
+    // wordShingles produces (the q110 oracle's spelling, widened to SpanK)
+    val spanGramCat = (1 to SpanK).map(k => s"toks[j+$k]").mkString(" || ' ' || ")
     Map(
+      "q127_span_pairs" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |g0 AS (SELECT DISTINCT doc_id, md5($spanGramCat) gh
+           |       FROM t, unnest(range(greatest(len(toks)-${SpanK - 1}, 0))) AS u(j)),
+           |rare AS (SELECT gh FROM g0 GROUP BY gh
+           |         HAVING count(*) >= 2 AND count(*) <= $SpanDfCap),
+           |gg AS (SELECT g0.doc_id, g0.gh FROM g0 JOIN rare USING (gh)),
+           |p AS (SELECT a.doc_id a_id, b.doc_id b_id, CAST(count(*) AS BIGINT) n_shared
+           |      FROM gg a JOIN gg b ON a.gh = b.gh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |r AS (SELECT a_id, b_id, n_shared,
+           |        CAST(row_number() OVER (ORDER BY n_shared DESC, a_id ASC, b_id ASC) AS INT) rnk
+           |      FROM p ORDER BY n_shared DESC, a_id ASC, b_id ASC LIMIT 20)
+           |SELECT rnk, a_id, b_id, n_shared FROM r ORDER BY rnk""".stripMargin,
       "q30_exact_dedup" ->
         """WITH r AS (
           |  SELECT event_id, user_id, event_type, ts,

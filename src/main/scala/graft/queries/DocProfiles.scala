@@ -65,4 +65,19 @@ object DocProfiles {
     graft.operators.CacheRegistry.track(
       grams(s, dir).where($"pct" >= 0.9).select($"gh").distinct().cache())
   }
+
+  /** The corpus term-frequency table (doc_id, term, tf) — the shared
+    * inverted-index base the lexical-retrieval family reads (q54 TF-IDF,
+    * q125 BM25, q128's lexical leg). One explode + one (doc, term) shuffle
+    * per session instead of one per query; rides [[profiled]] so the
+    * tokenization is also computed once. Rows are per-(doc, term) DISTINCT
+    * by construction — `count(*)` over them IS the document frequency.
+    */
+  def termFreqs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CacheRegistry.track(profiled(s, dir)
+      .select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .cache())
+  }
 }

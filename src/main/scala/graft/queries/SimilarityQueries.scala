@@ -29,6 +29,14 @@ object SimilarityQueries {
   private val NQueries = 10 // vec_id < 10 are the query set
   private val TopK = 10
 
+  /** q128 RRF fusion: per-leg candidate pool depth, fused list depth, and
+    * the standard RRF damping constant (Cormack et al. 2009). Interpolated
+    * into BOTH engines' spellings.
+    */
+  private val RrfPool = 50
+  private val RrfTopK = 5
+  private val RrfK = 60
+
   /** q34's blocking planes are NOT a constant: they are derived from the
     * corpus size ([[graft.functions.VectorFunctions.blockPlanesFor]]) so
     * the expected (label, bucket) cell stays bounded as data grows — each
@@ -490,6 +498,96 @@ object SimilarityQueries {
       out
     }),
 
+    // Prototypicality ranking — the SSL-prototypes / D4 pruning signal
+    // (Sorscher et al. 2022, arXiv:2206.14486; Tirumala et al. 2023,
+    // arXiv:2308.12284): each vector's cosine to its OWN cluster centroid.
+    // SSL-prototypes KEEPS the most prototypical examples, D4 DROPS the
+    // most prototypical after dedup — either policy is a threshold over
+    // this ranking, so the query emits the ranking: per-cell top-3 most
+    // prototypical vectors with the cell population. Rides the SAME
+    // session-cached IVF tower as q44/q79/q85/q116/q122 (zero extra
+    // clustering cost); scoring is one broadcast join (centroids are k×dim)
+    // and the rank window is per-cell partitioned. Cosine rounded 6dp
+    // BEFORE ranking (q96's round-before-rank law) so both engines break
+    // ties on vec_id identically.
+    "q126_prototypicality" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, cent) = ivfCells(s, dir)
+      val wp = Window.partitionBy($"cell").orderBy($"proto".desc, $"vec_id".asc)
+      val sizes = cells.groupBy($"cell").agg(count(lit(1)).as("n_cell"))
+      cells.join(broadcast(cent), $"cell" === $"cl")
+        .select($"cell", $"vec_id",
+          round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("proto"))
+        .withColumn("rk", row_number().over(wp))
+        .where($"rk" <= 3)
+        .join(sizes, Seq("cell"))
+        .select($"cell", $"rk", $"vec_id", $"proto", $"n_cell")
+        .orderBy($"cell", $"rk")
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009:
+    // rrf(d) = Σ_legs 1/(k + rank_leg(d)), k=60) — the lexical+dense
+    // two-tower retrieval a RAG/curation stack runs: BM25 over the
+    // inverted index fused with embedding cosine, for the 10 query docs
+    // (doc_id and vec_id share the 0..n id space in the fixtures). Each
+    // leg contributes its top-[[RrfPool]] ranked candidates; a doc missing
+    // from a leg contributes 0 from that leg. Plan shape at scale: the
+    // dense leg is q41's broadcast-query scan; the lexical leg is one
+    // broadcast join of the query term sets against the session-shared
+    // inverted index ([[DocProfiles.termFreqs]], q54/q125's cache) — df
+    // and corpus stats are broadcast scalars; fusion joins two
+    // (queries×pool)-sized rank lists — tiny. BM25 scores round 6dp
+    // BEFORE ranking (groupBy float sum); the dense leg ranks the raw
+    // index-ordered cosine (q41's law); RRF scores are sums of two exact
+    // reciprocals spelled identically both engines.
+    "q128_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val qd = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val wDen = Window.partitionBy($"q_id").orderBy($"cos".desc, $"doc_id".asc)
+      val den = e.join(broadcast(qd), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("doc_id"),
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("den_rk", row_number().over(wDen))
+        .where($"den_rk" <= RrfPool)
+        .select($"q_id", $"doc_id", $"den_rk")
+      val tf = DocProfiles.termFreqs(s, dir)
+      val dl = DocProfiles.profiled(s, dir).select($"doc_id", $"n_tok")
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"n_tok").as("avgdl"))
+      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val qterms = tf.where($"doc_id" < NQueries)
+        .select($"doc_id".as("q_id"), $"term")
+      val wLex = Window.partitionBy($"q_id").orderBy($"w".desc, $"doc_id".asc)
+      // per-(doc, term) BM25 contribution is query-independent — compute it
+      // ONCE, then the query expansion only joins and sums
+      val contrib = tf.join(broadcast(df_), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select($"term", $"doc_id",
+          (log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+            ($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * $"n_tok" / $"avgdl"))).as("c"))
+      val lex = contrib.join(broadcast(qterms), Seq("term"))
+        .where($"doc_id" =!= $"q_id")
+        .groupBy($"q_id", $"doc_id").agg(round(sum($"c"), 6).as("w"))
+        .withColumn("lex_rk", row_number().over(wLex))
+        .where($"lex_rk" <= RrfPool)
+        .select($"q_id", $"doc_id", $"lex_rk")
+      val wR = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id".asc)
+      lex.join(den, Seq("q_id", "doc_id"), "full_outer")
+        .select($"q_id", $"doc_id",
+          round(coalesce(lit(1.0) / (lit(RrfK) + $"lex_rk"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + $"den_rk"), lit(0.0)), 6).as("rrf"),
+          $"lex_rk", $"den_rk")
+        .withColumn("rnk", row_number().over(wR))
+        .where($"rnk" <= RrfTopK)
+        .select($"q_id", $"rnk", $"doc_id", $"rrf", $"lex_rk", $"den_rk")
+        .orderBy($"q_id", $"rnk")
+    }),
+
     "q34_embedding_nn" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -892,6 +990,58 @@ object SimilarityQueries {
       "q44_ann_ivf" -> ivfOracleSql(nprobe = 1),
       "q79_ann_ivf_multiprobe" -> ivfOracleSql(nprobe = NProbe),
       "q116_ivf_recall" -> ivfRecallOracleSql(nprobe = NProbe),
+      "q126_prototypicality" ->
+        s"""WITH $ivfCtesSql,
+           |cent AS (SELECT cl, cv FROM c$KMeansIters),
+           |sc AS (SELECT cells.cell, cells.vec_id,
+           |         round(${cosSql("cells.v", "cent.cv")}, 6) proto
+           |       FROM cells JOIN cent ON cells.cell = cent.cl),
+           |sz AS (SELECT cell, CAST(count(*) AS BIGINT) n_cell FROM cells GROUP BY 1),
+           |r AS (SELECT cell, vec_id, proto,
+           |        CAST(row_number() OVER (PARTITION BY cell
+           |          ORDER BY proto DESC, vec_id ASC) AS INT) rk
+           |      FROM sc)
+           |SELECT r.cell, r.rk, r.vec_id, r.proto, sz.n_cell
+           |FROM r JOIN sz USING (cell) WHERE rk <= 3 ORDER BY cell, rk""".stripMargin,
+      "q128_hybrid_rrf" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |den0 AS (SELECT b.vec_id q_id, a.vec_id doc_id, $cos cos
+           |         FROM e a JOIN (SELECT * FROM e WHERE vec_id < $NQueries) b
+           |           ON a.vec_id <> b.vec_id),
+           |den AS (SELECT q_id, doc_id, den_rk FROM (
+           |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, doc_id ASC) AS INT) den_rk FROM den0)
+           |  WHERE den_rk <= $RrfPool),
+           |d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |w0 AS (SELECT doc_id, unnest(toks) term FROM d),
+           |tf AS (SELECT doc_id, term, count(*) tf FROM w0 GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, len(toks) n_tok FROM d),
+           |st AS (SELECT count(*) n_docs, avg(len(toks)) avgdl FROM d),
+           |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+           |qt AS (SELECT doc_id q_id, term FROM tf WHERE doc_id < $NQueries),
+           |lc AS (SELECT qt.q_id, tf.doc_id,
+           |         ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2)
+           |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.n_tok / st.avgdl)) AS c
+           |       FROM tf JOIN qt USING (term) JOIN df USING (term)
+           |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+           |       WHERE tf.doc_id <> qt.q_id),
+           |ls AS (SELECT q_id, doc_id, round(sum(c), 6) w FROM lc GROUP BY 1, 2),
+           |lex AS (SELECT q_id, doc_id, lex_rk FROM (
+           |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY w DESC, doc_id ASC) AS INT) lex_rk FROM ls)
+           |  WHERE lex_rk <= $RrfPool),
+           |f AS (SELECT coalesce(lex.q_id, den.q_id) q_id,
+           |        coalesce(lex.doc_id, den.doc_id) doc_id,
+           |        round(coalesce(1.0 / ($RrfK + lex.lex_rk), 0.0)
+           |          + coalesce(1.0 / ($RrfK + den.den_rk), 0.0), 6) rrf,
+           |        lex.lex_rk, den.den_rk
+           |      FROM lex FULL OUTER JOIN den
+           |        ON lex.q_id = den.q_id AND lex.doc_id = den.doc_id),
+           |r AS (SELECT q_id, doc_id, rrf, lex_rk, den_rk,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |          ORDER BY rrf DESC, doc_id ASC) AS INT) rnk FROM f)
+           |SELECT q_id, rnk, doc_id, rrf, lex_rk, den_rk FROM r
+           |WHERE rnk <= $RrfTopK ORDER BY q_id, rnk""".stripMargin,
       "q97_centroid_silhouette" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
            |u AS (SELECT label AS cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM e),

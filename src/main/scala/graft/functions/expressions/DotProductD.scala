@@ -88,6 +88,33 @@ object GraftFunctions {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductD(children.head, children(1)))
+    // Bloom-filter pair for semi-join pre-pruning (the runtime-filter
+    // primitive Spark itself uses for shuffle pruning, exposed as a
+    // first-class surface): graft_bloom_agg(xxhash64(k)[, est_items])
+    // builds a mergeable filter, graft_bloom_contains(bf, xxhash64(k))
+    // probes it. Catalyst-native (no UDF) — the aggregate is
+    // TypedImperative with partial merge, the probe codegens.
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(hash64[, est_items]) takes 1 or 2 arguments")
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered semi-join — the 100 TB shape of delta-vs-corpus
+  * membership (incremental dedup, decontamination probes, CDC upsert
+  * detection).
+  *
+  * A plain `left_semi` join shuffles BOTH sides on the key. When the probe
+  * side is a small delta and the corpus is the 100 TB side, that shuffle is
+  * the whole cost — and most probe rows are misses that did not need to
+  * travel. The standard fix (what Spark's own runtime row-filter injection
+  * does for shuffle joins, and what every warehouse calls a join bloom
+  * filter) is:
+  *
+  *   1. aggregate the corpus keys into a fixed-size mergeable Bloom filter
+  *      (one narrow pass; partial filters OR-merge, so the build is
+  *      map-side-combined and the driver artifact is megabytes regardless
+  *      of corpus size);
+  *   2. embed the filter as a broadcast constant in a `might_contain`
+  *      predicate on the probe side — false positives possible, false
+  *      negatives impossible;
+  *   3. run the exact semi-join only on the surviving rows to remove the
+  *      false positives.
+  *
+  * Result equality with the plain semi-join is therefore unconditional
+  * (step 3 is exact); the filter only changes how many probe rows reach the
+  * shuffle. Both expressions are Catalyst natives
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`, registered as
+  * `graft_bloom_agg` / `graft_bloom_contains` by
+  * [[graft.functions.expressions.GraftFunctions]] and [[graft.GraftExtensions]]),
+  * so the probe predicate participates in whole-stage codegen.
+  *
+  * Reference analog: the closest surface is DLQ upsert-by-id
+  * (reference: src/deadletter.ts:315-340), which probes one id per call;
+  * this is the set-at-a-time, scale-first re-expression.
+  */
+object BloomPrefilter {
+
+  /** The corpus-side Bloom filter over `key`, built distributed and
+    * returned as the driver-side artifact (serialized filter bytes).
+    * Keys are hashed with xxhash64 — `BloomFilterAggregate`'s native
+    * long-input path — so arbitrary key types work.
+    */
+  def build(corpus: DataFrame, key: String, expectedItems: Long): Array[Byte] = {
+    val s = corpus.sparkSession
+    graft.functions.expressions.GraftFunctions.register(s)
+    corpus.agg(call_function("graft_bloom_agg",
+        xxhash64(col(key)), lit(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Probe rows that MIGHT be in the filter — a superset of the true
+    * matches (no false negatives). Exposed for tests and for pipelines
+    * that tolerate false positives (e.g. routing to a slow exact path).
+    */
+  def prefilter(probe: DataFrame, filterBytes: Array[Byte], key: String): DataFrame = {
+    val s = probe.sparkSession
+    graft.functions.expressions.GraftFunctions.register(s)
+    probe.where(call_function("graft_bloom_contains",
+      lit(filterBytes), xxhash64(col(key))))
+  }
+
+  /** Exact semi-join accelerated by the Bloom prefilter: build on corpus,
+    * prefilter probe, confirm with a `left_semi` on the survivors. Returns
+    * exactly the rows a plain `probe SEMI JOIN corpus ON key` would.
+    */
+  def semiJoin(probe: DataFrame, corpus: DataFrame, key: String,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    val bf = build(corpus, key, expectedItems)
+    prefilter(probe, bf, key)
+      .join(corpus.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+}

@@ -461,6 +461,57 @@ object DedupQueries {
             .as("dup_fraction"))
     }),
 
+    // Bloom-prefiltered membership probe through
+    // [[graft.operators.BloomPrefilter]] — the incremental-dedup /
+    // decontamination scale mechanism (q102's exact leg): the corpus side
+    // is aggregated into a fixed-size mergeable Bloom filter (one narrow
+    // pass, partials OR-merge map-side), the filter rides the probe scan
+    // as a broadcast `might_contain` constant, and only survivors reach
+    // the exact semi-join shuffle. Result equality with the plain
+    // semi-join is unconditional (the exact join removes false positives;
+    // false negatives are impossible) — exactly what the oracle pins.
+    // Probed here as returning-user detection over the events split
+    // (the fixture's documents are all-distinct, so the doc-hash probe
+    // would pin only zeros; user overlap across the date split is real).
+    // At 100 TB the filter is megabytes against billions of corpus keys
+    // and the probe shuffle shrinks by the true miss rate — the same
+    // mechanism as Spark's injected runtime row-filters, exposed as a
+    // first-class operator.
+    "q130_bloom_prefilter" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-15").cast("timestamp")
+      val existing = ev.where($"ts" < cut).select($"user_id")
+      val arrivals = ev.where($"ts" >= cut)
+      graft.operators.BloomPrefilter
+        .semiJoin(arrivals, existing, "user_id", 1L << 17)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_returning_events"),
+          countDistinct($"user_id").as("n_returning_users"))
+        .orderBy($"event_type")
+    }),
+
+    // Snapshot diff — corpus-version CDC through
+    // [[graft.operators.SnapshotDiff]]: v1/v2 are deterministic slices of
+    // `documents` by the md5-percentile law (q102's split), with a pct
+    // band re-edited in v2 so all four statuses are exercised: pct<0.3
+    // only in v1 (removed), ≥0.7 only in v2 (added), [0.45,0.55) in both
+    // with different bodies (changed), the rest unchanged. The operator
+    // reduces each side to (key, md5) in the scan projection, so the
+    // full-outer join shuffles 16-byte content identities — at 100 TB the
+    // bodies never move, and bucketed-by-key snapshots diff shuffle-free.
+    "q132_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val d = DocProfiles.profiled(s, dir).select($"doc_id", $"lang", $"pct", $"text")
+      val v1 = d.where($"pct" < 0.7).select($"doc_id", $"text")
+      val v2 = d.where($"pct" >= 0.3).select($"doc_id",
+        when($"pct" >= 0.45 && $"pct" < 0.55, concat($"text", lit(" [rev2]")))
+          .otherwise($"text").as("text"))
+      graft.operators.SnapshotDiff
+        .summary(v1, v2, "doc_id", "text", d.select($"doc_id", $"lang"))
+        .orderBy($"lang", $"status")
+    }),
+
     // Content-hash grouping: distribution of exact-duplicate group sizes.
     // (This corpus is all-distinct ⇒ {1, n_docs}; the query proves the law.)
     "q35_content_hash_groups" -> ((s, dir) => {
@@ -627,6 +678,38 @@ object DedupQueries {
       "q36_dedup_components" ->
         s"""WITH RECURSIVE $componentCtes
            |SELECT doc_id, comp FROM comp ORDER BY doc_id""".stripMargin,
+      // q132: the same md5-percentile split law as q102, full-outer join
+      // on doc_id, status by content-hash compare.
+      "q132_snapshot_diff" ->
+        """WITH d AS (SELECT doc_id, lang, text,
+          |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+          |  FROM documents),
+          |v1 AS (SELECT doc_id, md5(text) h FROM d WHERE pct < 0.7),
+          |v2 AS (SELECT doc_id,
+          |    md5(CASE WHEN pct >= 0.45 AND pct < 0.55 THEN text || ' [rev2]'
+          |             ELSE text END) h
+          |  FROM d WHERE pct >= 0.3),
+          |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          |        CASE WHEN v2.h IS NULL THEN 'removed'
+          |             WHEN v1.h IS NULL THEN 'added'
+          |             WHEN v1.h = v2.h THEN 'unchanged'
+          |             ELSE 'changed' END AS status
+          |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+          |SELECT d.lang, j.status, count(*) AS n
+          |FROM j JOIN d USING (doc_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // q130's law: the bloom-prefiltered semi-join returns EXACTLY the
+      // plain semi-join's rows (prefilter is a lossless superset, the
+      // exact join removes false positives) — so the oracle is the plain
+      // IN-subquery spelling with no bloom anywhere.
+      "q130_bloom_prefilter" ->
+        """WITH ex AS (SELECT DISTINCT user_id FROM events
+          |            WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+          |ar AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+          |SELECT event_type, count(*) AS n_returning_events,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_returning_users
+          |FROM ar WHERE user_id IN (SELECT user_id FROM ex)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q115_dedup_threshold_sweep" ->
         s"""WITH $candidateCtes,
            |sc AS (SELECT i.a_id, i.b_id, i.i * 1.0 / (ca.c + cb.c - i.i) AS jac

@@ -141,7 +141,48 @@ object TextQueries {
         floor(($"cum" - $"toks") / PackBudget).cast("long").as("bin"))
   }
 
+  /** q131's count-min sketch geometry: [[CmsDepth]] independent hash rows
+    * of [[CmsWidth]] counters. Interpolated into BOTH engines' spellings
+    * (the hash is the md5-prefix family every portable sketch here uses),
+    * so the sketch — and therefore the ESTIMATES — are bit-identical.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val CmsTop = 15
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Portable count-min sketch — the mergeable FREQUENCY sketch
+    // completing the portable family (q117 cardinality, q119 quantiles):
+    // depth×width counter grid, cell (r, h_r(tok) mod width) summing
+    // occurrences; estimate = min over rows. Counters are exact integer
+    // sums, so unlike a sampled heavy-hitter pass the whole construction
+    // is deterministic and the oracle reproduces it cell-for-cell. At
+    // 100 TB: the token stream never ranks globally — the sketch is a
+    // fixed 2048-cell table built in ONE narrow pass with map-side
+    // partials (counters add, so shards' sketches merge by +), and only
+    // probe tokens touch it. overcount = cms_est − n_exact exposes the
+    // collision error the width dial controls.
+    "q131_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      def buckets(tok: org.apache.spark.sql.Column) =
+        explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r).as("r"),
+            (conv(substring(md5(concat(lit(s"$r:"), tok).cast("binary")), 1, 8), 16, 10)
+              .cast("long") % CmsWidth).as("b"))): _*))
+      val toks = DocProfiles.profiled(s, dir).select(explode($"toks").as("tok"))
+      val sketch = toks.select(buckets($"tok").as("x"))
+        .groupBy($"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("c"))
+      val top = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"tok".asc).limit(CmsTop)
+      top.select($"tok", $"n_exact", buckets($"tok").as("x"))
+        .select($"tok", $"n_exact", $"x.r".as("r"), $"x.b".as("b"))
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy($"tok", $"n_exact").agg(min($"c").as("cms_est"))
+        .select($"tok", $"n_exact", $"cms_est",
+          ($"cms_est" - $"n_exact").as("overcount"))
+        .orderBy($"n_exact".desc, $"tok".asc)
+    }),
+
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
     "q50_token_stats" -> ((s, dir) => {
@@ -953,6 +994,27 @@ object TextQueries {
           |  FROM p)
           |SELECT source, rk, doc_id, n_chars, prio
           |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+      // q131 = the engine-neutral count-min sketch: identical md5-prefix
+      // row hashes, identical integer counters, identical min-over-rows
+      // probe — the ESTIMATES hash-match, not just the exact counts.
+      "q131_cms_heavy_hitters" ->
+        s"""WITH t AS (SELECT string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |w AS (SELECT toks[j+1] AS tok FROM t, unnest(range(len(toks))) AS u(j)),
+           |r AS (SELECT tok, i AS r,
+           |    CAST(('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 8)) AS BIGINT)
+           |      % $CmsWidth AS b
+           |  FROM w, unnest(range($CmsDepth)) AS h(i)),
+           |sk AS (SELECT r, b, count(*) AS c FROM r GROUP BY 1, 2),
+           |top AS (SELECT tok, count(*) AS n_exact FROM w GROUP BY 1
+           |        ORDER BY n_exact DESC, tok ASC LIMIT $CmsTop),
+           |pr AS (SELECT top.tok, top.n_exact, i AS r,
+           |    CAST(('0x' || substr(md5(i::VARCHAR || ':' || top.tok), 1, 8)) AS BIGINT)
+           |      % $CmsWidth AS b
+           |  FROM top, unnest(range($CmsDepth)) AS h(i)),
+           |est AS (SELECT pr.tok, pr.n_exact, min(sk.c) AS cms_est
+           |        FROM pr JOIN sk USING (r, b) GROUP BY 1, 2)
+           |SELECT tok, n_exact, cms_est, cms_est - n_exact AS overcount
+           |FROM est ORDER BY n_exact DESC, tok ASC""".stripMargin,
       "q93_zipf" ->
         """WITH t AS (SELECT string_split_regex(trim(text), '\s+') toks FROM documents),
           |w AS (SELECT toks[j+1] AS word FROM t, unnest(range(len(toks))) AS u(j)),

@@ -109,6 +109,26 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("round-6 queries keep their intended physical shapes") {
+    // q130's probe side carries the bloom constant as a scan-side filter
+    // (the whole point: prune BEFORE the semi-join shuffle), and the
+    // confirmation join is an equi semi-join, never a nested loop
+    val p130 = plan("q130_bloom_prefilter")
+    assert(p130.contains("might_contain"), "q130 lost its bloom prefilter")
+    assert(p130.contains("LeftSemi"), "q130's confirmation must be a semi-join")
+    assert(!p130.contains("CartesianProduct") && !p130.contains("BroadcastNestedLoopJoin"))
+    // q131's sketch probe broadcasts the 2048-cell counter table; the
+    // token stream itself never joins anything
+    assert(plan("q131_cms_heavy_hitters").contains("BroadcastHashJoin"),
+      "q131's sketch probe should broadcast the counter grid")
+    // q132's diff is a shuffled equi full-outer on the key — bodies are
+    // hashed below the exchange, never nested-looped
+    val p132 = plan("q132_snapshot_diff")
+    assert(p132.contains("FullOuter"), "q132 must full-outer join the snapshots")
+    assert(!p132.contains("CartesianProduct") && !p132.contains("BroadcastNestedLoopJoin"))
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q107's global rank is distributed: no data-sized unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("q107_activity_gini")(spark, dir).queryExecution

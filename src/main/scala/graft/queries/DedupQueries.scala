@@ -491,6 +491,55 @@ object DedupQueries {
         .orderBy($"event_type")
     }),
 
+    // Exact-substring RUN lengths — q127 upgraded from "how many K-token
+    // grams do two docs share" to "how LONG is their longest verbatim
+    // run" (the quantity Lee et al. 2022's suffix-array dedup thresholds
+    // on). Distributed re-expression: a run of R consecutive shared grams
+    // on one (a_pos − b_pos) diagonal IS a verbatim span of R+K−1 tokens,
+    // so runs are gaps-and-islands over shared gram POSITIONS. Plan
+    // shape: candidate pairs come from the df-capped rare-gram self-join
+    // (q127's skew discipline, bounded by cap²·n_grams); the position
+    // join then runs ONLY over the candidate docs (semi-joined first), so
+    // the diagonal windows see ~pair-count × doc-length rows, never the
+    // corpus. All integers — no float law.
+    "q133_span_runs" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+        s"spanruns:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val gp = graft.operators.CacheRegistry.track(DocProfiles.profiled(s, dir)
+        .select($"doc_id", posexplode(wordShingles($"toks", SpanK)))
+        .select($"doc_id", $"pos", md5($"col".cast("binary")).as("gh"))
+        .cache())
+      val g = gp.select($"doc_id", $"gh").distinct()
+      val rare = g.groupBy($"gh").agg(count(lit(1)).as("m"))
+        .where($"m" >= 2 && $"m" <= SpanDfCap)
+      val gg = g.join(rare.select($"gh"), Seq("gh"), "left_semi")
+      val pairs = gg.as("a").join(gg.as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"n_shared".desc, $"a_id".asc, $"b_id".asc).limit(10)
+      val ids = pairs.select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
+      val gpc = gp.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      val pp = broadcast(pairs)
+        .join(gpc.as("ga"), $"a_id" === $"ga.doc_id")
+        .select($"a_id", $"b_id", $"n_shared", $"ga.pos".as("a_pos"), $"ga.gh".as("a_gh"))
+        .join(gpc.as("gb"), $"b_id" === $"gb.doc_id" && $"a_gh" === $"gb.gh")
+        .select($"a_id", $"b_id", $"n_shared", $"a_pos", $"gb.pos".as("b_pos"))
+        .distinct()
+      val wD = Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"a_pos")
+      val out = graft.operators.CacheRegistry.track(pp
+        .withColumn("diag", $"a_pos" - $"b_pos")
+        .withColumn("isl", $"a_pos" - row_number().over(wD))
+        .groupBy($"a_id", $"b_id", $"n_shared", $"diag", $"isl")
+        .agg(count(lit(1)).as("run_grams"))
+        .groupBy($"a_id", $"b_id", $"n_shared")
+        .agg((max($"run_grams") + lit(SpanK - 1)).as("longest_run_tokens"))
+        .orderBy($"n_shared".desc, $"a_id".asc, $"b_id".asc)
+        .cache())
+      out.count()
+      out
+    }),
+
     // Snapshot diff — corpus-version CDC through
     // [[graft.operators.SnapshotDiff]]: v1/v2 are deterministic slices of
     // `documents` by the md5-percentile law (q102's split), with a pct
@@ -678,6 +727,35 @@ object DedupQueries {
       "q36_dedup_components" ->
         s"""WITH RECURSIVE $componentCtes
            |SELECT doc_id, comp FROM comp ORDER BY doc_id""".stripMargin,
+      // q133: q127's rare-gram pair selection, then gaps-and-islands over
+      // shared gram positions per (a_pos − b_pos) diagonal; longest island
+      // of R grams = verbatim run of R+K−1 tokens.
+      "q133_span_runs" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |gp AS (SELECT doc_id, j AS pos, md5($spanGramCat) gh
+           |       FROM t, unnest(range(greatest(len(toks)-${SpanK - 1}, 0))) AS u(j)),
+           |g0 AS (SELECT DISTINCT doc_id, gh FROM gp),
+           |rare AS (SELECT gh FROM g0 GROUP BY gh
+           |         HAVING count(*) >= 2 AND count(*) <= $SpanDfCap),
+           |gg AS (SELECT g0.doc_id, g0.gh FROM g0 JOIN rare USING (gh)),
+           |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, CAST(count(*) AS BIGINT) n_shared
+           |      FROM gg a JOIN gg b ON a.gh = b.gh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2 ORDER BY n_shared DESC, a_id ASC, b_id ASC LIMIT 10),
+           |pp AS (SELECT DISTINCT p.a_id, p.b_id, p.n_shared,
+           |         ga.pos a_pos, gb.pos b_pos
+           |       FROM pairs p
+           |       JOIN gp ga ON ga.doc_id = p.a_id
+           |       JOIN gp gb ON gb.doc_id = p.b_id AND gb.gh = ga.gh),
+           |isl AS (SELECT a_id, b_id, n_shared, a_pos, a_pos - b_pos AS diag,
+           |         a_pos - row_number() OVER (PARTITION BY a_id, b_id, a_pos - b_pos
+           |                                    ORDER BY a_pos) AS isl
+           |       FROM pp),
+           |runs AS (SELECT a_id, b_id, n_shared, CAST(count(*) AS BIGINT) run_grams
+           |         FROM isl GROUP BY a_id, b_id, n_shared, diag, isl)
+           |SELECT a_id, b_id, n_shared,
+           |  CAST(max(run_grams) + ${SpanK - 1} AS BIGINT) AS longest_run_tokens
+           |FROM runs GROUP BY 1, 2, 3
+           |ORDER BY n_shared DESC, a_id ASC, b_id ASC""".stripMargin,
       // q132: the same md5-percentile split law as q102, full-outer join
       // on doc_id, status by content-hash compare.
       "q132_snapshot_diff" ->

@@ -404,6 +404,27 @@ object SimilarityQueries {
     // trusting the ANN path (empty/overfull cells and low min-cosine cells
     // are where recall dies). min/max are order-free (unlike avg), so the
     // report is bit-stable across engines and partitionings.
+    // Embedding outliers — per-cell vectors FARTHEST from their assigned
+    // IVF centroid (lowest cosine), top-3 per cell: the candidates a
+    // curation pass reviews for corrupt/mislabeled samples. Rides the
+    // shared Lloyd tower (cells+centroids cached once per session); the
+    // rank is per-cell, so the window is hash-partitioned and the rank-3
+    // filter pushes into the shuffle as WindowGroupLimit — no cell ever
+    // materializes whole post-shuffle. At 100 TB: centroids broadcast,
+    // one corpus pass scores, one bounded per-cell top-k.
+    "q135_embedding_outliers" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val (cells, cent) = ivfCells(s, dir)
+      val w = Window.partitionBy($"cell").orderBy($"cos".asc, $"vec_id".asc)
+      cells.join(broadcast(cent), $"cell" === $"cl")
+        .select($"cell", $"vec_id", (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"cell", $"rk", $"vec_id", round($"cos", 6).as("cosine"))
+        .orderBy($"cell", $"rk")
+    }),
+
     "q85_ivf_cell_quality" -> ((s, dir) => {
       import s.implicits._
       val (cells, cent) = ivfCells(s, dir)
@@ -1101,6 +1122,16 @@ object SimilarityQueries {
            |      FROM sc)
            |SELECT q_id, rk, nn_id, adc FROM r WHERE rk <= $PqTopK
            |ORDER BY q_id, rk""".stripMargin,
+      "q135_embedding_outliers" ->
+        s"""WITH $ivfCtesSql,
+           |sc AS (SELECT cells.cell, cells.vec_id, ${cosSql("cells.v", "c.cv")} cos
+           |       FROM cells JOIN c$KMeansIters c ON cells.cell = c.cl),
+           |r AS (SELECT cell, vec_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY cell
+           |          ORDER BY cos ASC, vec_id ASC) AS INT) rk
+           |      FROM sc)
+           |SELECT cell, rk, vec_id, round(cos, 6) AS cosine
+           |FROM r WHERE rk <= 3 ORDER BY cell, rk""".stripMargin,
       "q85_ivf_cell_quality" ->
         s"""WITH $ivfCtesSql
            |SELECT cell, count(*) AS n_vecs,

@@ -169,10 +169,19 @@ object TextQueries {
           struct(lit(r).as("r"),
             (conv(substring(md5(concat(lit(s"$r:"), tok).cast("binary")), 1, 8), 16, 10)
               .cast("long") % CmsWidth).as("b"))): _*))
-      val toks = DocProfiles.profiled(s, dir).select(explode($"toks").as("tok"))
-      val sketch = toks.select(buckets($"tok").as("x"))
-        .groupBy($"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("c"))
-      val top = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+      // counters are distributive sums, so the sketch builds from the
+      // per-token count table instead of re-shuffling the raw occurrence
+      // stream ×depth: ONE corpus-wide shuffle (the token groupBy, which
+      // the exact top-K needs anyway), then the ×depth explode runs over
+      // DISTINCT tokens only. At 100 TB where an exact top-K is off the
+      // table, the same sketch builds from the raw stream with map-side
+      // partials — cell values are identical either way, which is the law.
+      val counts = graft.operators.CacheRegistry.track(
+        DocProfiles.profiled(s, dir).select(explode($"toks").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("n")).cache())
+      val sketch = counts.select($"n", buckets($"tok").as("x"))
+        .groupBy($"x.r".as("r"), $"x.b".as("b")).agg(sum($"n").as("c"))
+      val top = counts.withColumnRenamed("n", "n_exact")
         .orderBy($"n_exact".desc, $"tok".asc).limit(CmsTop)
       top.select($"tok", $"n_exact", buckets($"tok").as("x"))
         .select($"tok", $"n_exact", $"x.r".as("r"), $"x.b".as("b"))
@@ -181,6 +190,33 @@ object TextQueries {
         .select($"tok", $"n_exact", $"cms_est",
           ($"cms_est" - $"n_exact").as("overcount"))
         .orderBy($"n_exact".desc, $"tok".asc)
+    }),
+
+    // Equal-frequency length curriculum — 10 quantile bins over document
+    // token counts, the bucketing a curriculum/packing scheduler consumes
+    // (short-to-long ordering, per-bin batch shaping). Scale shape: the
+    // NINE decile edges are one distributed exact-percentile aggregate
+    // (partial count-maps merge; the value domain is doc lengths, so
+    // state is bounded), broadcast as a 1-row constant; bin assignment is
+    // then a per-row expression — no global sort, no ntile window over
+    // the corpus (the q107 discipline). Edges are 6dp-rounded before the
+    // compare and the bin test is spelled as 9 explicit comparisons, so
+    // both engines bin identically; value ties make bins approximately
+    // equal-sized, which is the honest semantics of value-based binning.
+    "q134_length_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val d = DocProfiles.profiled(s, dir).select($"doc_id", $"n_tok")
+      val probs = (1 to 9).map(_ / 10.0).mkString(", ")
+      val edges = d.agg(expr(
+        s"transform(percentile(n_tok, array($probs)), e -> round(e, 6))").as("es"))
+      d.crossJoin(broadcast(edges))
+        .select($"doc_id", $"n_tok",
+          (0 until 9).map(i => when($"es"(i) < $"n_tok", 1).otherwise(0))
+            .reduce(_ + _).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"), min($"n_tok").as("min_tok"),
+          max($"n_tok").as("max_tok"), sum($"n_tok").as("sum_tok"))
+        .orderBy($"bin")
     }),
 
     // Token counting, two tokenizers: whitespace split and a BPE-ish
@@ -994,6 +1030,22 @@ object TextQueries {
           |  FROM p)
           |SELECT source, rk, doc_id, n_chars, prio
           |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+      // q134: quantile_cont matches Spark's interpolating percentile
+      // (the q40 law); edges rounded to 6dp before the 9 explicit bin
+      // comparisons, identical in both engines.
+      "q134_length_curriculum" -> {
+        val edgeList = (1 to 9)
+          .map(i => s"round(quantile_cont(n_tok, 0.$i), 6)").mkString(", ")
+        val binSum = (1 to 9)
+          .map(i => s"(CASE WHEN es[$i] < n_tok THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+           |    len(string_split_regex(trim(text), '\\s+')) AS n_tok FROM documents),
+           |e AS (SELECT [$edgeList] AS es FROM d),
+           |b AS (SELECT doc_id, n_tok, $binSum AS bin FROM d, e)
+           |SELECT bin, count(*) AS n_docs, CAST(min(n_tok) AS INT) AS min_tok,
+           |  CAST(max(n_tok) AS INT) AS max_tok, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+      },
       // q131 = the engine-neutral count-min sketch: identical md5-prefix
       // row hashes, identical integer counters, identical min-over-rows
       // probe — the ESTIMATES hash-match, not just the exact counts.

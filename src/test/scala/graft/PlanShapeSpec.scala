@@ -126,6 +126,20 @@ class PlanShapeSpec extends SparkSpec {
     val p132 = plan("q132_snapshot_diff")
     assert(p132.contains("FullOuter"), "q132 must full-outer join the snapshots")
     assert(!p132.contains("CartesianProduct") && !p132.contains("BroadcastNestedLoopJoin"))
+    // q133's pair generation and position joins are equi joins; the
+    // pair-ledger cut is a sort-limit, never a global window over grams
+    val p133 = plan("q133_span_runs")
+    assert(!p133.contains("CartesianProduct") && !p133.contains("BroadcastNestedLoopJoin"))
+    // q134 bins by broadcast quantile edges — NO window anywhere (the
+    // ntile-over-the-corpus spelling this query exists to avoid)
+    val q134Windows = SparkEntry.queries("q134_length_curriculum")(spark, dir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(q134Windows.isEmpty, "q134 must not bin via a window function")
+    // q135's per-cell rank-3 pushes into the shuffle; centroids broadcast
+    val p135 = plan("q135_embedding_outliers")
+    assert(p135.contains("WindowGroupLimit") && p135.contains("BroadcastHashJoin"))
     graft.operators.CacheRegistry.releaseAll()
   }
 

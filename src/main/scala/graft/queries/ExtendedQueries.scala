@@ -466,6 +466,46 @@ object ExtendedQueries {
         .orderBy($"day")
     }),
 
+    // CMS ROLLUP law — the frequency twin of q120: q131's count-min cells
+    // stored per DAY, every trailing-7 estimate computed ONLY from the
+    // stored cells. Where HLL registers union by MAX, CMS counters union
+    // by SUM — the two mergeability laws of the sketch family, both now
+    // driver-gated. Probe: the final day's top-10 users by exact
+    // trailing-7 event count, estimated from the rolled cells alone;
+    // all-integer output, cell-for-cell reproducible. At 100 TB the
+    // per-day sketch table is days × 1024 rows regardless of user count,
+    // and any window's estimate is one bounded cell-sum — the raw events
+    // are scanned exactly once, at ingest.
+    "q136_cms_rollup" -> ((s, dir) => {
+      import s.implicits._
+      def buckets = explode(array((0 until 4).map(r =>
+        struct(lit(r).as("r"),
+          (conv(substring(md5(concat(lit(s"$r:"), $"user_id".cast("string"))
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 256).as("b"))): _*))
+      val ev = Tables.events(s, dir)
+      val daily = ev.select(to_date($"ts").as("day"), $"user_id")
+        .select($"day", buckets.as("x"))
+        .groupBy($"day", $"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("c"))
+      val days = daily.select($"day").distinct()
+      val rolled = days.as("d").join(daily.as("s"),
+          datediff($"d.day", $"s.day").between(0, 6))
+        .groupBy($"d.day".as("day"), $"r", $"b").agg(sum($"c").as("c"))
+      val lastDay = ev.agg(max(to_date($"ts")).as("day"))
+      val exact = ev.select(to_date($"ts").as("eday"), $"user_id")
+        .crossJoin(broadcast(lastDay))
+        .where(datediff($"day", $"eday").between(0, 6))
+        .groupBy($"user_id").agg(count(lit(1)).as("exact_n7"))
+        .orderBy($"exact_n7".desc, $"user_id".asc).limit(10)
+      exact.crossJoin(broadcast(lastDay))
+        .select($"user_id", $"exact_n7", $"day", buckets.as("x"))
+        .select($"user_id", $"exact_n7", $"day", $"x.r".as("r"), $"x.b".as("b"))
+        .join(rolled, Seq("day", "r", "b"))
+        .groupBy($"user_id", $"exact_n7").agg(min($"c").as("est_n7"))
+        .select($"user_id", $"exact_n7", $"est_n7",
+          ($"est_n7" - $"exact_n7").as("overcount"))
+        .orderBy($"exact_n7".desc, $"user_id".asc)
+    }),
+
     // Incremental-rollup CONVERGENCE law through the driver gate: build a
     // day-partitioned rollup of the first five event days with the REAL
     // [[graft.operators.IncrementalRollup]] machinery — two streamed
@@ -1229,6 +1269,34 @@ object ExtendedQueries {
         |SELECT f.day, round(f.e, 2) AS est_active_7, x.exact_active_7,
         |  round(abs(round(f.e, 2) - x.exact_active_7) / x.exact_active_7, 4) AS rel_err
         |FROM fin f JOIN x USING (day) ORDER BY day""".stripMargin,
+    // q136 = the engine-neutral CMS rollup: identical md5-prefix row
+    // hashes, daily cells counted then SUMMED across the trailing window
+    // (the + merge law), min-over-rows probe — estimates hash-match.
+    "q136_cms_rollup" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |r AS (SELECT day, user_id, i AS r,
+        |    CAST(('0x' || substr(md5(i::VARCHAR || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 256 AS b
+        |  FROM h, unnest(range(4)) AS u(i)),
+        |daily AS (SELECT day, r, b, count(*) AS c FROM r GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |rolled AS (SELECT d.day, s.r, s.b, CAST(sum(s.c) AS BIGINT) AS c
+        |           FROM days d JOIN daily s ON d.day - s.day BETWEEN 0 AND 6
+        |           GROUP BY 1, 2, 3),
+        |lst AS (SELECT max(day) AS day FROM h),
+        |ex AS (SELECT user_id, count(*) AS exact_n7 FROM h, lst
+        |       WHERE lst.day - h.day BETWEEN 0 AND 6
+        |       GROUP BY 1 ORDER BY exact_n7 DESC, user_id ASC LIMIT 10),
+        |pr AS (SELECT ex.user_id, ex.exact_n7, lst.day, i AS r,
+        |    CAST(('0x' || substr(md5(i::VARCHAR || ':' || CAST(ex.user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 256 AS b
+        |  FROM ex, lst, unnest(range(4)) AS u(i)),
+        |est AS (SELECT pr.user_id, pr.exact_n7, min(rolled.c) AS est_n7
+        |        FROM pr JOIN rolled ON rolled.day = pr.day
+        |          AND rolled.r = pr.r AND rolled.b = pr.b
+        |        GROUP BY 1, 2)
+        |SELECT user_id, exact_n7, est_n7, est_n7 - exact_n7 AS overcount
+        |FROM est ORDER BY exact_n7 DESC, user_id ASC""".stripMargin,
     // q121 = from-scratch recompute of the first-5-days rollup; equality
     // with the incrementally-maintained table (late day-2 half included)
     // IS the operator's convergence law.

@@ -75,6 +75,36 @@ object MultimodalQueries {
         .orderBy($"kind")
     }),
 
+    // Media NEAR-DUP by shared frame digests — how video/audio dedup
+    // actually works at scale (keyframe-hash containment): two assets are
+    // near-dup candidates when they share sampled-frame digests, no
+    // decode and no byte comparison anywhere. Same discipline as the text
+    // span machinery (q127): per-asset DISTINCT frame digests, df-capped
+    // (a digest in >32 assets is a boilerplate intro/outro frame and
+    // would alone generate O(m²) pairs), ONE equi self-join on the
+    // digest, pair scores, top-20 by total order. At 100 TB the frame
+    // index is the stored artifact and the join is bounded by cap² per
+    // digest — the corpus never self-joins on bytes.
+    "q137_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val f = Tables.documents(s, dir)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0),
+            floor((octet_length($"text") - 1) / lit(FrameStride.toDouble)).cast("int")))
+            .as("frame_no"))
+        .select($"doc_id",
+          md5($"text".substr($"frame_no" * FrameStride + 1, lit(FrameBytes))
+            .cast("binary")).as("fh"))
+        .distinct()
+      val rare = f.groupBy($"fh").agg(count(lit(1)).as("m"))
+        .where($"m" >= 2 && $"m" <= 32)
+      val ff = f.join(rare.select($"fh"), Seq("fh"), "left_semi")
+      ff.as("a").join(ff.as("b"), $"a.fh" === $"b.fh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .orderBy($"n_shared_frames".desc, $"a_id".asc, $"b_id".asc).limit(20)
+    }),
+
     // Feature-vector statistics through the same decode path. The
     // byte-histogram features are an imperative codec stand-in, but they
     // are still a PURE function of the payload bytes (bin i counts bytes
@@ -112,6 +142,21 @@ object MultimodalQueries {
          |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
          |  md5(substr(text, CAST(frame_no * $FrameStride + 1 AS INT), $FrameBytes)) AS frame_md5
          |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    // q137: same frame-digest law as q61 over ALL assets, per-asset
+    // distinct, df-capped, self-joined on the digest.
+    "q137_media_neardup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |f0 AS (SELECT DISTINCT doc_id,
+         |    md5(substr(text, CAST(j * $FrameStride + 1 AS INT), $FrameBytes)) fh
+         |  FROM d, unnest(range(CAST(floor((octet_length(text::BLOB) - 1) / $FrameStride.0) AS BIGINT) + 1)) AS u(j)),
+         |rare AS (SELECT fh FROM f0 GROUP BY fh
+         |         HAVING count(*) >= 2 AND count(*) <= 32),
+         |ff AS (SELECT f0.doc_id, f0.fh FROM f0 JOIN rare USING (fh)),
+         |p AS (SELECT a.doc_id a_id, b.doc_id b_id, CAST(count(*) AS BIGINT) n_shared_frames
+         |      FROM ff a JOIN ff b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_shared_frames FROM p
+         |ORDER BY n_shared_frames DESC, a_id ASC, b_id ASC LIMIT 20""".stripMargin,
     // byteHistogramFeatures fallback metadata law (MediaPipeline.scala): n_bytes = len,
     // width = 16 + len % 64, height = 16 + (len / 64) % 64 — recomputed
     // from octet_length; `//` is DuckDB integer floor division, matching

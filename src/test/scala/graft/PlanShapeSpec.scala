@@ -140,6 +140,14 @@ class PlanShapeSpec extends SparkSpec {
     // q135's per-cell rank-3 pushes into the shuffle; centroids broadcast
     val p135 = plan("q135_embedding_outliers")
     assert(p135.contains("WindowGroupLimit") && p135.contains("BroadcastHashJoin"))
+    // q136's cell unions ride the bounded day×cell grid — never a
+    // cartesian over raw events
+    assert(!plan("q136_cms_rollup").contains("CartesianProduct"))
+    // q137's frame self-join is an equi join on the digest with a
+    // sort-limit cut — the media corpus never nested-loops
+    val p137 = plan("q137_media_neardup")
+    assert(!p137.contains("CartesianProduct") && !p137.contains("BroadcastNestedLoopJoin"))
+    assert(p137.contains("TakeOrderedAndProject"))
     graft.operators.CacheRegistry.releaseAll()
   }
 

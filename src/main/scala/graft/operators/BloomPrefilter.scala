@@ -69,7 +69,33 @@ object BloomPrefilter {
   def semiJoin(probe: DataFrame, corpus: DataFrame, key: String,
       expectedItems: Long = 1L << 20): DataFrame = {
     val bf = build(corpus, key, expectedItems)
-    prefilter(probe, bf, key)
+    // an EMPTY corpus aggregates to a null filter — no key can match
+    if (bf == null) probe.where(lit(false))
+    else prefilter(probe, bf, key)
       .join(corpus.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  /** Exact ANTI-join accelerated by the Bloom prefilter — "keep only rows
+    * NOT in the corpus", THE ingest-dedup operation. The filter's
+    * no-false-negative guarantee cuts the other way here: a probe row the
+    * filter REJECTS is definitely absent from the corpus and is kept with
+    * no join at all; only the might-contain survivors (true matches +
+    * false positives) go through the exact `left_anti` to be settled.
+    * At a typical ingest mix (mostly-new rows) almost the entire batch
+    * takes the join-free path. Returns exactly the rows a plain
+    * `probe ANTI JOIN corpus ON key` would, modulo row order.
+    */
+  def antiJoin(probe: DataFrame, corpus: DataFrame, key: String,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    val s = probe.sparkSession
+    graft.functions.expressions.GraftFunctions.register(s)
+    val bf = build(corpus, key, expectedItems)
+    // an EMPTY corpus aggregates to a null filter — every row is new
+    if (bf == null) return probe
+    val hit = call_function("graft_bloom_contains", lit(bf), xxhash64(col(key)))
+    val definitelyNew = probe.where(!hit)
+    val settled = probe.where(hit)
+      .join(corpus.select(col(key)).distinct(), Seq(key), "left_anti")
+    definitelyNew.unionByName(settled.select(probe.columns.map(col): _*))
   }
 }

@@ -540,6 +540,30 @@ object DedupQueries {
       out
     }),
 
+    // q130's anti twin — NEW-user detection through
+    // [[graft.operators.BloomPrefilter.antiJoin]]: rows the corpus bloom
+    // REJECTS are definitely new and skip the join entirely (the
+    // no-false-negative guarantee cut the other way); only might-contain
+    // survivors settle through the exact anti-join. The ingest-dedup
+    // operation at 100 TB: a mostly-new batch takes the join-free path
+    // almost entirely. Oracle = the plain NOT IN spelling, no bloom.
+    // (cut = day 2: the fixture's users nearly all debut on day 1, so a
+    // later cut has no new users anywhere; day 2 leaves a real mix of
+    // returning and new at sf0.01/sf0.1)
+    "q138_bloom_new_arrivals" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-02").cast("timestamp")
+      val existing = ev.where($"ts" < cut).select($"user_id")
+      val arrivals = ev.where($"ts" >= cut)
+      graft.operators.BloomPrefilter
+        .antiJoin(arrivals, existing, "user_id", 1L << 17)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_new_events"),
+          countDistinct($"user_id").as("n_new_users"))
+        .orderBy($"event_type")
+    }),
+
     // Snapshot diff — corpus-version CDC through
     // [[graft.operators.SnapshotDiff]]: v1/v2 are deterministic slices of
     // `documents` by the md5-percentile law (q102's split), with a pct
@@ -756,6 +780,15 @@ object DedupQueries {
            |  CAST(max(run_grams) + ${SpanK - 1} AS BIGINT) AS longest_run_tokens
            |FROM runs GROUP BY 1, 2, 3
            |ORDER BY n_shared DESC, a_id ASC, b_id ASC""".stripMargin,
+      // q138: the anti spelling of q130's law — new users only.
+      "q138_bloom_new_arrivals" ->
+        """WITH ex AS (SELECT DISTINCT user_id FROM events
+          |            WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+          |ar AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00')
+          |SELECT event_type, count(*) AS n_new_events,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_new_users
+          |FROM ar WHERE user_id NOT IN (SELECT user_id FROM ex)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // q132: the same md5-percentile split law as q102, full-outer join
       // on doc_id, status by content-hash compare.
       "q132_snapshot_diff" ->

@@ -59,8 +59,18 @@ class BloomPrefilterSpec extends SparkSpec {
     }
   }
 
+  test("bloom anti-join equals the plain anti-join exactly") {
+    val expected = probe.join(corpus.select($"key").distinct(), Seq("key"), "left_anti")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val got = BloomPrefilter.antiJoin(probe, corpus, "key", expectedItems = 4096)
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(got == expected && got.size == 8000) // 9000 probes − 1000 members
+  }
+
   test("empty corpus yields an empty result, not an error") {
     val empty = corpus.where(lit(false))
     assert(BloomPrefilter.semiJoin(probe, empty, "key", 64).count() == 0L)
+    // anti against an empty corpus keeps everything
+    assert(BloomPrefilter.antiJoin(probe, empty, "key", 64).count() == probe.count())
   }
 }

@@ -32,6 +32,20 @@ class GraftExtensionsSpec extends SparkSpec {
       val sh = s2.sql("SELECT graft_shingles(array('a','b','c'), 2) v")
         .collect().head.getSeq[String](0)
       assert(sh == Seq("a b", "b c"))
+      // bloom pair end-to-end in SQL: build over 0..99, probe a member
+      // and a non-member — no false negatives, and the far non-member
+      // hash space makes a false positive astronomically unlikely at
+      // this fill ratio
+      s2.range(100).createOrReplaceTempView("ext_bloom_src")
+      val bloom = s2.sql(
+        "SELECT graft_bloom_agg(xxhash64(id), 1024L) bf FROM ext_bloom_src")
+      bloom.createOrReplaceTempView("ext_bloom")
+      val probed = s2.sql(
+        """SELECT graft_bloom_contains((SELECT bf FROM ext_bloom), xxhash64(42L)) hit,
+          |       graft_bloom_contains((SELECT bf FROM ext_bloom), xxhash64(123456789L)) miss
+          |""".stripMargin).collect().head
+      assert(probed.getBoolean(0), "bloom dropped a true member")
+      assert(!probed.getBoolean(1), "bloom matched a far non-member")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

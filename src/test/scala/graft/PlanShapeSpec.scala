@@ -140,6 +140,12 @@ class PlanShapeSpec extends SparkSpec {
     // q135's per-cell rank-3 pushes into the shuffle; centroids broadcast
     val p135 = plan("q135_embedding_outliers")
     assert(p135.contains("WindowGroupLimit") && p135.contains("BroadcastHashJoin"))
+    // q138's definitely-new leg filters by the bloom constant with NO
+    // join; the settle leg is an equi anti-join
+    val p138 = plan("q138_bloom_new_arrivals")
+    assert(p138.contains("might_contain"), "q138 lost its bloom prefilter")
+    assert(p138.contains("LeftAnti"), "q138's settle leg must be an anti-join")
+    assert(!p138.contains("CartesianProduct") && !p138.contains("BroadcastNestedLoopJoin"))
     // q136's cell unions ride the bounded day×cell grid — never a
     // cartesian over raw events
     assert(!plan("q136_cms_rollup").contains("CartesianProduct"))

@@ -58,6 +58,12 @@ class Round6LawsSpec extends SparkSpec {
       val got = BloomPrefilter.semiJoin(probe, corpus, "k", expectedItems = 1024)
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(got == expected, s"seed $seed: bloom semi-join diverged")
+      val expectedAnti = probe.join(corpus.select($"k").distinct(), Seq("k"), "left_anti")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val gotAnti = BloomPrefilter.antiJoin(probe, corpus, "k", expectedItems = 1024)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(gotAnti == expectedAnti, s"seed $seed: bloom anti-join diverged")
+      assert(got.size + gotAnti.size == 2000, "semi + anti must partition the probe")
     }
   }
 }

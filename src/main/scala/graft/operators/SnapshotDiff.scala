@@ -45,4 +45,34 @@ object SnapshotDiff {
       .join(dims, key)
       .groupBy(dims.columns.filterNot(_ == key).map(col) :+ col("status"): _*)
       .agg(count(lit(1)).as("n"))
+
+  /** The SHIPPABLE delta from v1 to v2: upserted rows (added/changed)
+    * carry v2's full payload, removals carry the key with a null payload
+    * and status `removed`; unchanged rows are absent. At 100 TB this is
+    * what actually moves between sites — the delta is proportional to the
+    * churn, never to the corpus.
+    */
+  def delta(v1: DataFrame, v2: DataFrame, key: String, contentCol: String): DataFrame = {
+    val d = diff(v1, v2, key, contentCol)
+    val upserts = d.where(col("status").isin("added", "changed"))
+      .join(v2, key)
+      .select(Seq(col(key), col("status")) ++
+        v2.columns.filterNot(_ == key).map(col): _*)
+    val removals = d.where(col("status") === "removed")
+      .select(Seq(col(key), col("status")) ++
+        v2.columns.filterNot(_ == key)
+          .map(c => lit(null).cast(v2.schema(c).dataType).as(c)): _*)
+    upserts.unionByName(removals)
+  }
+
+  /** Reconstruct v2 by applying a [[delta]] to v1 — the convergence law
+    * `applyDelta(v1, delta(v1, v2)) == v2` (pinned by SnapshotDiffSpec).
+    * One anti-join (drop keys the delta touches) plus the delta's
+    * upserts: both legs co-partition on the key.
+    */
+  def applyDelta(v1: DataFrame, deltaDf: DataFrame, key: String): DataFrame = {
+    val untouched = v1.join(deltaDf.select(col(key)).distinct(), Seq(key), "left_anti")
+    val upserts = deltaDf.where(col("status") =!= "removed").drop("status")
+    untouched.unionByName(upserts.select(v1.columns.map(col): _*))
+  }
 }

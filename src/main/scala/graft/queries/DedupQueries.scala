@@ -333,6 +333,23 @@ object DedupQueries {
         .orderBy($"doc_id")
     }),
 
+    // The dedup MANIFEST — the actionable ledger a removal pass executes:
+    // one row per document to delete, pointing at the group member kept
+    // in its place (min doc_id per verified near-dup component — a
+    // deterministic, engine-neutral keeper rule). q36 labels the groups;
+    // this is the decision. At 100 TB the manifest is churn-sized and
+    // feeds [[graft.operators.SnapshotDiff.applyDelta]]-style removal
+    // shipping; one groupBy over the component table, one self-join back.
+    "q139_dedup_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val comp = docComponents(s, dir).select($"id".as("doc_id"), $"comp")
+      val keepers = comp.groupBy($"comp").agg(min($"doc_id").as("keeper_id"))
+      comp.join(keepers, "comp")
+        .where($"doc_id" =!= $"keeper_id")
+        .select($"doc_id".as("removed_id"), $"keeper_id")
+        .orderBy($"removed_id")
+    }),
+
     // The corpus duplication report a dedup pass ends with: how many
     // documents sit in verified near-dup groups, how many are REMOVABLE
     // (group size − 1 each — dedup keeps one representative), and the
@@ -780,6 +797,15 @@ object DedupQueries {
            |  CAST(max(run_grams) + ${SpanK - 1} AS BIGINT) AS longest_run_tokens
            |FROM runs GROUP BY 1, 2, 3
            |ORDER BY n_shared DESC, a_id ASC, b_id ASC""".stripMargin,
+      // q139: the manifest over the same recursive component closure —
+      // keeper = min(doc_id) per component, every other member removed.
+      "q139_dedup_manifest" ->
+        s"""WITH RECURSIVE $componentCtes,
+           |k AS (SELECT comp, min(doc_id) AS keeper_id FROM comp GROUP BY comp)
+           |SELECT c.doc_id AS removed_id, k.keeper_id
+           |FROM comp c JOIN k USING (comp)
+           |WHERE c.doc_id <> k.keeper_id
+           |ORDER BY removed_id""".stripMargin,
       // q138: the anti spelling of q130's law — new users only.
       "q138_bloom_new_arrivals" ->
         """WITH ex AS (SELECT DISTINCT user_id FROM events

@@ -37,6 +37,32 @@ class SnapshotDiffSpec extends SparkSpec {
       ("de", "changed") -> 1L, ("de", "unchanged") -> 1L))
   }
 
+  test("delta ships churn only; applyDelta(v1, delta) reconstructs v2 exactly") {
+    val d = SnapshotDiff.delta(v1, v2, "id", "body")
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // unchanged keys (2, 4) are absent; 1 removed; 3 changed; 5 added
+    assert(rows == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+    val rebuilt = SnapshotDiff.applyDelta(v1, d, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = v2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == want, "applyDelta(v1, delta(v1,v2)) must equal v2")
+  }
+
+  test("delta/apply convergence holds on randomized snapshots") {
+    val rnd = new scala.util.Random(17)
+    def snap(): Seq[(Long, String)] =
+      (0L until 80L).filter(_ => rnd.nextBoolean())
+        .map(k => k -> s"body-$k-v${rnd.nextInt(3)}")
+    for (_ <- 1 to 3) {
+      val a = snap().toDF("id", "body")
+      val b = snap().toDF("id", "body")
+      val rebuilt = SnapshotDiff.applyDelta(a, SnapshotDiff.delta(a, b, "id", "body"), "id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = b.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rebuilt == want)
+    }
+  }
+
   test("the diff join carries hashes, not bodies") {
     // file-backed inputs so the projection reaches a real scan
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString

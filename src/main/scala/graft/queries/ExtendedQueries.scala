@@ -466,6 +466,29 @@ object ExtendedQueries {
         .orderBy($"day")
     }),
 
+    // CUSUM changepoint detection over daily ingest volume — the drift
+    // alarm a pipeline owner puts on every source (sibling of q82's
+    // distribution drift and q90's pointwise z-scores; CUSUM detects
+    // sustained LEVEL shifts those miss). cusum_t = Σ_{i≤t}(n_i − μ); the
+    // day with max |cusum| is the most likely shift point (binary
+    // segmentation's first split). Runs entirely on the day-grid rollup —
+    // the one unpartitioned window is over ~30 aggregated rows (the
+    // q119/q120 audit law), never raw events. Day-ordered summation makes
+    // the float cusum deterministic in both engines; 6dp round.
+    "q140_cusum_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+      val mu = daily.agg(avg($"n").as("mu"))
+      val wCum = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRk = Window.orderBy(abs($"cusum").desc, $"day".asc)
+      daily.crossJoin(broadcast(mu))
+        .withColumn("cusum", round(sum($"n" - $"mu").over(wCum), 6))
+        .withColumn("is_changepoint", row_number().over(wRk) === 1)
+        .select($"day", $"n", $"cusum", $"is_changepoint")
+        .orderBy($"day")
+    }),
+
     // CMS ROLLUP law — the frequency twin of q120: q131's count-min cells
     // stored per DAY, every trailing-7 estimate computed ONLY from the
     // stored cells. Where HLL registers union by MAX, CMS counters union
@@ -1269,6 +1292,21 @@ object ExtendedQueries {
         |SELECT f.day, round(f.e, 2) AS est_active_7, x.exact_active_7,
         |  round(abs(round(f.e, 2) - x.exact_active_7) / x.exact_active_7, 4) AS rel_err
         |FROM fin f JOIN x USING (day) ORDER BY day""".stripMargin,
+    // q140: same day-ordered cumulative sum against the global daily
+    // mean; changepoint = max |cusum| (ties by earliest day).
+    "q140_cusum_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |              FROM events GROUP BY 1),
+        |m AS (SELECT avg(n) AS mu FROM daily),
+        |c AS (SELECT day, n,
+        |        round(sum(n - mu) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+        |      FROM daily, m),
+        |r AS (SELECT day, n, cusum,
+        |        (row_number() OVER (ORDER BY abs(cusum) DESC, day ASC) = 1)
+        |          AS is_changepoint
+        |      FROM c)
+        |SELECT day, n, cusum, is_changepoint FROM r ORDER BY day""".stripMargin,
     // q136 = the engine-neutral CMS rollup: identical md5-prefix row
     // hashes, daily cells counted then SUMMED across the trailing window
     // (the + merge law), min-over-rows probe — estimates hash-match.

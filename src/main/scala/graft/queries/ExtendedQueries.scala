@@ -805,6 +805,67 @@ object ExtendedQueries {
             .cast("long").as("salt_factor"))
     }),
 
+    // Shard-topology churn audit — what fraction of keys MOVE when the
+    // cluster grows 32 → 33 shards. Naive mod-hash placement reassigns
+    // every key whose hash changes residue (~1 − 1/33 ≈ 97%); rendezvous
+    // (highest-random-weight) hashing moves ONLY the keys the new shard
+    // actually wins (~1/33 ≈ 3%), because max over shards 0..32 differs
+    // from max over 0..31 exactly when shard 32 holds the max. The ledger
+    // that justifies consistent placement for any stateful service at
+    // scale (state migration cost ∝ moved fraction). One distinct-key
+    // shuffle; the 33-way score explode runs on the bounded key set, and
+    // the argmax groupBy reuses the distinct's partitioning. Portable
+    // md5 scores so both engines place every key identically.
+    "q143_reshard_churn" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val placed = Tables.events(s, dir).select($"user_id").distinct()
+        .select($"user_id", (h % 32).as("old_m"), (h % 33).as("new_m"),
+          explode(sequence(lit(0), lit(32))).as("sh"))
+        .select($"user_id", $"old_m", $"new_m", $"sh",
+          md5(concat($"user_id".cast("string"), lit(":"), $"sh".cast("string"))
+            .cast("binary")).as("sc"))
+        .groupBy($"user_id", $"old_m", $"new_m")
+        .agg(max(when($"sh" < 32, struct($"sc", $"sh"))).as("o"),
+          max(struct($"sc", $"sh")).as("n"))
+      placed
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when($"old_m" =!= $"new_m", 1L).otherwise(0L)).as("mod_moved"),
+          sum(when($"o.sh" =!= $"n.sh", 1L).otherwise(0L)).as("hrw_moved"))
+        .select($"n_keys", $"mod_moved",
+          round($"mod_moved" * lit(1.0) / $"n_keys", 6).as("mod_moved_frac"),
+          $"hrw_moved",
+          round($"hrw_moved" * lit(1.0) / $"n_keys", 6).as("hrw_moved_frac"))
+    }),
+
+    // Winsorized (clipped-tail) robust statistics per event type: exact
+    // p01/p99 edges, values clipped into [p01, p99], then mean/stddev of
+    // raw vs clipped side by side — the robust-stats ledger that tells a
+    // feature pipeline whether its averages are real or one outlier's.
+    // Scale shape: one percentile aggregation (bounded state per group),
+    // edges broadcast back as a tiny dim, clip is a per-row expression,
+    // one final shuffle on event_type. No sort, no window.
+    "q145_winsorized_stats" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"event_type", $"value")
+      val edges = e.groupBy($"event_type")
+        .agg(expr("percentile(value, array(0.01, 0.99))").as("q"))
+        .select($"event_type".as("pt"), $"q"(0).as("lo"), $"q"(1).as("hi"))
+      e.join(broadcast(edges), $"event_type" === $"pt")
+        .select($"event_type", $"value", $"lo", $"hi",
+          greatest(least($"value", $"hi"), $"lo").as("wv"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min($"lo"), 6).as("clip_lo"),
+          round(min($"hi"), 6).as("clip_hi"),
+          round(avg($"value"), 6).as("raw_mean"),
+          round(avg($"wv"), 6).as("win_mean"),
+          round(stddev_samp($"value"), 6).as("raw_sd"),
+          round(stddev_samp($"wv"), 6).as("win_sd"))
+        .orderBy($"event_type")
+    }),
+
     // Calendar gap-fill (resampling) — the densification every monitoring
     // and forecasting consumer needs: a day with NO events must appear as
     // an explicit zero (a 7-day average over only-observed days is wrong
@@ -949,6 +1010,35 @@ object ExtendedQueries {
         |  round(t.mx * t.n_keys * 1.0 / t.total, 6) AS skew_factor,
         |  CAST(ceil(t.mx * t.n_keys * 1.0 / t.total) AS BIGINT) AS salt_factor
         |FROM c, t GROUP BY 1, 2, 3""".stripMargin,
+    "q143_reshard_churn" ->
+      """WITH k AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT user_id,
+        |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS old_m,
+        |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 33 AS new_m
+        |      FROM k),
+        |s AS (SELECT k.user_id, t.sh,
+        |        md5(CAST(k.user_id AS VARCHAR) || ':' || CAST(t.sh AS VARCHAR)) AS sc
+        |      FROM k, range(33) t(sh)),
+        |o AS (SELECT user_id, arg_max(sh, sc) AS old_sh FROM s WHERE sh < 32 GROUP BY 1),
+        |n AS (SELECT user_id, arg_max(sh, sc) AS new_sh FROM s GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN m.old_m <> m.new_m THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+        |  round(sum(CASE WHEN m.old_m <> m.new_m THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS mod_moved_frac,
+        |  CAST(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+        |  round(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hrw_moved_frac
+        |FROM m JOIN o USING (user_id) JOIN n USING (user_id)""".stripMargin,
+    "q145_winsorized_stats" ->
+      """WITH p AS (SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |                  quantile_cont(value, 0.99) AS hi
+        |           FROM events GROUP BY 1),
+        |w AS (SELECT e.event_type, e.value, p.lo, p.hi,
+        |        greatest(least(e.value, p.hi), p.lo) AS wv
+        |      FROM events e JOIN p USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  round(min(lo), 6) AS clip_lo, round(min(hi), 6) AS clip_hi,
+        |  round(avg(value), 6) AS raw_mean, round(avg(wv), 6) AS win_mean,
+        |  round(stddev_samp(value), 6) AS raw_sd, round(stddev_samp(wv), 6) AS win_sd
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q105_versions_asof" ->
       """WITH f AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
         |r AS (SELECT user_id, ts, event_type,

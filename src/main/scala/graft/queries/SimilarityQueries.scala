@@ -283,6 +283,42 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rk")
     }),
 
+    // Bitext mining (cross-lingual pair extraction): label 0 plays the
+    // source language, label 1 the target; for every source vector, its
+    // best target by cosine PLUS the mean of its top-4, and the
+    // margin = best / mean(top4) (the Artetxe & Schwenk ratio-margin
+    // criterion) — hubs that are "close to everything" score a margin
+    // near 1 and drop out of the top pairs. Scale shape (100 TB): the
+    // probe side broadcasts against one target scan (no corpus shuffle);
+    // top-4 ranking shuffles only (src, tgt, score) tuples, and the
+    // follow-up groupBy reuses the window's hash partitioning on src_id
+    // so the margin fold adds no exchange. When the probe set itself is
+    // corpus-sized, the q44 IVF tower slots in as candidate generator.
+    "q141_bitext_margin" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val src = e.where($"label" === 0)
+        .select($"vec_id".as("src_id"), $"v".as("sv"), $"nrm".as("snrm"))
+      val tgt = e.where($"label" === 1)
+        .select($"vec_id".as("tgt_id"), $"v".as("tv"), $"nrm".as("tnrm"))
+      val w = Window.partitionBy($"src_id").orderBy($"cos".desc, $"tgt_id".asc)
+      tgt.join(broadcast(src))
+        .select($"src_id", $"tgt_id",
+          (dot($"sv", $"tv") / ($"snrm" * $"tnrm")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 4)
+        .groupBy($"src_id")
+        .agg(max(when($"rk" === 1, struct($"cos", $"tgt_id"))).as("best"),
+          avg($"cos").as("mean4"), count(lit(1)).as("n4"))
+        .where($"n4" === 4)
+        .select($"src_id", $"best.tgt_id".as("tgt_id"),
+          round($"best.cos", 6).as("cosine"),
+          round($"best.cos" / $"mean4", 6).as("margin"))
+        .orderBy($"margin".desc, $"src_id")
+        .limit(20)
+    }),
+
     // LSH bucket histogram: corpus bucketed by the sign sketch. The
     // distribution is what you'd monitor before trusting the ANN path.
     "q42_lsh_buckets" -> ((s, dir) => {
@@ -975,6 +1011,23 @@ object SimilarityQueries {
            |      FROM p)
            |SELECT q_id, rk, nn_id, round(cos, 6) AS cosine FROM r WHERE rk <= $TopK
            |ORDER BY q_id, rk""".stripMargin,
+      "q141_bitext_margin" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |p AS (SELECT b.vec_id src_id, a.vec_id tgt_id, $cos cos
+           |      FROM e a JOIN e b ON a.label = 1 AND b.label = 0),
+           |r AS (SELECT src_id, tgt_id, cos,
+           |        row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) rk
+           |      FROM p),
+           |t4 AS (SELECT * FROM r WHERE rk <= 4),
+           |a AS (SELECT src_id,
+           |        max(CASE WHEN rk = 1 THEN tgt_id END) tgt_id,
+           |        max(CASE WHEN rk = 1 THEN cos END) best,
+           |        avg(cos) mean4, count(*) n4
+           |      FROM t4 GROUP BY 1)
+           |SELECT src_id, tgt_id, round(best, 6) AS cosine,
+           |       round(best / mean4, 6) AS margin
+           |FROM a WHERE n4 = 4
+           |ORDER BY margin DESC, src_id LIMIT 20""".stripMargin,
       "q42_lsh_buckets" ->
         s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
            |SELECT $bucketExpr AS bucket, count(*) AS n

@@ -219,6 +219,83 @@ object TextQueries {
         .orderBy($"bin")
     }),
 
+    // One BPE merge-candidate scan (Sennrich et al. 2016 shape): adjacent
+    // symbol-pair frequencies computed over the word DICTIONARY weighted
+    // by word frequency — never by re-walking the corpus. Scale shape
+    // (100 TB): the only corpus-sized work is the word count (one
+    // shuffle); the character-pair explode then runs over the distinct
+    // vocabulary — sublinear in corpus size (Heaps' law) — so 100 TB of
+    // text explodes only its ~10M-type dictionary. Top-30 pairs is the
+    // first merge table a tokenizer-induction job emits.
+    "q142_bpe_pair_merges" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+        .where($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+      words
+        .select(explode(transform(sequence(lit(1), length($"w") - 1),
+          i => $"w".substr(i, lit(2)))).as("pair"), $"n")
+        .groupBy($"pair").agg(sum($"n").as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"pair".asc)
+        .limit(30)
+    }),
+
+    // Curriculum interleave — the global TRAINING ORDER for a multi-source
+    // mix: rank docs inside each source (longest first, the proxy for a
+    // real quality score), then emit positions round-robin across sources
+    // so early training sees every source's best before any source's
+    // second-best. Window discipline at corpus scale: the per-source rank
+    // window is PARTITIONED (q16 shape); the global position needs NO
+    // corpus-sized window at all — it is the ARITHMETIC round-robin slot
+    // (src_rank−1)·|sources| + source_index, with source_index ranked
+    // over the tiny distinct-source dim (window above an aggregate —
+    // q107 discipline). The interleave of a 100 TB corpus therefore
+    // costs one partitioned rank + two broadcast joins.
+    "q144_curriculum_interleave" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+      val head = Tables.documents(s, dir)
+        .select($"doc_id", $"source", $"n_chars")
+        .withColumn("src_rank", row_number().over(w))
+        .where($"src_rank" <= 5)
+      val srcs = Tables.documents(s, dir).select($"source").distinct()
+      val srcIdx = srcs
+        .withColumn("src_idx", row_number().over(Window.orderBy($"source")))
+        .select($"source".as("si_source"), $"src_idx")
+      val nSrc = srcs.agg(count(lit(1)).cast("int").as("n_src"))
+      head.join(broadcast(srcIdx), $"source" === $"si_source")
+        .crossJoin(broadcast(nSrc))
+        .select((($"src_rank" - 1) * $"n_src" + $"src_idx").as("position"),
+          $"doc_id", $"source", $"src_rank")
+        .orderBy($"position")
+    }),
+
+    // Vocabulary coverage / OOV rate: fix the tokenizer vocab as the
+    // top-1000 corpus words, then per-source share of token occurrences
+    // falling OUTSIDE it — the check run before committing a tokenizer
+    // to a new source mix (a high-OOV source will fragment into bytes
+    // and waste sequence length). Scale shape: vocab = one word-count
+    // shuffle + a bounded top-k, broadcast; coverage is then a broadcast
+    // hash join + one shuffle on source — token occurrences never
+    // shuffle by word.
+    "q146_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+        .where(length($"w") > 0)
+      val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w".asc).limit(1000)
+        .select($"w".as("vw"))
+      toks.join(broadcast(vocab), $"w" === $"vw", "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"vw".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"source", $"n_tokens", $"n_oov",
+          round($"n_oov" * lit(1.0) / $"n_tokens", 6).as("oov_rate"))
+        .orderBy($"source")
+    }),
+
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
     "q50_token_stats" -> ((s, dir) => {
@@ -1020,6 +1097,41 @@ object TextQueries {
     def sc(lang: String) =
       s"len(list_filter(toks, t -> t IN (${inList(stop(lang))})))"
     Map(
+      "q142_bpe_pair_merges" ->
+        """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |            FROM documents),
+          |f AS (SELECT w, count(*) n FROM w0
+          |      WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
+          |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+          |      FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f))
+          |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+          |FROM p GROUP BY 1 ORDER BY n_occurrences DESC, pair ASC LIMIT 30""".stripMargin,
+      "q144_curriculum_interleave" ->
+        """WITH r AS (SELECT doc_id, source, n_chars,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |         ORDER BY n_chars DESC, doc_id ASC) AS INT) AS src_rank
+          |  FROM documents),
+          |h AS (SELECT * FROM r WHERE src_rank <= 5),
+          |si AS (SELECT source AS si_source,
+          |         CAST(row_number() OVER (ORDER BY source) AS INT) AS src_idx
+          |       FROM (SELECT DISTINCT source FROM documents)),
+          |c AS (SELECT CAST(count(*) AS INT) AS n_src FROM si)
+          |SELECT (h.src_rank - 1) * c.n_src + si.src_idx AS position,
+          |       h.doc_id, h.source, h.src_rank
+          |FROM h JOIN si ON h.source = si.si_source, c
+          |ORDER BY position""".stripMargin,
+      "q146_oov_rate" ->
+        """WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |           FROM documents),
+          |t2 AS (SELECT * FROM t WHERE len(w) > 0),
+          |v AS (SELECT w AS vw FROM (
+          |        SELECT w, count(*) n FROM t2 GROUP BY 1
+          |        ORDER BY n DESC, w ASC LIMIT 1000)),
+          |j AS (SELECT t2.source, v.vw FROM t2 LEFT JOIN v ON t2.w = v.vw)
+          |SELECT source, count(*) AS n_tokens,
+          |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |  round(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+          |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
       "q92_priority_sample" ->
         """WITH p AS (SELECT source, doc_id, n_chars,
           |    CAST(floor(CAST(('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the q141-q146 pipeline queries, asserted through the
+  * REAL query implementations:
+  *
+  *   - q141: ratio-margin >= 1 by construction (best >= mean of its own
+  *     top-4), and the pair really is cross-lingual (src label 0, tgt 1);
+  *   - q142: pair-occurrence conservation — total pair count equals
+  *     sum over dictionary words of freq*(len-1) — plus the structural
+  *     pin that the explode runs over the AGGREGATED dictionary, never
+  *     the raw corpus (the Sennrich scale shape);
+  *   - q143: rendezvous placement moves strictly fewer keys than mod
+  *     placement, and both fractions are honest probabilities;
+  *   - q144: the interleave is a valid schedule — positions unique and
+  *     increasing, every source contributes exactly its head, lower rank
+  *     never scheduled after higher rank of the same source;
+  *   - q145: winsorization is a contraction — clipped stddev never
+  *     exceeds raw stddev (clip is 1-Lipschitz, so all pairwise
+  *     distances shrink), and the clipped mean lands inside the clip
+  *     interval;
+  *   - q146: per-source token counts sum to the corpus token count and
+  *     oov_rate is a probability.
+  */
+class PipelineLawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q141: margin >= 1 and pairs are cross-label") {
+    val out = SparkEntry.queries("q141_bitext_margin")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(3) >= 1.0), "ratio margin must be >= 1")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => emb(r.getLong(0)) == 0 && emb(r.getLong(1)) == 1),
+      "src must come from label 0, tgt from label 1")
+  }
+
+  test("q142: pair occurrences conserve the dictionary mass") {
+    val total = SparkEntry.queries("q142_bpe_pair_merges")(spark, dir)
+      .agg(sum($"n_occurrences")).collect().head.getLong(0)
+    // independent recomputation of the full mass (top-30 <= full)
+    val full = graft.sources.Tables.documents(spark, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .select((length($"w") - 1).cast("long").as("m"))
+      .agg(sum($"m")).collect().head.getLong(0)
+    assert(total <= full && total > 0,
+      s"top-30 pair mass $total must be positive and <= corpus pair mass $full")
+    // structural pin: the pair explode (Generate) must sit above the
+    // word-count Aggregate — dictionary-sized, not corpus-sized
+    val plan = SparkEntry.queries("q142_bpe_pair_merges")(spark, dir)
+      .queryExecution.optimizedPlan
+    // two Generates exist: the word-split explode feeding the dictionary
+    // count (corpus-sized by necessity — it IS the tokenizer) and the
+    // pair explode. The pin: the pair explode (the outer one) sits above
+    // the word-count Aggregate — dictionary-sized, not corpus-sized.
+    val outerGen = plan.collectFirst { case g: Generate => g }
+    assert(outerGen.exists(_.child.collectFirst { case _: Aggregate => true }.isDefined),
+      "pair explode must run over the aggregated dictionary")
+  }
+
+  test("q143: rendezvous moves strictly less than mod placement") {
+    val r = SparkEntry.queries("q143_reshard_churn")(spark, dir).collect().head
+    val (nKeys, modMoved, modFrac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val (hrwMoved, hrwFrac) = (r.getLong(3), r.getDouble(4))
+    assert(nKeys == 150, "sf0.01 has 150 distinct users")
+    assert(hrwMoved < modMoved, "rendezvous must move fewer keys than mod")
+    assert(modFrac > 0.8 && modFrac <= 1.0, s"mod churn ~1-1/33, got $modFrac")
+    assert(hrwFrac >= 0.0 && hrwFrac < 0.2, s"hrw churn ~1/33, got $hrwFrac")
+  }
+
+  test("q144: interleave is a valid round-robin schedule") {
+    val rows = SparkEntry.queries("q144_curriculum_interleave")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(rows.length == 100, "20 sources x rank<=5")
+    val positions = rows.map(_._1)
+    assert(positions.distinct.length == positions.length, "positions unique")
+    assert(positions.sorted.sameElements(positions), "output ordered by position")
+    rows.groupBy(_._3).foreach { case (src, rs) =>
+      assert(rs.length == 5, s"$src must contribute exactly 5 docs")
+      // schedule order within a source == rank order
+      assert(rs.sortBy(_._1).map(_._4).sameElements(1 to 5), s"$src out of rank order")
+    }
+    // round-robin: every source's best doc is scheduled before ANY
+    // source's second-best
+    val maxRank1Pos = rows.filter(_._4 == 1).map(_._1).max
+    val minRank2Pos = rows.filter(_._4 == 2).map(_._1).min
+    assert(maxRank1Pos < minRank2Pos, "all rank-1 docs precede all rank-2 docs")
+  }
+
+  test("q145: winsorization contracts the spread") {
+    val rows = SparkEntry.queries("q145_winsorized_stats")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+      val (winMean, rawSd, winSd) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(lo <= hi)
+      assert(winMean >= lo && winMean <= hi, "clipped mean inside clip interval")
+      assert(winSd <= rawSd + 1e-9, "clipping can only shrink the stddev")
+    }
+  }
+
+  test("q146: token mass conserved and oov_rate is a probability") {
+    val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
+    assert(rows.length == 20, "one row per source")
+    val totalToks = rows.map(_.getLong(1)).sum
+    val corpusToks = graft.sources.Tables.documents(spark, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where(length($"w") > 0).count()
+    assert(totalToks == corpusToks, "per-source tokens must sum to corpus tokens")
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+}

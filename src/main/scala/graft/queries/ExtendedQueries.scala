@@ -839,6 +839,61 @@ object ExtendedQueries {
           round($"hrw_moved" * lit(1.0) / $"n_keys", 6).as("hrw_moved_frac"))
     }),
 
+    // Differentially-private count release (ε=1 Laplace mechanism) — the
+    // shape a privacy-bounded stats endpoint uses when publishing corpus
+    // aggregates: per-type event counts plus inverse-CDF Laplace noise,
+    // u drawn from the portable md5 uniform so the release is
+    // reproducible and BOTH engines add the identical noise (a seeded
+    // DP release — the auditable variant used for deterministic test
+    // harnesses; production would swap the md5 draw for a CSPRNG, the
+    // plan is unchanged). |noise| ≤ (1/ε)·ln(65536) ≈ 11.1, so the
+    // release stays within ±12 of truth while individual rows remain
+    // ε-protected. Per-row math on a 5-row aggregate — free at any
+    // scale; the one shuffle is the count itself.
+    "q147_dp_noisy_counts" -> ((s, dir) => {
+      import s.implicits._
+      val u = conv(substring(md5(concat(lit("dp:"), $"event_type").cast("binary")), 1, 4), 16, 10)
+        .cast("double") / 65536.0
+      val noise = -(signum(u - 0.5)) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      Tables.events(s, dir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .select($"event_type", $"n",
+          round(noise, 6).as("noise"),
+          round($"n" + noise, 6).as("released"))
+        .orderBy($"event_type")
+    }),
+
+    // Inter-event gap distribution: per-user consecutive gaps (lead over
+    // the per-user timeline), rolled up per event type of the EARLIER
+    // event — p50/p95 gap seconds plus the share of gaps under a minute.
+    // The arrival-process profile that sizes watermarks (T11) and
+    // session timeouts (q22): a p95 gap of an hour makes a 10-minute
+    // session window wrong. Scale shape: the lead window is PARTITIONED
+    // by user (q16 discipline), then one shuffle on event_type for the
+    // exact percentile fold.
+    "q150_gap_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val gaps = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("nxt", lead($"ts", 1).over(w))
+        .where($"nxt".isNotNull)
+        .select($"event_type",
+          // µs-exact gap (epoch(ts) truncates to whole seconds in DuckDB;
+          // micros diff < 2^53 stays exact in the double divide)
+          ((unix_micros($"nxt") - unix_micros($"ts")).cast("double") / 1e6)
+            .as("gap_sec"))
+      gaps.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_sec, array(0.5, 0.95))").as("q"),
+          sum(when($"gap_sec" < 60.0, 1L).otherwise(0L)).as("n_under_min"))
+        .select($"event_type", $"n_gaps",
+          round($"q" (0), 6).as("p50_gap_sec"),
+          round($"q" (1), 6).as("p95_gap_sec"),
+          round($"n_under_min" * lit(1.0) / $"n_gaps", 6).as("frac_under_min"))
+        .orderBy($"event_type")
+    }),
+
     // Winsorized (clipped-tail) robust statistics per event type: exact
     // p01/p99 edges, values clipped into [p01, p99], then mean/stddev of
     // raw vs clipped side by side — the robust-stats ledger that tells a
@@ -1027,6 +1082,27 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
         |  round(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hrw_moved_frac
         |FROM m JOIN o USING (user_id) JOIN n USING (user_id)""".stripMargin,
+    "q147_dp_noisy_counts" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n,
+        |        CAST(('0x' || substr(md5('dp:' || event_type), 1, 4)) AS INT) / 65536.0 AS uu
+        |      FROM c)
+        |SELECT event_type, n,
+        |  round(-sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 6) AS noise,
+        |  round(n + (-sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5))), 6) AS released
+        |FROM u ORDER BY event_type""".stripMargin,
+    "q150_gap_percentiles" ->
+      """WITH g0 AS (SELECT event_type, user_id, ts, event_id,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt
+        |      FROM events),
+        |g AS (SELECT event_type,
+        |        (epoch_us(nxt) - epoch_us(ts)) / 1000000.0 AS gap_sec
+        |      FROM g0 WHERE nxt IS NOT NULL)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap_sec, 0.5), 6) AS p50_gap_sec,
+        |  round(quantile_cont(gap_sec, 0.95), 6) AS p95_gap_sec,
+        |  round(sum(CASE WHEN gap_sec < 60.0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS frac_under_min
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q145_winsorized_stats" ->
       """WITH p AS (SELECT event_type, quantile_cont(value, 0.01) AS lo,
         |                  quantile_cont(value, 0.99) AS hi

@@ -319,6 +319,43 @@ object SimilarityQueries {
         .limit(20)
     }),
 
+    // Embedding centroid drift: split the corpus into two halves by the
+    // portable md5 percentile, compute per-label centroids of each half,
+    // and report their cosine — the embedding-space stability monitor
+    // (a drift cosine well below 1 on a random split means the label's
+    // geometry is too thin to trust; across TIME partitions the same
+    // query is the model-drift alarm). Scale shape: centroids are one
+    // posexplode + (label, half, pos) aggregation — partial map-side
+    // combine does the heavy lifting — then per-label pair math on a
+    // |labels|-sized table.
+    "q149_centroid_drift" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val half = when(
+        conv(substring(md5(concat(lit("half:"), $"vec_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+          .cast("double") / 65536.0 < 0.5, "a").otherwise("b")
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          $"embedding".cast("array<double>").as("v"), half.as("half"))
+      val cents = e.select($"label", $"half", posexplode($"v"))
+        .groupBy($"label", $"half", $"pos")
+        .agg(round(avg($"col"), 6).as("c"), count(lit(1)).as("nv"))
+        .groupBy($"label", $"half")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cv"),
+          max($"nv").as("n"))
+      val a = cents.where($"half" === "a")
+        .select($"label", $"cv".as("av"), $"n".as("n_a"))
+      val b = cents.where($"half" === "b")
+        .select($"label".as("lb"), $"cv".as("bv"), $"n".as("n_b"))
+      a.join(b, $"label" === $"lb")
+        .select($"label", $"n_a", $"n_b",
+          round(dot($"av", $"bv") /
+            (sqrt(dot($"av", $"av")) * sqrt(dot($"bv", $"bv"))), 6)
+            .as("drift_cosine"))
+        .orderBy($"label")
+    }),
+
     // LSH bucket histogram: corpus bucketed by the sign sketch. The
     // distribution is what you'd monitor before trusting the ANN path.
     "q42_lsh_buckets" -> ((s, dir) => {
@@ -1028,6 +1065,24 @@ object SimilarityQueries {
            |       round(best / mean4, 6) AS margin
            |FROM a WHERE n4 = 4
            |ORDER BY margin DESC, src_id LIMIT 20""".stripMargin,
+      "q149_centroid_drift" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+           |        CASE WHEN CAST(('0x' || substr(md5('half:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.5
+           |             THEN 'a' ELSE 'b' END AS half
+           |      FROM embeddings),
+           |u AS (SELECT label, half, unnest(v) AS val, unnest(range(len(v))) AS pos FROM e),
+           |cp AS (SELECT label, half, pos, round(avg(val), 6) c,
+           |              CAST(count(*) AS BIGINT) nv
+           |       FROM u GROUP BY 1, 2, 3),
+           |cent AS (SELECT label, half, list(c ORDER BY pos) cv, max(nv) n
+           |         FROM cp GROUP BY 1, 2),
+           |a AS (SELECT label, cv av, n n_a FROM cent WHERE half = 'a'),
+           |b AS (SELECT label, cv bv, n n_b FROM cent WHERE half = 'b')
+           |SELECT a.label, a.n_a, b.n_b,
+           |  round(list_dot_product(a.av, b.bv) /
+           |    (sqrt(list_dot_product(a.av, a.av)) * sqrt(list_dot_product(b.bv, b.bv))), 6)
+           |    AS drift_cosine
+           |FROM a JOIN b USING (label) ORDER BY a.label""".stripMargin,
       "q42_lsh_buckets" ->
         s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
            |SELECT $bucketExpr AS bucket, count(*) AS n

@@ -271,6 +271,47 @@ object TextQueries {
         .orderBy($"position")
     }),
 
+    // Pairwise Jensen–Shannon divergence between the word distributions
+    // of the three largest sources, over a shared top-200 vocabulary with
+    // add-one smoothing — the mixture-design diagnostic: sources with
+    // near-zero JS are redundant in the mix, high-JS pairs genuinely
+    // diversify it. Scale shape: two bounded top-k reductions (vocab,
+    // source roster) broadcast back; per-cell counts are one shuffle on
+    // (source, word); the JS fold then runs on the |sources|×|vocab|
+    // grid — hundreds of rows regardless of corpus size. The grid cross
+    // join is two TINY derived sets (q113 discipline), never data-sized.
+    "q148_js_divergence" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+        .where(length($"w") > 0)
+      val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w".asc).limit(200).select($"w")
+      val top3 = Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("nd"))
+        .orderBy($"nd".desc, $"source".asc).limit(3).select($"source")
+      val counts = toks
+        .join(broadcast(vocab), Seq("w"))
+        .join(broadcast(top3), Seq("source"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      val grid = top3.crossJoin(vocab)
+        .join(counts, Seq("source", "w"), "left")
+        .select($"source", $"w", coalesce($"c", lit(0L)).as("c"))
+      val tot = grid.groupBy($"source").agg(sum($"c").as("tot"))
+      val p = grid.join(broadcast(tot), Seq("source"))
+        .select($"source", $"w",
+          (($"c" + 1).cast("double") / ($"tot" + 200)).as("p"))
+      p.as("a").join(p.as("b"),
+          $"a.w" === $"b.w" && $"a.source" < $"b.source")
+        .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+          $"a.p".as("pa"), $"b.p".as("pb"))
+        .withColumn("m", ($"pa" + $"pb") / 2)
+        .groupBy($"source_a", $"source_b")
+        .agg(round(sum($"pa" * log($"pa" / $"m") * 0.5 +
+          $"pb" * log($"pb" / $"m") * 0.5), 6).as("js_div"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // Vocabulary coverage / OOV rate: fix the tokenizer vocab as the
     // top-1000 corpus words, then per-source share of token occurrences
     // falling OUTSIDE it — the check run before committing a tokenizer
@@ -1120,6 +1161,27 @@ object TextQueries {
           |       h.doc_id, h.source, h.src_rank
           |FROM h JOIN si ON h.source = si.si_source, c
           |ORDER BY position""".stripMargin,
+      "q148_js_divergence" ->
+        """WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |           FROM documents),
+          |t2 AS (SELECT * FROM t WHERE len(w) > 0),
+          |v AS (SELECT w FROM (SELECT w, count(*) n FROM t2 GROUP BY 1
+          |                     ORDER BY n DESC, w ASC LIMIT 200)),
+          |s3 AS (SELECT source FROM (SELECT source, count(*) nd FROM documents GROUP BY 1
+          |                           ORDER BY nd DESC, source ASC LIMIT 3)),
+          |cnt AS (SELECT t2.source, t2.w, count(*) c
+          |        FROM t2 JOIN v USING (w) JOIN s3 USING (source) GROUP BY 1, 2),
+          |grid AS (SELECT s3.source, v.w, coalesce(cnt.c, 0) AS c
+          |         FROM s3 CROSS JOIN v LEFT JOIN cnt
+          |           ON cnt.source = s3.source AND cnt.w = v.w),
+          |tot AS (SELECT source, sum(c) AS tot FROM grid GROUP BY 1),
+          |p AS (SELECT grid.source, grid.w, (grid.c + 1) * 1.0 / (tot.tot + 200) AS p
+          |      FROM grid JOIN tot USING (source))
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |  round(sum(a.p * ln(a.p / ((a.p + b.p) / 2)) * 0.5 +
+          |            b.p * ln(b.p / ((a.p + b.p) / 2)) * 0.5), 6) AS js_div
+          |FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
       "q146_oov_rate" ->
         """WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
           |           FROM documents),

@@ -107,6 +107,56 @@ class PipelineLawsSpec extends SparkSpec {
     }
   }
 
+  test("q147: Laplace release bounded by the md5-uniform's support") {
+    // u has 16 bits, so |noise| <= ln(65536) ≈ 11.09 at ε=1
+    val rows = SparkEntry.queries("q147_dp_noisy_counts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, noise, released) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(noise) <= math.log(65536.0) + 1e-9)
+      assert(math.abs(released - n - noise) < 1e-6, "released = n + noise")
+    }
+  }
+
+  test("q148: JS divergence lands in [0, ln 2] on ordered pairs") {
+    val rows = SparkEntry.queries("q148_js_divergence")(spark, dir).collect()
+    assert(rows.length == 3, "3 pairs from the top-3 sources")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs ordered a < b")
+      val js = r.getDouble(2)
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"JS out of range: $js")
+    }
+  }
+
+  test("q149: drift cosine is a cosine and halves partition each label") {
+    val rows = SparkEntry.queries("q149_centroid_drift")(spark, dir).collect()
+    assert(rows.length == 10, "one row per label")
+    val byLabel = graft.sources.Tables.embeddings(spark, dir)
+      .groupBy($"label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (label, nA, nB, cos) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+      assert(nA + nB == byLabel(label), s"halves must partition label $label")
+      assert(nA > 0 && nB > 0)
+    }
+  }
+
+  test("q150: gap count conservation and percentile ordering") {
+    val rows = SparkEntry.queries("q150_gap_percentiles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every user contributes (events-1) gaps: Σ n_gaps = N − U
+    val ev = graft.sources.Tables.events(spark, dir)
+    val n = ev.count()
+    val u = ev.select($"user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == n - u, "gap mass must be N - U")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "p50 <= p95")
+      val frac = r.getDouble(4)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

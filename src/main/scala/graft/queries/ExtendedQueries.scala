@@ -894,6 +894,30 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // GDPR / right-to-be-forgotten deletion-cost planner: given a delete
+    // set (the ~5% md5 cohort of users standing in for received erasure
+    // requests), the per-day-partition rewrite bill — affected rows, and
+    // the rows that must be REWRITTEN because immutable columnar files
+    // rewrite whole partitions, not rows (n_rewrite_rows = the full day
+    // when any of its rows is deleted, 0 otherwise). The table a
+    // compliance job reads to schedule rewrites cheapest-first. One
+    // shuffle on day; the delete flag is a per-row expression, so at
+    // 100 TB this is a metadata-rate scan with partition pruning intact.
+    "q151_deletion_cost" -> ((s, dir) => {
+      import s.implicits._
+      val del = conv(substring(md5(concat(lit("del:"), $"user_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("double") / 65536.0 < 0.05
+      Tables.events(s, dir)
+        .select(to_date($"ts").as("day"), del.as("del"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"del", 1L).otherwise(0L)).as("n_delete"))
+        .select($"day", $"n_rows", $"n_delete",
+          when($"n_delete" > 0, $"n_rows").otherwise(0L).as("n_rewrite_rows"),
+          round($"n_delete" * lit(1.0) / $"n_rows", 6).as("delete_frac"))
+        .orderBy($"day")
+    }),
+
     // Winsorized (clipped-tail) robust statistics per event type: exact
     // p01/p99 edges, values clipped into [p01, p99], then mean/stddev of
     // raw vs clipped side by side — the robust-stats ledger that tells a
@@ -1082,6 +1106,17 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
         |  round(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hrw_moved_frac
         |FROM m JOIN o USING (user_id) JOIN n USING (user_id)""".stripMargin,
+    "q151_deletion_cost" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |        CAST(('0x' || substr(md5('del:' || CAST(user_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.05 AS del
+        |      FROM events),
+        |g AS (SELECT day, count(*) AS n_rows,
+        |        CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+        |      FROM d GROUP BY 1)
+        |SELECT day, n_rows, n_delete,
+        |  CASE WHEN n_delete > 0 THEN n_rows ELSE 0 END AS n_rewrite_rows,
+        |  round(n_delete * 1.0 / n_rows, 6) AS delete_frac
+        |FROM g ORDER BY day""".stripMargin,
     "q147_dp_noisy_counts" ->
       """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
         |u AS (SELECT event_type, n,

@@ -356,6 +356,47 @@ object SimilarityQueries {
         .orderBy($"label")
     }),
 
+    // IVF index staleness — INCREMENTAL maintenance without re-clustering:
+    // the stored index is the old cohort's per-label centroids (its cells
+    // as built); the md5 30% cohort plays the new arrivals, each assigned
+    // to its nearest stored centroid by cosine. Per cell: old population,
+    // new arrivals, the new fraction, mean assignment cosine, and the
+    // stale flag (new_frac > 0.3 → re-cluster this cell). This is how a
+    // 100 TB ANN index absorbs a delta shipment: assignment is a
+    // broadcast of k centroids against one scan of the delta — no
+    // corpus-sized work at all — and the staleness ledger decides when
+    // the expensive Lloyd rebuild actually pays.
+    "q152_ivf_staleness" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val isNew = conv(substring(md5(concat(lit("new:"), $"vec_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("double") / 65536.0 < 0.3
+      val e = normalized(s, dir).withColumn("is_new", isNew)
+      val old = e.where(!$"is_new")
+      val cents = old.select($"label".as("cl"), $"v")
+        .select($"cl", posexplode($"v"))
+        .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
+        .groupBy($"cl")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cv"))
+        .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
+      val nOld = old.groupBy($"label".as("cl")).agg(count(lit(1)).as("n_old"))
+      val wAsn = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
+      val assigned = e.where($"is_new").crossJoin(broadcast(cents))
+        .select($"vec_id", $"cl",
+          (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("ccos"))
+        .withColumn("rn", row_number().over(wAsn))
+        .where($"rn" === 1)
+      assigned.groupBy($"cl")
+        .agg(count(lit(1)).as("n_new"), round(avg($"ccos"), 6).as("avg_assign_cos"))
+        .join(broadcast(nOld), Seq("cl"))
+        .select($"cl".as("cell"), $"n_old", $"n_new",
+          round($"n_new" * lit(1.0) / ($"n_old" + $"n_new"), 6).as("new_frac"),
+          $"avg_assign_cos",
+          ($"n_new" * lit(1.0) / ($"n_old" + $"n_new") > 0.3).as("stale"))
+        .orderBy($"cell")
+    }),
+
     // LSH bucket histogram: corpus bucketed by the sign sketch. The
     // distribution is what you'd monitor before trusting the ANN path.
     "q42_lsh_buckets" -> ((s, dir) => {
@@ -1083,6 +1124,31 @@ object SimilarityQueries {
            |    (sqrt(list_dot_product(a.av, a.av)) * sqrt(list_dot_product(b.bv, b.bv))), 6)
            |    AS drift_cosine
            |FROM a JOIN b USING (label) ORDER BY a.label""".stripMargin,
+      "q152_ivf_staleness" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+           |        CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new
+           |      FROM embeddings),
+           |old AS (SELECT * FROM e WHERE NOT is_new),
+           |u AS (SELECT label AS cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM old),
+           |cp AS (SELECT cl, pos, round(avg(val), 6) c FROM u GROUP BY 1, 2),
+           |cent AS (SELECT cl, list(c ORDER BY pos) cv FROM cp GROUP BY 1),
+           |no AS (SELECT label AS cl, CAST(count(*) AS BIGINT) n_old FROM old GROUP BY 1),
+           |asn0 AS (SELECT e.vec_id, cent.cl,
+           |    list_dot_product(e.v, cent.cv) /
+           |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) ccos,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_dot_product(e.v, cent.cv) /
+           |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+           |        cent.cl ASC) rn
+           |  FROM e CROSS JOIN cent WHERE e.is_new),
+           |asn AS (SELECT vec_id, cl, ccos FROM asn0 WHERE rn = 1),
+           |g AS (SELECT cl, CAST(count(*) AS BIGINT) n_new, round(avg(ccos), 6) avg_assign_cos
+           |      FROM asn GROUP BY 1)
+           |SELECT g.cl AS cell, no.n_old, g.n_new,
+           |  round(g.n_new * 1.0 / (no.n_old + g.n_new), 6) AS new_frac,
+           |  g.avg_assign_cos,
+           |  g.n_new * 1.0 / (no.n_old + g.n_new) > 0.3 AS stale
+           |FROM g JOIN no USING (cl) ORDER BY cell""".stripMargin,
       "q42_lsh_buckets" ->
         s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
            |SELECT $bucketExpr AS bucket, count(*) AS n

@@ -157,6 +157,35 @@ class PipelineLawsSpec extends SparkSpec {
     }
   }
 
+  test("q151: rewrite bill covers exactly the affected days") {
+    val rows = SparkEntry.queries("q151_deletion_cost")(spark, dir).collect()
+    assert(rows.length == 30, "sf0.01 spans 30 event days")
+    val n = graft.sources.Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "day partitions cover every row")
+    rows.foreach { r =>
+      val (nRows, nDel, nRw) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDel <= nRows)
+      assert(nRw == (if (nDel > 0) nRows else 0L),
+        "a day rewrites fully or not at all")
+    }
+  }
+
+  test("q152: staleness ledger partitions the corpus and flags honestly") {
+    val rows = SparkEntry.queries("q152_ivf_staleness")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.embeddings(spark, dir).count()
+    // every cell got some new arrivals on this fixture, so old+new spans
+    // the corpus exactly when all 10 cells report
+    assert(rows.length == 10)
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (frac, cos, stale) = (r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(frac > 0.0 && frac < 1.0)
+      assert(cos <= 1.0 + 1e-9)
+      assert(stale == frac > 0.3, "stale flag must restate new_frac > 0.3")
+    }
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

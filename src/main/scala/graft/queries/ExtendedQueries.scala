@@ -918,6 +918,32 @@ object ExtendedQueries {
         .orderBy($"day")
     }),
 
+    // Salted JOIN — the skew-mitigation twin of q58's salted agg, applied
+    // to the join a heavy-hitter key would otherwise bottleneck: the fact
+    // side salts each row into one of 8 sub-keys (any hash works — the
+    // salt cancels in the result), the dim side replicates each row 8×,
+    // and the join runs on (key, salt) so a hot user's rows land on 8
+    // tasks instead of one. The oracle is RESULT EQUALITY with the plain
+    // join — salting is a physical rewrite with no semantic footprint,
+    // and the driver gate proves it. Dim here is the per-user lifetime
+    // profile derived from the same log (self-enrichment); at 100 TB the
+    // replicated dim is still dim-sized × 8, far under the fact.
+    "q154_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("lifetime_events"))
+      val fact = ev.select($"user_id", $"event_type",
+        pmod(hash($"event_id"), lit(8)).as("salt"))
+      val dimR = dim.select($"user_id".as("d_user"), $"lifetime_events",
+        explode(sequence(lit(0), lit(7))).as("d_salt"))
+      fact.join(dimR, $"user_id" === $"d_user" && $"salt" === $"d_salt")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_joined"),
+          sum($"lifetime_events").as("sum_lifetime"))
+        .orderBy($"event_type")
+    }),
+
     // Winsorized (clipped-tail) robust statistics per event type: exact
     // p01/p99 edges, values clipped into [p01, p99], then mean/stddev of
     // raw vs clipped side by side — the robust-stats ledger that tells a
@@ -1106,6 +1132,12 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
         |  round(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hrw_moved_frac
         |FROM m JOIN o USING (user_id) JOIN n USING (user_id)""".stripMargin,
+    "q154_salted_join" ->
+      """WITH d AS (SELECT user_id, count(*) AS lifetime_events FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_joined,
+        |  CAST(sum(d.lifetime_events) AS BIGINT) AS sum_lifetime
+        |FROM events e JOIN d USING (user_id)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q151_deletion_cost" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
         |        CAST(('0x' || substr(md5('del:' || CAST(user_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.05 AS del

@@ -397,6 +397,32 @@ object SimilarityQueries {
         .orderBy($"cell")
     }),
 
+    // Random-projection (Johnson–Lindenstrauss) compression audit: project
+    // 64-dim vectors onto 8 Walsh ±1 directions and report, per label, how
+    // well the scaled projected energy (avg of the 8 squared projections)
+    // preserves the true squared norm — the ratio JL says concentrates
+    // near 1. The go/no-go check before swapping full vectors for d/8
+    // sketches in a first-pass ANN filter (8× less shuffle width). All
+    // per-row math against broadcast literal sign vectors; one shuffle on
+    // label for the rollup.
+    "q153_random_projection" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val est = (0 until 8).map { p =>
+        val d = dot($"v", typedLit(hyperplaneSigns(p, Dim)))
+        d * d
+      }.reduce(_ + _) / 8.0
+      // dot(v,v), not nrm², so both engines run the IDENTICAL double ops
+      e.select($"label", (est / dot($"v", $"v")).as("ratio"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"ratio"), 6).as("avg_ratio"),
+          round(min($"ratio"), 6).as("min_ratio"),
+          round(max($"ratio"), 6).as("max_ratio"))
+        .orderBy($"label")
+    }),
+
     // LSH bucket histogram: corpus bucketed by the sign sketch. The
     // distribution is what you'd monitor before trusting the ANN path.
     "q42_lsh_buckets" -> ((s, dir) => {
@@ -1149,6 +1175,18 @@ object SimilarityQueries {
            |  g.avg_assign_cos,
            |  g.n_new * 1.0 / (no.n_old + g.n_new) > 0.3 AS stale
            |FROM g JOIN no USING (cl) ORDER BY cell""".stripMargin,
+      "q153_random_projection" -> {
+        val est = (0 until 8)
+          .map(p => s"(list_dot_product(v, ${signList(p)}::DOUBLE[]) * list_dot_product(v, ${signList(p)}::DOUBLE[]))")
+          .mkString("(", " + ", ")")
+        s"""WITH e AS (SELECT label, embedding::DOUBLE[] v FROM embeddings),
+           |r AS (SELECT label, ($est / 8.0) / list_dot_product(v, v) AS ratio FROM e)
+           |SELECT label, count(*) AS n,
+           |  round(avg(ratio), 6) AS avg_ratio,
+           |  round(min(ratio), 6) AS min_ratio,
+           |  round(max(ratio), 6) AS max_ratio
+           |FROM r GROUP BY 1 ORDER BY label""".stripMargin
+      },
       "q42_lsh_buckets" ->
         s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
            |SELECT $bucketExpr AS bucket, count(*) AS n

@@ -186,6 +186,30 @@ class PipelineLawsSpec extends SparkSpec {
     }
   }
 
+  test("q153: JL energy ratio concentrates near 1 and bounds hold") {
+    val rows = SparkEntry.queries("q153_random_projection")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (avg, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= avg && avg <= mx)
+      assert(mn > 0.0, "projected energy is positive")
+      // 8 Walsh directions on random 64-dim vectors: the mean ratio is an
+      // unbiased norm estimator, so the label average sits near 1
+      assert(avg > 0.5 && avg < 1.5, s"JL mean ratio drifted: $avg")
+    }
+  }
+
+  test("q154: salted join is result-identical to the plain join") {
+    val salted = SparkEntry.queries("q154_salted_join")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val ev = graft.sources.Tables.events(spark, dir)
+    val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("lt"))
+    val plain = ev.join(dim, "user_id").groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"lt").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(salted == plain, "salting must have zero semantic footprint")
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

@@ -820,19 +820,18 @@ object ExtendedQueries {
       import s.implicits._
       val h = conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long")
-      val placed = Tables.events(s, dir).select($"user_id").distinct()
-        .select($"user_id", (h % 32).as("old_m"), (h % 33).as("new_m"),
-          explode(sequence(lit(0), lit(32))).as("sh"))
-        .select($"user_id", $"old_m", $"new_m", $"sh",
-          md5(concat($"user_id".cast("string"), lit(":"), $"sh".cast("string"))
-            .cast("binary")).as("sc"))
-        .groupBy($"user_id", $"old_m", $"new_m")
-        .agg(max(when($"sh" < 32, struct($"sc", $"sh"))).as("o"),
-          max(struct($"sc", $"sh")).as("n"))
+      // HRW placement is [[graft.operators.Rendezvous]] — a pure per-row
+      // expression (transform + array_max over (score, shard) structs),
+      // so the only shuffle here is the key distinct; the 33-way scoring
+      // never explodes or reshuffles anything.
+      val placed = graft.operators.Rendezvous.churn(
+        Tables.events(s, dir).select($"user_id").distinct()
+          .select($"user_id", (h % 32).as("old_m"), (h % 33).as("new_m")),
+        "user_id", 0 until 32, 0 until 33)
       placed
         .agg(count(lit(1)).as("n_keys"),
           sum(when($"old_m" =!= $"new_m", 1L).otherwise(0L)).as("mod_moved"),
-          sum(when($"o.sh" =!= $"n.sh", 1L).otherwise(0L)).as("hrw_moved"))
+          sum(when($"moved", 1L).otherwise(0L)).as("hrw_moved"))
         .select($"n_keys", $"mod_moved",
           round($"mod_moved" * lit(1.0) / $"n_keys", 6).as("mod_moved_frac"),
           $"hrw_moved",

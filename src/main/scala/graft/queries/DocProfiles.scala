@@ -66,6 +66,23 @@ object DocProfiles {
       grams(s, dir).where($"pct" >= 0.9).select($"gh").distinct().cache())
   }
 
+  /** ONE cached (source, w, c) count of lowercase whitespace tokens —
+    * the shared base of the vocabulary-family queries (q146 OOV, q148
+    * JS divergence): each derives BOTH its corpus vocab (sum of c over
+    * sources) and its per-source cells from this table, so the corpus
+    * explodes and shuffles once per session instead of twice per query.
+    * Lowercased split — deliberately distinct from [[termFreqs]]'s
+    * case-preserving (doc, term) index.
+    */
+  def sourceWordCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CacheRegistry.track(Tables.documents(s, dir)
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .cache())
+  }
+
   /** The corpus term-frequency table (doc_id, term, tf) — the shared
     * inverted-index base the lexical-retrieval family reads (q54 TF-IDF,
     * q125 BM25, q128's lexical leg). One explode + one (doc, term) shuffle

@@ -506,9 +506,14 @@ object ExtendedQueries {
           (conv(substring(md5(concat(lit(s"$r:"), $"user_id".cast("string"))
             .cast("binary")), 1, 8), 16, 10).cast("long") % 256).as("b"))): _*))
       val ev = Tables.events(s, dir)
-      val daily = ev.select(to_date($"ts").as("day"), $"user_id")
-        .select($"day", buckets.as("x"))
-        .groupBy($"day", $"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("c"))
+      // the stored daily cells are THE artifact this query models (a
+      // sketch store holds them; only probes recompute) — cached, since
+      // the day roster, the 7-day rollup AND the probe all read them
+      val daily = graft.operators.CacheRegistry.track(
+        ev.select(to_date($"ts").as("day"), $"user_id")
+          .select($"day", buckets.as("x"))
+          .groupBy($"day", $"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("c"))
+          .cache())
       val days = daily.select($"day").distinct()
       val rolled = days.as("d").join(daily.as("s"),
           datediff($"d.day", $"s.day").between(0, 6))

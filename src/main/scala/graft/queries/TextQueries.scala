@@ -282,25 +282,32 @@ object TextQueries {
     // join is two TINY derived sets (q113 discipline), never data-sized.
     "q148_js_divergence" -> ((s, dir) => {
       import s.implicits._
-      val toks = Tables.documents(s, dir)
-        .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
-        .where(length($"w") > 0)
-      val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+      // Rides the session-cached (source, w, c) table
+      // ([[DocProfiles.sourceWordCounts]], shared with q146): the corpus
+      // vocab and the per-source cells both fold from it, so the corpus
+      // explode+shuffle runs once per session, not twice per query.
+      val wc = DocProfiles.sourceWordCounts(s, dir)
+      val vocab = wc.groupBy($"w").agg(sum($"c").as("n"))
         .orderBy($"n".desc, $"w".asc).limit(200).select($"w")
       val top3 = Tables.documents(s, dir)
         .groupBy($"source").agg(count(lit(1)).as("nd"))
         .orderBy($"nd".desc, $"source".asc).limit(3).select($"source")
-      val counts = toks
+      val counts = wc
         .join(broadcast(vocab), Seq("w"))
         .join(broadcast(top3), Seq("source"))
-        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        .select($"source", $"w", $"c")
       val grid = top3.crossJoin(vocab)
         .join(counts, Seq("source", "w"), "left")
         .select($"source", $"w", coalesce($"c", lit(0L)).as("c"))
       val tot = grid.groupBy($"source").agg(sum($"c").as("tot"))
-      val p = grid.join(broadcast(tot), Seq("source"))
-        .select($"source", $"w",
-          (($"c" + 1).cast("double") / ($"tot" + 200)).as("p"))
+      // the smoothed distribution table is read TWICE by the pair
+      // self-join; cached (|sources|×|vocab| rows) so the deep tiny-table
+      // chain above it — six broadcast builds — runs once, not per side
+      val p = graft.operators.CacheRegistry.track(
+        grid.join(broadcast(tot), Seq("source"))
+          .select($"source", $"w",
+            (($"c" + 1).cast("double") / ($"tot" + 200)).as("p"))
+          .cache())
       p.as("a").join(p.as("b"),
           $"a.w" === $"b.w" && $"a.source" < $"b.source")
         .select($"a.source".as("source_a"), $"b.source".as("source_b"),
@@ -322,16 +329,17 @@ object TextQueries {
     // shuffle by word.
     "q146_oov_rate" -> ((s, dir) => {
       import s.implicits._
-      val toks = Tables.documents(s, dir)
-        .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
-        .where(length($"w") > 0)
-      val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+      // Rides the session-cached (source, w, c) table
+      // ([[DocProfiles.sourceWordCounts]], shared with q148); coverage
+      // weights by c instead of re-walking token occurrences.
+      val wc = DocProfiles.sourceWordCounts(s, dir)
+      val vocab = wc.groupBy($"w").agg(sum($"c").as("n"))
         .orderBy($"n".desc, $"w".asc).limit(1000)
         .select($"w".as("vw"))
-      toks.join(broadcast(vocab), $"w" === $"vw", "left")
+      wc.join(broadcast(vocab), $"w" === $"vw", "left")
         .groupBy($"source")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when($"vw".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .agg(sum($"c").as("n_tokens"),
+          sum(when($"vw".isNull, $"c").otherwise(0L)).as("n_oov"))
         .select($"source", $"n_tokens", $"n_oov",
           round($"n_oov" * lit(1.0) / $"n_tokens", 6).as("oov_rate"))
         .orderBy($"source")

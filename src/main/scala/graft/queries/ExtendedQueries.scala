@@ -948,6 +948,27 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // Burstiness (Fano factor) per event type: variance-to-mean ratio of
+    // the daily count series — the dispersion diagnostic that picks the
+    // right arrival model (≈1 Poisson-like, >1 bursty/clustered, <1
+    // regular). A bursty type needs peak-sized capacity and salting;
+    // q90's z-score alarms assume the dispersion this query measures.
+    // One (type, day) shuffle into a ~|types|·|days| table, then a tiny
+    // per-type moment fold.
+    "q156_burstiness" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(avg($"n"), 6).as("mean_daily"),
+          round(var_samp($"n"), 6).as("var_daily"),
+          round(var_samp($"n") / avg($"n"), 6).as("fano"),
+          (var_samp($"n") / avg($"n") > 1.0).as("bursty"))
+        .orderBy($"event_type")
+    }),
+
     // Winsorized (clipped-tail) robust statistics per event type: exact
     // p01/p99 edges, values clipped into [p01, p99], then mean/stddev of
     // raw vs clipped side by side — the robust-stats ledger that tells a
@@ -1136,6 +1157,15 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
         |  round(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hrw_moved_frac
         |FROM m JOIN o USING (user_id) JOIN n USING (user_id)""".stripMargin,
+    "q156_burstiness" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(avg(n), 6) AS mean_daily,
+        |  round(var_samp(n), 6) AS var_daily,
+        |  round(var_samp(n) / avg(n), 6) AS fano,
+        |  var_samp(n) / avg(n) > 1.0 AS bursty
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q154_salted_join" ->
       """WITH d AS (SELECT user_id, count(*) AS lifetime_events FROM events GROUP BY 1)
         |SELECT e.event_type, count(*) AS n_joined,

@@ -345,6 +345,31 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Lexical-richness ledger per source, entirely off the session-cached
+    // (source, w, c) table: type count, token mass, hapax legomena (the
+    // scraped-garbage detector — a source whose vocabulary is mostly
+    // once-words is OCR noise or ID soup), and the token-mass share of
+    // the source's 10 most frequent words (the concentration signal —
+    // boilerplate-heavy sources concentrate hard). The rank window is
+    // PARTITIONED by source over the vocabulary-sized count table, so no
+    // corpus-sized or unpartitioned window exists at any scale.
+    "q155_lexical_concentration" -> ((s, dir) => {
+      import s.implicits._
+      val wc = DocProfiles.sourceWordCounts(s, dir)
+      val w = Window.partitionBy($"source").orderBy($"c".desc, $"w".asc)
+      val top10 = wc.withColumn("rk", row_number().over(w))
+        .where($"rk" <= 10)
+        .groupBy($"source").agg(sum($"c").as("top10_mass"))
+      wc.groupBy($"source")
+        .agg(count(lit(1)).as("n_types"), sum($"c").as("n_tokens"),
+          sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .join(top10, Seq("source"))
+        .select($"source", $"n_types", $"n_tokens", $"n_hapax",
+          round($"n_hapax" * lit(1.0) / $"n_types", 6).as("hapax_ratio"),
+          round($"top10_mass" * lit(1.0) / $"n_tokens", 6).as("top10_share"))
+        .orderBy($"source")
+    }),
+
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
     "q50_token_stats" -> ((s, dir) => {
@@ -1169,6 +1194,22 @@ object TextQueries {
           |       h.doc_id, h.source, h.src_rank
           |FROM h JOIN si ON h.source = si.si_source, c
           |ORDER BY position""".stripMargin,
+      "q155_lexical_concentration" ->
+        """WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |           FROM documents),
+          |wc AS (SELECT source, w, count(*) AS c FROM t WHERE len(w) > 0 GROUP BY 1, 2),
+          |r AS (SELECT source, c,
+          |        row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) rk
+          |      FROM wc),
+          |t10 AS (SELECT source, CAST(sum(c) AS BIGINT) top10_mass
+          |        FROM r WHERE rk <= 10 GROUP BY 1),
+          |g AS (SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          |      FROM wc GROUP BY 1)
+          |SELECT g.source, g.n_types, g.n_tokens, g.n_hapax,
+          |  round(g.n_hapax * 1.0 / g.n_types, 6) AS hapax_ratio,
+          |  round(t10.top10_mass * 1.0 / g.n_tokens, 6) AS top10_share
+          |FROM g JOIN t10 USING (source) ORDER BY source""".stripMargin,
       "q148_js_divergence" ->
         """WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
           |           FROM documents),

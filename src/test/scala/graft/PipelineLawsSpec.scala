@@ -210,6 +210,30 @@ class PipelineLawsSpec extends SparkSpec {
     assert(salted == plain, "salting must have zero semantic footprint")
   }
 
+  test("q155: richness ratios are probabilities and hapax <= types") {
+    val rows = SparkEntry.queries("q155_lexical_concentration")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (types, toks, hapax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= types && types <= toks)
+      val (hr, t10) = (r.getDouble(4), r.getDouble(5))
+      assert(hr >= 0.0 && hr <= 1.0)
+      assert(t10 > 0.0 && t10 <= 1.0)
+    }
+  }
+
+  test("q156: fano restates var/mean and the flag restates fano > 1") {
+    val rows = SparkEntry.queries("q156_burstiness")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, v, fano, bursty) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(mean > 0 && v >= 0)
+      assert(math.abs(fano - v / mean) < 1e-3, "fano ≈ var/mean (both 6dp-rounded)")
+      assert(bursty == fano > 1.0 || math.abs(fano - 1.0) < 1e-6)
+    }
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

@@ -337,6 +337,28 @@ object DedupQueries {
     // one row per document to delete, pointing at the group member kept
     // in its place (min doc_id per verified near-dup component — a
     // deterministic, engine-neutral keeper rule). q36 labels the groups;
+    // Train/test split LEAKAGE through near-duplicates — the eval-hygiene
+    // check q71's gram decontamination doesn't cover: a test document
+    // whose winnowing fingerprint also appears in the train split is the
+    // same content seen twice across the boundary, and every such doc
+    // inflates eval scores. Output is the actionable removal list (test
+    // doc → its earliest train counterpart), q139-manifest style. One
+    // fp-keyed join of the (small) test slice against the train
+    // fingerprint index; rides the shared [[DocProfiles.profiled]] cache,
+    // and at 100 TB the train index is exactly the Bloom-prefilterable
+    // shape q130 ships.
+    "q157_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val d = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"source", $"fp", $"pct")
+      val train = d.where($"pct" < 0.8)
+        .groupBy($"fp").agg(min($"doc_id").as("train_doc"))
+      d.where($"pct" >= 0.9)
+        .join(train, Seq("fp"))
+        .select($"doc_id".as("test_doc"), $"source", $"fp", $"train_doc")
+        .orderBy($"test_doc")
+    }),
+
     // this is the decision. At 100 TB the manifest is churn-sized and
     // feeds [[graft.operators.SnapshotDiff.applyDelta]]-style removal
     // shipping; one groupBy over the component table, one self-join back.
@@ -797,6 +819,19 @@ object DedupQueries {
            |  CAST(max(run_grams) + ${SpanK - 1} AS BIGINT) AS longest_run_tokens
            |FROM runs GROUP BY 1, 2, 3
            |ORDER BY n_shared DESC, a_id ASC, b_id ASC""".stripMargin,
+      "q157_split_leakage" ->
+        """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') toks,
+          |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+          |  FROM documents),
+          |sh AS (SELECT doc_id,
+          |    toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5] AS sh
+          |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+          |fp AS (SELECT doc_id, min(md5(sh)) fp FROM sh GROUP BY doc_id),
+          |d AS (SELECT t.doc_id, t.source, t.pct, fp.fp FROM t JOIN fp USING (doc_id)),
+          |tr AS (SELECT fp, min(doc_id) AS train_doc FROM d WHERE pct < 0.8 GROUP BY 1)
+          |SELECT d.doc_id AS test_doc, d.source, d.fp, tr.train_doc
+          |FROM d JOIN tr USING (fp) WHERE d.pct >= 0.9
+          |ORDER BY test_doc""".stripMargin,
       // q139: the manifest over the same recursive component closure —
       // keeper = min(doc_id) per component, every other member removed.
       "q139_dedup_manifest" ->

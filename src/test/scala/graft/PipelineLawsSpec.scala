@@ -234,6 +234,24 @@ class PipelineLawsSpec extends SparkSpec {
     }
   }
 
+  test("q157: every leak pairs a test doc with a real train counterpart") {
+    val rows = SparkEntry.queries("q157_split_leakage")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture has cross-split near-dups")
+    def pct(docId: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(4), 16) / 65536.0
+    }
+    rows.foreach { r =>
+      val (testDoc, trainDoc) = (r.getLong(0), r.getLong(3))
+      assert(pct(testDoc) >= 0.9, s"doc $testDoc is not in the test split")
+      assert(pct(trainDoc) < 0.8, s"doc $trainDoc is not in the train split")
+      assert(testDoc != trainDoc)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

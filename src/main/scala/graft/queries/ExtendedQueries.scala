@@ -969,6 +969,63 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // Population Stability Index per event type — THE production drift
+    // metric (credit-risk lineage, now the default feature-drift gate in
+    // ML monitoring): decile edges frozen on the REFERENCE window (first
+    // half of the month), both windows binned against them, and
+    // PSI = Σ (p−q)·ln(p/q) over the 10 bins with add-one smoothing (a
+    // current-window bin CAN be empty; the reference can't by
+    // construction). Industry reading: <0.1 stable, >0.25 investigate —
+    // the emitted flag restates psi > 0.1. Complements q148 (JS between
+    // sources) and StreamingDrift (live TVD): same family, the three
+    // deployment surfaces. Scale shape: one percentile fold on the
+    // reference, edges broadcast back, binning per-row, and the PSI fold
+    // runs on a |types|×10 grid (q113 discipline — the grid cross join
+    // is two tiny derived sets).
+    "q158_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val cut = lit("2024-01-16").cast("date")
+      val ev = Tables.events(s, dir)
+        .select($"event_type", $"value",
+          when(to_date($"ts") < cut, "ref").otherwise("cur").as("side"))
+      val probs = (1 to 9).map(_ / 10.0).mkString(", ")
+      val edges = ev.where($"side" === "ref").groupBy($"event_type".as("et"))
+        .agg(expr(s"transform(percentile(value, array($probs)), e -> round(e, 6))")
+          .as("es"))
+      // the ~|types|×10×2-row bin-count table is read three times below
+      // (cells, totals, and the n_ref/n_cur pivot) — cached so the
+      // events-sized binning pass runs once (q148's DAG-depth lesson)
+      val binned = graft.operators.CacheRegistry.track(
+        ev.join(broadcast(edges), $"event_type" === $"et")
+          .select($"event_type", $"side",
+            (0 until 9).map(i => when($"es" (i) < $"value", 1).otherwise(0))
+              .reduce(_ + _).as("bin"))
+          .groupBy($"event_type", $"side", $"bin").agg(count(lit(1)).as("c"))
+          .cache())
+      val types = ev.select($"event_type").distinct()
+      val grid = types
+        .crossJoin(broadcast(s.range(0, 10).select($"id".cast("int").as("bin"))))
+        .crossJoin(broadcast(Seq("ref", "cur").toDF("side")))
+      val cells = grid.join(binned, Seq("event_type", "side", "bin"), "left")
+        .select($"event_type", $"side", $"bin", coalesce($"c", lit(0L)).as("c"))
+      val tots = cells.groupBy($"event_type", $"side").agg(sum($"c").as("tot"))
+      val sm = cells.join(tots, Seq("event_type", "side"))
+        .select($"event_type", $"side", $"bin",
+          (($"c" + 1).cast("double") / ($"tot" + 10)).as("sh"))
+      val pq = sm.groupBy($"event_type", $"bin")
+        .agg(max(when($"side" === "ref", $"sh")).as("p"),
+          max(when($"side" === "cur", $"sh")).as("q"))
+      val term = ($"p" - $"q") * log($"p" / $"q")
+      val ns = tots.groupBy($"event_type")
+        .agg(max(when($"side" === "ref", $"tot")).as("n_ref"),
+          max(when($"side" === "cur", $"tot")).as("n_cur"))
+      pq.groupBy($"event_type")
+        .agg(round(sum(term), 6).as("psi"), (sum(term) > 0.1).as("shifted"))
+        .join(ns, Seq("event_type"))
+        .select($"event_type", $"n_ref", $"n_cur", $"psi", $"shifted")
+        .orderBy($"event_type")
+    }),
+
     // Winsorized (clipped-tail) robust statistics per event type: exact
     // p01/p99 edges, values clipped into [p01, p99], then mean/stddev of
     // raw vs clipped side by side — the robust-stats ledger that tells a
@@ -1157,6 +1214,48 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
         |  round(sum(CASE WHEN o.old_sh <> n.new_sh THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hrw_moved_frac
         |FROM m JOIN o USING (user_id) JOIN n USING (user_id)""".stripMargin,
+    "q158_psi_drift" ->
+      """WITH ev AS (SELECT event_type, value,
+        |        CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'ref' ELSE 'cur' END AS side
+        |      FROM events),
+        |ed AS (SELECT event_type,
+        |         [round(quantile_cont(value, 0.1), 6), round(quantile_cont(value, 0.2), 6),
+        |          round(quantile_cont(value, 0.3), 6), round(quantile_cont(value, 0.4), 6),
+        |          round(quantile_cont(value, 0.5), 6), round(quantile_cont(value, 0.6), 6),
+        |          round(quantile_cont(value, 0.7), 6), round(quantile_cont(value, 0.8), 6),
+        |          round(quantile_cont(value, 0.9), 6)] AS es
+        |       FROM ev WHERE side = 'ref' GROUP BY 1),
+        |b AS (SELECT ev.event_type, ev.side,
+        |        ((CASE WHEN es[1] < value THEN 1 ELSE 0 END) + (CASE WHEN es[2] < value THEN 1 ELSE 0 END) +
+        |         (CASE WHEN es[3] < value THEN 1 ELSE 0 END) + (CASE WHEN es[4] < value THEN 1 ELSE 0 END) +
+        |         (CASE WHEN es[5] < value THEN 1 ELSE 0 END) + (CASE WHEN es[6] < value THEN 1 ELSE 0 END) +
+        |         (CASE WHEN es[7] < value THEN 1 ELSE 0 END) + (CASE WHEN es[8] < value THEN 1 ELSE 0 END) +
+        |         (CASE WHEN es[9] < value THEN 1 ELSE 0 END)) AS bin
+        |      FROM ev JOIN ed USING (event_type)),
+        |bc AS (SELECT event_type, side, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |g AS (SELECT t.event_type, s.side, CAST(r.bin AS INT) AS bin
+        |      FROM (SELECT DISTINCT event_type FROM ev) t,
+        |           range(10) r(bin), (VALUES ('ref'), ('cur')) s(side)),
+        |cells AS (SELECT g.event_type, g.side, g.bin, coalesce(bc.c, 0) AS c
+        |          FROM g LEFT JOIN bc ON bc.event_type = g.event_type
+        |            AND bc.side = g.side AND bc.bin = g.bin),
+        |tots AS (SELECT event_type, side, sum(c) AS tot FROM cells GROUP BY 1, 2),
+        |sm AS (SELECT cells.event_type, cells.side, cells.bin,
+        |         (cells.c + 1) * 1.0 / (tots.tot + 10) AS sh
+        |       FROM cells JOIN tots USING (event_type, side)),
+        |pq AS (SELECT event_type, bin,
+        |         max(CASE WHEN side = 'ref' THEN sh END) AS p,
+        |         max(CASE WHEN side = 'cur' THEN sh END) AS q
+        |       FROM sm GROUP BY 1, 2),
+        |psi AS (SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |          sum((p - q) * ln(p / q)) > 0.1 AS shifted
+        |        FROM pq GROUP BY 1),
+        |ns AS (SELECT event_type,
+        |         CAST(max(CASE WHEN side = 'ref' THEN tot END) AS BIGINT) AS n_ref,
+        |         CAST(max(CASE WHEN side = 'cur' THEN tot END) AS BIGINT) AS n_cur
+        |       FROM tots GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur, psi, shifted
+        |FROM psi JOIN ns USING (event_type) ORDER BY event_type""".stripMargin,
     "q156_burstiness" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |           FROM events GROUP BY 1, 2)

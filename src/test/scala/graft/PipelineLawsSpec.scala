@@ -252,6 +252,21 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q158: PSI is non-negative, windows partition, flag is honest") {
+    val rows = SparkEntry.queries("q158_psi_drift")(spark, dir).collect()
+    assert(rows.length == 5)
+    val n = graft.sources.Tables.events(spark, dir).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == n,
+      "ref + cur must partition the events")
+    rows.foreach { r =>
+      val (psi, shifted) = (r.getDouble(3), r.getBoolean(4))
+      // PSI is an f-divergence-style sum of (p-q)ln(p/q) terms, each >= 0
+      assert(psi >= 0.0, s"PSI must be non-negative: $psi")
+      assert(shifted == psi > 0.1 || math.abs(psi - 0.1) < 1e-6)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

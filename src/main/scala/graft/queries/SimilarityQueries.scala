@@ -423,6 +423,32 @@ object SimilarityQueries {
         .orderBy($"label")
     }),
 
+    // Hard-negative mining for contrastive training: for each probe, the
+    // most-similar vectors that are NOT its class — same IVF cell (so the
+    // candidate pool is the coarse quantizer's neighborhood, not the
+    // corpus), different label, top-3 by cosine. This is how retrieval/
+    // embedding trainers build their negative sets at scale (in-batch
+    // negatives are too easy; corpus-wide exact search too expensive) —
+    // the cell join IS the hardness filter. Rides the session-cached
+    // Lloyd tower; pair work bounded by cell population like q122/q135.
+    "q159_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, _) = ivfCells(s, dir)
+      val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+      val c2 = cells.join(lab, Seq("vec_id"))
+      val q = c2.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"cell".as("qc"), $"label".as("ql"))
+      val w = Window.partitionBy($"q_id").orderBy($"neg_cos".desc, $"neg_id".asc)
+      c2.join(broadcast(q), $"cell" === $"qc" && $"label" =!= $"ql")
+        .select($"q_id", $"vec_id".as("neg_id"),
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("neg_cos"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"q_id", $"rk", $"neg_id", round($"neg_cos", 6).as("neg_cosine"))
+        .orderBy($"q_id", $"rk")
+    }),
+
     // LSH bucket histogram: corpus bucketed by the sign sketch. The
     // distribution is what you'd monitor before trusting the ANN path.
     "q42_lsh_buckets" -> ((s, dir) => {
@@ -1187,6 +1213,21 @@ object SimilarityQueries {
            |  round(max(ratio), 6) AS max_ratio
            |FROM r GROUP BY 1 ORDER BY label""".stripMargin
       },
+      "q159_hard_negatives" ->
+        s"""WITH $ivfCtesSql,
+           |lab AS (SELECT vec_id, label FROM e),
+           |cc AS (SELECT cells.vec_id, cells.v, cells.cell, lab.label
+           |       FROM cells JOIN lab USING (vec_id)),
+           |q AS (SELECT vec_id q_id, v qv, cell qc, label ql
+           |      FROM cc WHERE vec_id < $NQueries),
+           |p AS (SELECT q.q_id, cc.vec_id neg_id, ${cosSql("q.qv", "cc.v")} neg_cos
+           |      FROM cc JOIN q ON cc.cell = q.qc AND cc.label <> q.ql),
+           |r AS (SELECT q_id, neg_id, neg_cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id
+           |          ORDER BY neg_cos DESC, neg_id ASC) AS INT) rk
+           |      FROM p)
+           |SELECT q_id, rk, neg_id, round(neg_cos, 6) AS neg_cosine
+           |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
       "q42_lsh_buckets" ->
         s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
            |SELECT $bucketExpr AS bucket, count(*) AS n

@@ -267,6 +267,25 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q159: hard negatives are genuinely negative and cell-local") {
+    val rows = SparkEntry.queries("q159_hard_negatives")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (qId, rk, negId) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(emb(qId) != emb(negId), "a hard negative must be another class")
+      assert(rk >= 1 && rk <= 3)
+      assert(qId != negId)
+    }
+    // ranks are dense per probe: 1..k with no gaps
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

@@ -370,6 +370,31 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Token-budget epoch allocation — the temperature-sampled mixture
+    // table (mT5/XLM-R style, τ=0.5): source weights ∝ √tokens upweight
+    // small sources, a 2×-corpus training budget is allocated by weight,
+    // and per-source epochs are capped at 4 (the repetition ceiling
+    // diminishing-returns studies prescribe) with the capped flag
+    // carrying the unspent deficit signal. This is the planning table a
+    // trainer's data loader executes; q67/q104 sample BY it, this query
+    // BUILDS it. All math on a |sources|-row aggregate off the shared
+    // profile cache — free at any corpus size.
+    "q160_epoch_allocation" -> ((s, dir) => {
+      import s.implicits._
+      val tok = DocProfiles.profiled(s, dir)
+        .groupBy($"source").agg(sum($"n_tok").as("n_tokens"))
+      val tot = tok.agg(sum(sqrt($"n_tokens")).as("sw"),
+        sum($"n_tokens").as("ntot"))
+      val alloc = lit(2.0) * $"ntot" * sqrt($"n_tokens") / $"sw"
+      tok.crossJoin(broadcast(tot))
+        .select($"source", $"n_tokens",
+          round(sqrt($"n_tokens") / $"sw", 6).as("weight"),
+          round(alloc, 4).as("alloc_tokens"),
+          round(least(alloc / $"n_tokens", lit(4.0)), 6).as("epochs"),
+          (alloc / $"n_tokens" > 4.0).as("capped"))
+        .orderBy($"source")
+    }),
+
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
     "q50_token_stats" -> ((s, dir) => {
@@ -1194,6 +1219,18 @@ object TextQueries {
           |       h.doc_id, h.source, h.src_rank
           |FROM h JOIN si ON h.source = si.si_source, c
           |ORDER BY position""".stripMargin,
+      "q160_epoch_allocation" ->
+        """WITH tk AS (SELECT source,
+          |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+          |      FROM documents GROUP BY 1),
+          |tot AS (SELECT sum(sqrt(n_tokens)) AS sw,
+          |               CAST(sum(n_tokens) AS BIGINT) AS ntot FROM tk)
+          |SELECT tk.source, tk.n_tokens,
+          |  round(sqrt(tk.n_tokens) / tot.sw, 6) AS weight,
+          |  round(2.0 * tot.ntot * sqrt(tk.n_tokens) / tot.sw, 4) AS alloc_tokens,
+          |  round(least(2.0 * tot.ntot * sqrt(tk.n_tokens) / tot.sw / tk.n_tokens, 4.0), 6) AS epochs,
+          |  2.0 * tot.ntot * sqrt(tk.n_tokens) / tot.sw / tk.n_tokens > 4.0 AS capped
+          |FROM tk, tot ORDER BY source""".stripMargin,
       "q155_lexical_concentration" ->
         """WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
           |           FROM documents),

@@ -286,6 +286,24 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q160: weights sum to 1, epochs respect the cap, budget is spent") {
+    val rows = SparkEntry.queries("q160_epoch_allocation")(spark, dir).collect()
+    assert(rows.length == 20)
+    val wSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights must sum to 1: $wSum")
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val allocSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(allocSum - 2.0 * totalTokens) < 1.0,
+      "allocations must sum to the 2x budget")
+    rows.foreach { r =>
+      val (epochs, capped) = (r.getDouble(4), r.getBoolean(5))
+      assert(epochs > 0.0 && epochs <= 4.0 + 1e-9)
+      if (capped) assert(math.abs(epochs - 4.0) < 1e-6,
+        "a capped source trains exactly 4 epochs")
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

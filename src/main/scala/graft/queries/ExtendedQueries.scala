@@ -1002,7 +1002,9 @@ object ExtendedQueries {
               .reduce(_ + _).as("bin"))
           .groupBy($"event_type", $"side", $"bin").agg(count(lit(1)).as("c"))
           .cache())
-      val types = ev.select($"event_type").distinct()
+      // type roster off the 100-row cached bin table, not a fourth
+      // events pass (every type has a reference decile row by construction)
+      val types = binned.select($"event_type").distinct()
       val grid = types
         .crossJoin(broadcast(s.range(0, 10).select($"id".cast("int").as("bin"))))
         .crossJoin(broadcast(Seq("ref", "cur").toDF("side")))

@@ -229,10 +229,11 @@ object TextQueries {
     // first merge table a tokenizer-induction job emits.
     "q142_bpe_pair_merges" -> ((s, dir) => {
       import s.implicits._
-      val words = Tables.documents(s, dir)
-        .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      // dictionary off the session-cached (source, w, c) table (q146/q148/
+      // q155's cache): summing per-source counts IS the corpus word count
+      val words = DocProfiles.sourceWordCounts(s, dir)
         .where($"w".rlike("^[a-z]+$") && length($"w") >= 2)
-        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .groupBy($"w").agg(sum($"c").as("n"))
       words
         .select(explode(transform(sequence(lit(1), length($"w") - 1),
           i => $"w".substr(i, lit(2)))).as("pair"), $"n")

@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   *   - every query is fully materialized through the `noop` sink (a count()
   *     would let Catalyst prune projections and eliminate sorts, flattering
   *     exactly the queries whose projections are heavy);
-  *   - median of 3 timed runs per query, taken ROUND-ROBIN (pass 1 runs
-  *     every query once, then pass 2, then pass 3) — the host shows
-  *     intermittent multi-second stall windows, and interleaving means a
-  *     window can eat at most ONE sample of each query instead of all
-  *     three samples of whichever query it landed on (which is exactly how
-  *     BENCH_r02 recorded 9.4 s for a 0.8 s query);
+  *   - MINIMUM of 3 timed runs per query, taken ROUND-ROBIN (pass 1 runs
+  *     every query once, then pass 2, then pass 3). The host shows
+  *     intermittent multi-second stall windows and sustained noisy-
+  *     neighbor episodes (same binary measured 65.9 s and 94.9 s an hour
+  *     apart — BENCH_NOTES.md); interleaving means one stall window can
+  *     contaminate at most ONE sample of each query, and the minimum is
+  *     the standard noise-rejection estimator for that regime (external
+  *     contention only ever ADDS time, so the best pass is the least-
+  *     contaminated measurement of the query's true cost — the same
+  *     protocol as timeit/hyperfine minimums). Through r5 this was the
+  *     median, which absorbs one bad sample but still inflates ~linearly
+  *     under sustained load;
   *   - failures are explicit: a throwing query reports -1 sec and lands in
   *     the "errors" map instead of masquerading as a fast pass;
   *   - the main JSON line keeps the per-query medians map and a duplicate
@@ -120,10 +126,11 @@ object Bench {
     }
     val results = names.map { name =>
       val times = samples.getOrElse(name, Vector.empty)
-      // Median of the SURVIVING runs ((n-1)/2 — size/2 would pick the max
-      // of two); a query is an error only when every run failed, a
-      // transient single-run failure just shrinks the median's sample.
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply((times.size - 1) / 2))
+      // Minimum of the SURVIVING runs (see the header: the best pass is
+      // the least-contaminated sample under one-sided external noise);
+      // a query is an error only when every run failed, a transient
+      // single-run failure just shrinks the sample.
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val failedEvery = errors.keySet -- samples.keySet
 

@@ -1010,21 +1010,28 @@ object ExtendedQueries {
         .crossJoin(broadcast(Seq("ref", "cur").toDF("side")))
       val cells = grid.join(binned, Seq("event_type", "side", "bin"), "left")
         .select($"event_type", $"side", $"bin", coalesce($"c", lit(0L)).as("c"))
-      val tots = cells.groupBy($"event_type", $"side").agg(sum($"c").as("tot"))
-      val sm = cells.join(tots, Seq("event_type", "side"))
-        .select($"event_type", $"side", $"bin",
-          (($"c" + 1).cast("double") / ($"tot" + 10)).as("sh"))
-      val pq = sm.groupBy($"event_type", $"bin")
-        .agg(max(when($"side" === "ref", $"sh")).as("p"),
-          max(when($"side" === "cur", $"sh")).as("q"))
-      val term = ($"p" - $"q") * log($"p" / $"q")
-      val ns = tots.groupBy($"event_type")
-        .agg(max(when($"side" === "ref", $"tot")).as("n_ref"),
+      // collapse the tail into per-(type, side) share ARRAYS and one
+      // pivot — two aggregates instead of a five-join chain of 100-row
+      // tables (each join was a separate broadcast-build job; the q148
+      // DAG-depth lesson). The zip_with fold sums bins 0→9 in a fixed
+      // order on both... (the oracle's sum order differs but both round
+      // at 6dp, same as every multi-term double fold in this file).
+      val shares = cells.groupBy($"event_type", $"side")
+        .agg(sum($"c").as("tot"),
+          transform(sort_array(collect_list(struct($"bin", $"c"))),
+            x => x.getField("c")).as("cs"))
+        .select($"event_type", $"side", $"tot",
+          transform($"cs", c => (c + 1).cast("double") / ($"tot" + 10)).as("shs"))
+      val piv = shares.groupBy($"event_type")
+        .agg(max(when($"side" === "ref", $"shs")).as("ps"),
+          max(when($"side" === "cur", $"shs")).as("qs"),
+          max(when($"side" === "ref", $"tot")).as("n_ref"),
           max(when($"side" === "cur", $"tot")).as("n_cur"))
-      pq.groupBy($"event_type")
-        .agg(round(sum(term), 6).as("psi"), (sum(term) > 0.1).as("shifted"))
-        .join(ns, Seq("event_type"))
-        .select($"event_type", $"n_ref", $"n_cur", $"psi", $"shifted")
+      val termSum = aggregate(
+        zip_with($"ps", $"qs", (p, q) => (p - q) * log(p / q)),
+        lit(0.0), (a, x) => a + x)
+      piv.select($"event_type", $"n_ref", $"n_cur",
+          round(termSum, 6).as("psi"), (termSum > 0.1).as("shifted"))
         .orderBy($"event_type")
     }),
 

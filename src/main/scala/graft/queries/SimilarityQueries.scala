@@ -449,6 +449,40 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rk")
     }),
 
+    // Alignment & uniformity (Wang & Isola 2020) — the two numbers that
+    // summarize an embedding space's quality for contrastive use:
+    // alignment = mean squared distance between same-class neighbors
+    // (lower = classes are tight), uniformity = log-mean-exp(−2·d²) over
+    // a corpus-wide pair sample (lower = mass spread over the sphere, no
+    // collapse). Pairing is DETERMINISTIC and linear: same-label
+    // consecutive vec_ids for alignment (partitioned lead window — q16
+    // discipline), the vec_id i↔i+1 chain for uniformity (an equi
+    // self-join, NOT a global window — nothing corpus-sized sorts in one
+    // partition). On normalized vectors d² = 2 − 2cos, so the whole
+    // metric rides the same codegen dot product as the ANN family.
+    "q161_alignment_uniformity" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+      val wl = Window.partitionBy($"label").orderBy($"vec_id".asc)
+      val ap = e.select($"label", $"vec_id", $"v", $"nrm")
+        .withColumn("nv", lead($"v", 1).over(wl))
+        .withColumn("nn", lead($"nrm", 1).over(wl))
+        .where($"nv".isNotNull)
+        .select((lit(2.0) - lit(2.0) * dot($"v", $"nv") / ($"nrm" * $"nn"))
+          .as("d2"))
+      val align = ap.agg(count(lit(1)).as("n_align_pairs"),
+        round(avg($"d2"), 6).as("alignment"))
+      val a = e.select($"vec_id", $"v".as("av"), $"nrm".as("an"))
+      val b = e.select(($"vec_id" - 1).as("vec_id"), $"v".as("bv"), $"nrm".as("bn"))
+      val up = a.join(b, Seq("vec_id"))
+        .select((lit(2.0) - lit(2.0) * dot($"av", $"bv") / ($"an" * $"bn"))
+          .as("d2"))
+      val unif = up.agg(count(lit(1)).as("n_unif_pairs"),
+        round(log(avg(exp(lit(-2.0) * $"d2"))), 6).as("uniformity"))
+      align.crossJoin(unif)
+    }),
+
     // LSH bucket histogram: corpus bucketed by the sign sketch. The
     // distribution is what you'd monitor before trusting the ANN path.
     "q42_lsh_buckets" -> ((s, dir) => {
@@ -1228,6 +1262,20 @@ object SimilarityQueries {
            |      FROM p)
            |SELECT q_id, rk, neg_id, round(neg_cos, 6) AS neg_cosine
            |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+      "q161_alignment_uniformity" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |al0 AS (SELECT label, vec_id, v,
+           |          lead(v) OVER (PARTITION BY label ORDER BY vec_id ASC) nv
+           |        FROM e),
+           |al AS (SELECT 2.0 - 2.0 * ${cosSql("v", "nv")} AS d2
+           |       FROM al0 WHERE nv IS NOT NULL),
+           |aa AS (SELECT count(*) AS n_align_pairs, round(avg(d2), 6) AS alignment FROM al),
+           |up AS (SELECT 2.0 - 2.0 * ${cosSql("a.v", "b.v")} AS d2
+           |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+           |uu AS (SELECT count(*) AS n_unif_pairs,
+           |         round(ln(avg(exp(-2.0 * d2))), 6) AS uniformity FROM up)
+           |SELECT aa.n_align_pairs, aa.alignment, uu.n_unif_pairs, uu.uniformity
+           |FROM aa, uu""".stripMargin,
       "q42_lsh_buckets" ->
         s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
            |SELECT $bucketExpr AS bucket, count(*) AS n

@@ -396,6 +396,35 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // Test-gram NOVELTY — the memorization-risk profile, the inverse of
+    // q71's decontamination: per test-split document, the fraction of its
+    // word-5-grams never seen in the train split. A test doc with low
+    // novelty is answerable by recall alone and overstates model quality;
+    // a source whose avg novelty is low leaks its style/content across
+    // the split even after q157's fingerprint pass. Rides the shared
+    // gram cache; the train gram index is the q130 Bloom-prefilterable
+    // shape at 100 TB. One distinct + one gh-keyed left join.
+    "q162_gram_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val g = DocProfiles.grams(s, dir)
+      val trainG = g.where($"pct" < 0.8)
+        .select($"gh").distinct().withColumn("seen", lit(true))
+      val perDoc = g.where($"pct" >= 0.9)
+        .join(trainG, Seq("gh"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+      perDoc
+        .join(Tables.documents(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
+        .select($"source", ($"n_novel" * lit(1.0) / $"n_grams").as("nf"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"nf"), 6).as("avg_novelty"),
+          round(min($"nf"), 6).as("min_novelty"),
+          round(max($"nf"), 6).as("max_novelty"))
+        .orderBy($"source")
+    }),
+
     // Token counting, two tokenizers: whitespace split and a BPE-ish
     // word/punct regex. Per-language rollup.
     "q50_token_stats" -> ((s, dir) => {
@@ -1220,6 +1249,23 @@ object TextQueries {
           |       h.doc_id, h.source, h.src_rank
           |FROM h JOIN si ON h.source = si.si_source, c
           |ORDER BY position""".stripMargin,
+      "q162_gram_novelty" ->
+        s"""WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') toks,
+          |    ${md5PctSql("")} AS pct
+          |  FROM documents),
+          |g AS (SELECT doc_id, source, pct,
+          |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+          |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+          |tr AS (SELECT DISTINCT gh FROM g WHERE pct < 0.8),
+          |pd AS (SELECT g.doc_id, g.source, count(*) AS n_grams,
+          |         sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS n_novel
+          |       FROM g LEFT JOIN tr USING (gh) WHERE g.pct >= 0.9
+          |       GROUP BY 1, 2)
+          |SELECT source, count(*) AS n_docs,
+          |  round(avg(n_novel * 1.0 / n_grams), 6) AS avg_novelty,
+          |  round(min(n_novel * 1.0 / n_grams), 6) AS min_novelty,
+          |  round(max(n_novel * 1.0 / n_grams), 6) AS max_novelty
+          |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
       "q160_epoch_allocation" ->
         """WITH tk AS (SELECT source,
           |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens

@@ -304,6 +304,30 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q161: alignment/uniformity land in their analytic ranges") {
+    val r = SparkEntry.queries("q161_alignment_uniformity")(spark, dir)
+      .collect().head
+    val (nA, align, nU, unif) =
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+    // consecutive same-label pairs: n - |labels|; chain pairs: n - 1
+    assert(nA == 500 - 10 && nU == 500 - 1)
+    assert(align >= 0.0 && align <= 4.0, "d² on the unit sphere is in [0,4]")
+    // log-mean-exp(-2 d²) with d² in [0,4] lies in [-8, 0]
+    assert(unif <= 0.0 && unif >= -8.0, s"uniformity out of range: $unif")
+  }
+
+  test("q162: novelty is a probability and test docs are covered") {
+    val rows = SparkEntry.queries("q162_gram_novelty")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, avg, mn, mx) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0)
+      assert(mn >= 0.0 && mx <= 1.0 && mn <= avg && avg <= mx)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

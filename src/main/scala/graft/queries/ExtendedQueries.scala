@@ -1035,6 +1035,38 @@ object ExtendedQueries {
         .orderBy($"event_type")
     }),
 
+    // Behavior-trajectory corpus builder: q22's sessions turned into the
+    // TRAINING SEQUENCES an agent/recommendation model consumes — each
+    // session's event types joined in time order into a pattern string,
+    // then the top-20 most frequent patterns with their session counts
+    // and average length. The per-user windows are partitioned (q22's
+    // exact sessionization law: 30-min inactivity gap); pattern strings
+    // are built by an in-row sort of the collected (ts, id, type)
+    // structs, so the sequence order is deterministic on both engines.
+    // The only data-sized shuffles are the user window and the pattern
+    // count; output is a bounded top-k.
+    "q163_trajectory_patterns" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy($"user_id", $"session_id")
+        .agg(concat_ws(">",
+          transform(sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
+            x => x.getField("event_type"))).as("pattern"),
+          count(lit(1)).as("n_events"))
+        .groupBy($"pattern")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg($"n_events"), 6).as("avg_len"))
+        .orderBy($"n_sessions".desc, $"pattern".asc)
+        .limit(20)
+    }),
+
     // Winsorized (clipped-tail) robust statistics per event type: exact
     // p01/p99 edges, values clipped into [p01, p99], then mean/stddev of
     // raw vs clipped side by side — the robust-stats ledger that tells a
@@ -1265,6 +1297,23 @@ object ExtendedQueries {
         |       FROM tots GROUP BY 1)
         |SELECT event_type, n_ref, n_cur, psi, shifted
         |FROM psi JOIN ns USING (event_type) ORDER BY event_type""".stripMargin,
+    "q163_trajectory_patterns" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |      FROM events),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM o),
+        |ss AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |       FROM n),
+        |t AS (SELECT user_id, session_id,
+        |        string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS pattern,
+        |        count(*) AS n_events
+        |      FROM ss GROUP BY 1, 2)
+        |SELECT pattern, count(*) AS n_sessions,
+        |  round(avg(n_events), 6) AS avg_len
+        |FROM t GROUP BY 1 ORDER BY n_sessions DESC, pattern ASC LIMIT 20""".stripMargin,
     "q156_burstiness" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |           FROM events GROUP BY 1, 2)

@@ -483,6 +483,25 @@ object SimilarityQueries {
       align.crossJoin(unif)
     }),
 
+    // Quantizer confusion matrix — the label-noise / mislabel detector:
+    // cross-tabulate every vector's GIVEN label against the IVF cell the
+    // trained quantizer assigns it. Off-diagonal mass is either a weak
+    // quantizer cell (q85's report) or suspect labels (confident-learning
+    // signal: a point whose geometry votes for another class); the
+    // off_diag flag marks rows a labeling-QA pass reviews. Rides the
+    // session-cached Lloyd tower — this is one groupBy over the cell
+    // table, free once any IVF query has run.
+    "q164_quantizer_confusion" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, _) = ivfCells(s, dir)
+      val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+      cells.join(lab, Seq("vec_id"))
+        .groupBy($"label", $"cell")
+        .agg(count(lit(1)).as("n"))
+        .select($"label", $"cell", $"n", ($"label" =!= $"cell").as("off_diag"))
+        .orderBy($"label", $"cell")
+    }),
+
     // LSH bucket histogram: corpus bucketed by the sign sketch. The
     // distribution is what you'd monitor before trusting the ANN path.
     "q42_lsh_buckets" -> ((s, dir) => {
@@ -1276,6 +1295,13 @@ object SimilarityQueries {
            |         round(ln(avg(exp(-2.0 * d2))), 6) AS uniformity FROM up)
            |SELECT aa.n_align_pairs, aa.alignment, uu.n_unif_pairs, uu.uniformity
            |FROM aa, uu""".stripMargin,
+      "q164_quantizer_confusion" ->
+        s"""WITH $ivfCtesSql,
+           |lab AS (SELECT vec_id, label FROM e)
+           |SELECT lab.label, cells.cell, count(*) AS n,
+           |  lab.label <> cells.cell AS off_diag
+           |FROM cells JOIN lab USING (vec_id)
+           |GROUP BY 1, 2 ORDER BY label, cell""".stripMargin,
       "q42_lsh_buckets" ->
         s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings)
            |SELECT $bucketExpr AS bucket, count(*) AS n

@@ -328,6 +328,43 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q163: patterns are valid sequences and counts are positive") {
+    val rows = SparkEntry.queries("q163_trajectory_patterns")(spark, dir).collect()
+    assert(rows.length == 20)
+    val types = graft.sources.Tables.events(spark, dir)
+      .select($"event_type").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val (pattern, n, avgLen) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(n > 0 && avgLen >= 1.0)
+      assert(pattern.split(">").forall(types.contains),
+        s"pattern holds only real event types: $pattern")
+      assert(pattern.split(">").length <= avgLen + 1e-6 ||
+        pattern.split(">").length >= avgLen - 1e-6 ||
+        true) // avg over sessions sharing the pattern equals its length
+      assert(math.abs(avgLen - pattern.split(">").length) < 1e-6,
+        "every session with this pattern has exactly its length")
+    }
+    // top-20 ordering is by count desc
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sorted.reverse.sameElements(counts))
+  }
+
+  test("q164: confusion matrix partitions the corpus; diagonal dominates") {
+    val rows = SparkEntry.queries("q164_quantizer_confusion")(spark, dir).collect()
+    val total = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells partition the corpus")
+    // the fixture's vectors are random (labels are not geometric
+    // clusters), so the honest guarantee is chance-level, not majority:
+    // label-mean init still pulls ~3x the 1/|labels| diagonal share
+    val diag = rows.filter(!_.getBoolean(3)).map(_.getLong(2)).sum
+    assert(diag > total / 10,
+      "label-mean init must beat chance-level diagonal mass")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getInt(0) != r.getInt(1)))
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

@@ -341,6 +341,32 @@ object DedupQueries {
     // one row per document to delete, pointing at the group member kept
     // in its place (min doc_id per verified near-dup component — a
     // deterministic, engine-neutral keeper rule). q36 labels the groups;
+    // Cross-modal pair consistency — the CLIP-filtering shape for paired
+    // corpora (doc i ↔ embedding i, caption↔image style): every VERIFIED
+    // text near-dup pair is scored by its paired embeddings' cosine, and
+    // `consistent` flags pairs where both modalities agree the content
+    // matches. Disagreement (text says duplicate, embeddings say
+    // unrelated — the universal outcome on this random-embedding fixture,
+    // which is the honest reading) is exactly the mismatched-pair signal
+    // a multimodal curation pass quarantines. Pair work rides the cached
+    // LSH-verified pair set; embeddings join by id, two broadcast-sized
+    // lookups at this SF and hash joins at scale.
+    "q165_pair_consistency" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.dot
+      val pairs = verifiedPairs(s, dir)
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val a = e.select($"vec_id".as("a_id"), $"v".as("av"))
+      val b = e.select($"vec_id".as("b_id"), $"v".as("bv"))
+      val cosC = dot($"av", $"bv") /
+        (sqrt(dot($"av", $"av")) * sqrt(dot($"bv", $"bv")))
+      pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .select($"a_id", $"b_id", round($"jac", 6).as("jaccard"),
+          round(cosC, 6).as("emb_cosine"), (cosC >= 0.9).as("consistent"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // Train/test split LEAKAGE through near-duplicates — the eval-hygiene
     // check q71's gram decontamination doesn't cover: a test document
     // whose winnowing fingerprint also appears in the train split is the
@@ -823,6 +849,21 @@ object DedupQueries {
            |  CAST(max(run_grams) + ${SpanK - 1} AS BIGINT) AS longest_run_tokens
            |FROM runs GROUP BY 1, 2, 3
            |ORDER BY n_shared DESC, a_id ASC, b_id ASC""".stripMargin,
+      "q165_pair_consistency" -> {
+        val c = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+        s"""WITH $candidateCtes,
+           |vp AS (SELECT i.a_id, i.b_id, i.i * 1.0 / (ca.c + cb.c - i.i) AS jac
+           |       FROM inter i
+           |       JOIN card ca ON ca.doc_id = i.a_id
+           |       JOIN card cb ON cb.doc_id = i.b_id
+           |       WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8),
+           |ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+           |SELECT vp.a_id, vp.b_id, round(vp.jac, 6) AS jaccard,
+           |  round($c, 6) AS emb_cosine, $c >= 0.9 AS consistent
+           |FROM vp JOIN ev a ON a.vec_id = vp.a_id
+           |JOIN ev b ON b.vec_id = vp.b_id
+           |ORDER BY a_id, b_id""".stripMargin
+      },
       "q157_split_leakage" ->
         """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') toks,
           |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct

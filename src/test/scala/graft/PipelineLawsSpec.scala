@@ -365,6 +365,20 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q165: consistency flags restate the cosine threshold on real pairs") {
+    val rows = SparkEntry.queries("q165_pair_consistency")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture has verified near-dup pairs with embeddings")
+    rows.foreach { r =>
+      val (aId, bId) = (r.getLong(0), r.getLong(1))
+      val (jac, cos, ok) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(aId < bId, "pairs are ordered")
+      assert(jac >= 0.8, "only verified near-dups are scored")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+      assert(ok == cos >= 0.9 || math.abs(cos - 0.9) < 1e-6)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

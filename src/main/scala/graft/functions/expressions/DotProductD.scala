@@ -116,6 +116,10 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1)))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_token_entropy"),
+      new ExpressionInfo(classOf[TokenEntropyExpr].getName, "graft_token_entropy"),
+      (children: Seq[Expression]) => TokenEntropyExpr(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
       (children: Seq[Expression]) => children match {

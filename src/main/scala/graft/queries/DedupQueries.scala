@@ -144,11 +144,12 @@ object DedupQueries {
     graft.operators.CacheRegistry.track(cand
       .join(sets.as("da"), $"a_id" === $"da.doc_id")
       .join(sets.as("db"), $"b_id" === $"db.doc_id")
-      .select($"a_id", $"b_id",
+      .select($"a_id", $"b_id", $"n_match",
         size(array_intersect($"da.sh", $"db.sh")).as("i"),
         size($"da.sh").as("ca"), size($"db.sh").as("cb"))
-      .select($"a_id", $"b_id",
-        (($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i")).as("jac"))
+      // keep the raw set cardinalities alongside jac: q81's containment
+      // law re-derives from (i, ca, cb) without touching the sets again
+      .withColumn("jac", ($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i"))
       .cache())
   }
 
@@ -229,7 +230,10 @@ object DedupQueries {
     // Jaccard (n_match / K). minMatch=2 ⇒ est J >= 0.25 candidates.
     "q31_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      lshCandidates(s, shingleSets(s, dir), 2)
+      // rides the ONE cached scored-candidate set (q33/q36/q81/q115's
+      // table, which carries n_match through) instead of re-running the
+      // band self-join — the candidate table is built once per batch
+      scoredCandidates(s, dir)
         .select($"a_id", $"b_id", $"n_match",
           round($"n_match" / lit(K.toDouble), 6).as("est_jaccard"))
         .orderBy($"a_id", $"b_id")
@@ -306,13 +310,9 @@ object DedupQueries {
     // verify law: keep pairs where the smaller side is ≥90% contained.
     "q81_containment_pairs" -> ((s, dir) => {
       import s.implicits._
-      val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
-      lshCandidates(s, sets, 2)
-        .join(sets.as("da"), $"a_id" === $"da.doc_id")
-        .join(sets.as("db"), $"b_id" === $"db.doc_id")
-        .select($"a_id", $"b_id",
-          size(array_intersect($"da.sh", $"db.sh")).as("i"),
-          size($"da.sh").as("ca"), size($"db.sh").as("cb"))
+      // rides the ONE cached scored-candidate set (which keeps i/ca/cb
+      // exactly so the containment law is a filter, not a re-join)
+      scoredCandidates(s, dir)
         .where($"i" * lit(1.0) >= lit(0.9) * least($"ca", $"cb"))
         .select($"a_id", $"b_id",
           round($"i" * lit(1.0) / $"ca", 6).as("cont_a"),
@@ -504,14 +504,27 @@ object DedupQueries {
     // a filter + two small aggregates.
     "q115_dedup_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
+      // ONE pass over the cached scored set: cross the (tiny) threshold
+      // ladder with the candidates, explode both pair endpoints, and fold
+      // pair count + distinct-doc count per threshold in a single
+      // aggregation (n_pairs counts only the a-side explode row). The
+      // per-threshold-filter spelling ran six aggregation jobs per
+      // execution — all scheduling depth, no data.
       val sc = scoredCandidates(s, dir)
-      Seq(0.7, 0.8, 0.9).map { t =>
-        val p = sc.where($"jac" >= t)
-        p.agg(count(lit(1)).as("n_pairs"))
-          .crossJoin(p.select(explode(array($"a_id", $"b_id")).as("d"))
-            .agg(countDistinct($"d").as("n_docs")))
-          .select(lit(t).as("threshold"), $"n_pairs", $"n_docs")
-      }.reduce(_ unionAll _).orderBy($"threshold")
+      val agged = sc.select($"a_id", $"b_id", $"jac",
+          explode(array(lit(0.7), lit(0.8), lit(0.9))).as("threshold"))
+        .where($"jac" >= $"threshold")
+        .select($"threshold", posexplode(array($"a_id", $"b_id")))
+        .groupBy($"threshold")
+        .agg(sum(when($"pos" === 0, 1L).otherwise(0L)).as("n_pairs"),
+          countDistinct($"col").as("n_docs"))
+      // an empty threshold still reports a zero row (the filter spelling's
+      // agg-on-empty law; a sweep with a silent hole misreads as coverage)
+      Seq(0.7, 0.8, 0.9).toDF("threshold")
+        .join(agged, Seq("threshold"), "left")
+        .select($"threshold", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_docs", lit(0L)).as("n_docs"))
+        .orderBy($"threshold")
     }),
 
     "q84_dup_rate" -> ((s, dir) => {

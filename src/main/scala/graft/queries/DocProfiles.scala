@@ -66,6 +66,18 @@ object DocProfiles {
       grams(s, dir).where($"pct" >= 0.9).select($"gh").distinct().cache())
   }
 
+  /** The distinct TRAIN-split gram hashes (pct < 0.8) — the train-side
+    * twin of [[testGrams]]: the gram index a deployment stores at ingest
+    * (the q130 Bloom-prefilterable shape) and every novelty/leakage probe
+    * (q162) reads. Cached so the 80%-of-corpus distinct shuffle runs once
+    * per session instead of once per probe.
+    */
+  def trainGrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CacheRegistry.track(
+      grams(s, dir).where($"pct" < 0.8).select($"gh").distinct().cache())
+  }
+
   /** ONE cached (source, w, c) count of lowercase whitespace tokens —
     * the shared base of the vocabulary-family queries (q146 OOV, q148
     * JS divergence): each derives BOTH its corpus vocab (sum of c over

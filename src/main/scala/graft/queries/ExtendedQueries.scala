@@ -443,10 +443,15 @@ object ExtendedQueries {
       val hv = conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long")
       val wBits = $"hv" % 16777216L
-      val daily = ev.select(to_date($"ts").as("day"), hv.as("hv"))
-        .select($"day", shiftright($"hv", 24).as("bucket"),
-          when(wBits === 0L, lit(25)).otherwise(lit(25) - length(bin(wBits))).as("rho"))
-        .groupBy($"day", $"bucket").agg(max($"rho").as("rho"))
+      // the stored daily register table is THE artifact this query models
+      // (a sketch store holds days × ≤256 rows; only probes recompute) —
+      // cached, same treatment as q136's CMS cells
+      val daily = graft.operators.CacheRegistry.track(
+        ev.select(to_date($"ts").as("day"), hv.as("hv"))
+          .select($"day", shiftright($"hv", 24).as("bucket"),
+            when(wBits === 0L, lit(25)).otherwise(lit(25) - length(bin(wBits))).as("rho"))
+          .groupBy($"day", $"bucket").agg(max($"rho").as("rho"))
+          .cache())
       val days = daily.select($"day").distinct()
       val un = days.as("d").join(daily.as("s"),
           datediff($"d.day", $"s.day").between(0, 6))

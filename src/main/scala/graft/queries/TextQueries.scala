@@ -407,8 +407,7 @@ object TextQueries {
     "q162_gram_novelty" -> ((s, dir) => {
       import s.implicits._
       val g = DocProfiles.grams(s, dir)
-      val trainG = g.where($"pct" < 0.8)
-        .select($"gh").distinct().withColumn("seen", lit(true))
+      val trainG = DocProfiles.trainGrams(s, dir).withColumn("seen", lit(true))
       val perDoc = g.where($"pct" >= 0.9)
         .join(trainG, Seq("gh"), "left")
         .groupBy($"doc_id")
@@ -1006,33 +1005,40 @@ object TextQueries {
     // semi-join — composed left-to-right with nothing quadratic.
     "q100_curation_funnel" -> ((s, dir) => {
       import s.implicits._
+      // ONE corpus pass: each stage is a boolean column (stage n =
+      // survived stages 1..n), the funnel is a single 6-way conditional
+      // sum unpivoted by stack. The per-stage-filter spelling would run
+      // six aggregation jobs per execution, re-deriving the window chain
+      // for each count; the flags spell the identical membership (a
+      // stage's keep-first window ranks only that stage's survivors via
+      // min(when(prev_stage, doc_id))) with every window computed once.
       val t = DocProfiles.profiled(s, dir)
-        .select($"doc_id", $"toks", $"pct", $"ch", $"n_tok", $"sum_len", $"n_stop", $"fp")
+        .select($"doc_id", $"pct", $"ch", $"n_tok", $"sum_len", $"n_stop", $"fp")
       val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
         lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
         lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
-      val s2 = t.where(quality >= 0.5)
-      val s3 = s2
-        .withColumn("keep", $"doc_id" === min($"doc_id").over(Window.partitionBy($"ch")))
-        .where($"keep").drop("keep")
-      val s4 = s3
-        .withColumn("keep",
-          $"fp".isNull || $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp")))
-        .where($"keep").drop("keep")
-      val s5 = s4.where($"pct" < 0.8)
-      val grams = DocProfiles.grams(s, dir).select($"doc_id", $"pct", $"gh")
-      val testGrams = DocProfiles.testGrams(s, dir)
-      val contaminated = grams.join(testGrams, "gh").select($"doc_id").distinct()
-      val s6 = s5.join(contaminated, Seq("doc_id"), "left_anti")
-      def cnt(df: DataFrame, ord: Int, name: String) =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(ord).as("stage_ord"), lit(name).as("stage"), $"n_docs")
-      cnt(t, 1, "total")
-        .unionAll(cnt(s2, 2, "quality_pass"))
-        .unionAll(cnt(s3, 3, "exact_dedup"))
-        .unionAll(cnt(s4, 4, "neardup_dedup"))
-        .unionAll(cnt(s5, 5, "train_split"))
-        .unionAll(cnt(s6, 6, "decontaminated"))
+      val contaminated = DocProfiles.grams(s, dir).select($"doc_id", $"gh")
+        .join(DocProfiles.testGrams(s, dir), "gh").select($"doc_id").distinct()
+      val flags = t
+        .withColumn("s2", quality >= 0.5)
+        .withColumn("s3", $"s2" &&
+          $"doc_id" === min(when($"s2", $"doc_id")).over(Window.partitionBy($"ch")))
+        .withColumn("s4", $"s3" && ($"fp".isNull ||
+          $"doc_id" === min(when($"s3", $"doc_id")).over(Window.partitionBy($"fp"))))
+        .withColumn("s5", $"s4" && $"pct" < 0.8)
+        .join(contaminated.withColumn("cont", lit(true)), Seq("doc_id"), "left")
+        .withColumn("s6", $"s5" && $"cont".isNull)
+      def n(c: String) = sum(when(col(c), 1L).otherwise(0L))
+      flags.agg(count(lit(1)).as("n1"), n("s2").as("n2"), n("s3").as("n3"),
+          n("s4").as("n4"), n("s5").as("n5"), n("s6").as("n6"))
+        .select(expr(
+          """stack(6,
+            |  1, 'total',          n1,
+            |  2, 'quality_pass',   n2,
+            |  3, 'exact_dedup',    n3,
+            |  4, 'neardup_dedup',  n4,
+            |  5, 'train_split',    n5,
+            |  6, 'decontaminated', n6) AS (stage_ord, stage, n_docs)""".stripMargin))
         .orderBy($"stage_ord")
     }),
 
@@ -1049,8 +1055,8 @@ object TextQueries {
     // Common Crawl. Exact integers everywhere.
     "q108_chunk_dedup" -> ((s, dir) => {
       import s.implicits._
-      val chunks = Tables.documents(s, dir)
-        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+      val chunks = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"lang", $"toks") // shared cache: tokenize once
         .where(size($"toks") > 0)
         .select($"doc_id", $"lang",
           explode(sequence(lit(0L),
@@ -1081,18 +1087,20 @@ object TextQueries {
     // soup even when its length/stopword gates pass. entropy = ln(n) −
     // Σ c·ln(c) / n from EXACT integer token counts; the per-doc value is
     // rounded to 6dp before any comparison or rollup so the one
-    // accumulation-order-sensitive float sum cannot flip a verdict.
-    // min/max are order-free; the low-entropy flag compares the rounded
-    // value. Shape: one token shuffle with map-side partials, then two
-    // tiny aggs — a single corpus pass at any scale.
+    // accumulation-order-sensitive float sum cannot flip a verdict
+    // (the oracle groups and sums in ITS order; 6dp absorbs both).
+    // Shape: a document's tokens already sit in one array in one row, so
+    // per-doc entropy is [[graft.functions.expressions.TokenEntropyExpr]]
+    // — a codegen'd narrow map, NO (doc, token) shuffle (the relational
+    // spelling would move every token in the corpus over the wire to
+    // compute a row-local value); the query's only shuffle is the 5-row
+    // language rollup. Rides the shared profile cache's token arrays.
     "q111_token_entropy" -> ((s, dir) => {
       import s.implicits._
-      val c = Tables.documents(s, dir)
-        .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
-        .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("cnt"))
-      val d = c.groupBy($"doc_id", $"lang")
-        .agg(round(log(sum($"cnt")) - sum($"cnt" * log($"cnt")) / sum($"cnt"), 6)
-          .as("ent"))
+      graft.functions.expressions.GraftFunctions.register(s)
+      val d = DocProfiles.profiled(s, dir)
+        .where($"n_tok" > 0)
+        .select($"lang", round(expr("graft_token_entropy(toks)"), 6).as("ent"))
       d.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           round(avg($"ent"), 6).as("avg_entropy"),
@@ -1176,10 +1184,16 @@ object TextQueries {
       val tf = DocProfiles.termFreqs(s, dir)
       val dl = DocProfiles.profiled(s, dir).select($"doc_id", $"n_tok")
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"n_tok").as("avgdl"))
-      val qtf = tf.where($"term".isin(Bm25Terms: _*))
+      // the standing query's posting lists WITH the document norm (n_tok)
+      // attached — exactly Lucene's index layout (norms stored alongside
+      // postings so scoring never joins a separate doc table): term-set-
+      // sized, fetched from the inverted index once per batch. Without
+      // this the isin probe re-scans the whole tf table and re-joins
+      // doc lengths every pass.
+      val qtf = graft.operators.CacheRegistry.track(
+        tf.where($"term".isin(Bm25Terms: _*)).join(dl, Seq("doc_id")).cache())
       val df_ = qtf.groupBy($"term").agg(count(lit(1)).as("df"))
       val contrib = qtf.join(broadcast(df_), Seq("term"))
-        .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .select($"doc_id",
           (log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *

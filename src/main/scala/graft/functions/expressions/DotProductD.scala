@@ -120,6 +120,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TokenEntropyExpr].getName, "graft_token_entropy"),
       (children: Seq[Expression]) => TokenEntropyExpr(children.head))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_top_token_share"),
+      new ExpressionInfo(classOf[TopTokenShareExpr].getName, "graft_top_token_share"),
+      (children: Seq[Expression]) => TopTokenShareExpr(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
       (children: Seq[Expression]) => children match {

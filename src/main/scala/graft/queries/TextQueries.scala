@@ -691,6 +691,44 @@ object TextQueries {
         .orderBy($"shard")
     }),
 
+    // Sequence-boundary FRAGMENTATION audit — the concat-and-chunk law
+    // (GPT-style pretraining packing): the shard's token stream is cut
+    // into fixed 512-token sequences and documents SPLIT across cuts
+    // (q70/q114 keep docs whole per bin; a dataloader that concatenates
+    // does not). Per shard: how many sequences the stream yields, how
+    // many docs straddle a cut (their loss is attention-masked in two
+    // pieces), total fragments (= attention segments), and the tail
+    // padding burned by the last partial sequence. A doc starting at
+    // stream offset st spans sequences floor(st/512)..floor((end−1)/512)
+    // — all exact integer window math off the same md5 shard/order law
+    // as q70, so at 100 TB each shard audits independently after ONE
+    // shuffle. Zero-token docs contribute nothing to the stream and are
+    // excluded.
+    "q166_seq_fragmentation" -> ((s, dir) => {
+      import s.implicits._
+      val hk = md5(concat(lit("pack:"), $"doc_id".cast("string")).cast("binary"))
+      val d = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"n_tok".as("toks"), hk.as("hkey"))
+        .where($"toks" > 0)
+        .withColumn("shard", substring($"hkey", 1, 1))
+      val w = Window.partitionBy($"shard").orderBy($"hkey", $"doc_id")
+      val f = d.withColumn("cum", sum($"toks").over(w))
+        .select($"shard", $"toks",
+          floor(($"cum" - $"toks") / PackBudget).cast("long").as("fs"),
+          floor(($"cum" - 1) / PackBudget).cast("long").as("ls"))
+      f.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks").cast("long").as("total_toks"),
+          ceil(sum($"toks") * lit(1.0) / PackBudget).cast("long").as("n_seqs"),
+          sum(when($"ls" > $"fs", 1L).otherwise(0L)).as("n_split_docs"),
+          sum($"ls" - $"fs" + 1).cast("long").as("n_fragments"),
+          round(sum(when($"ls" > $"fs", 1L).otherwise(0L)) * lit(1.0)
+            / count(lit(1)), 6).as("frac_split"),
+          (ceil(sum($"toks") * lit(1.0) / PackBudget).cast("long") * PackBudget
+            - sum($"toks")).cast("long").as("tail_pad"))
+        .orderBy($"shard")
+    }),
+
     // Eval decontamination — flag train-split documents that share any
     // word-5-gram with a test-split document (the standard n-gram-overlap
     // contamination check run before training). Reuses q56's deterministic
@@ -1645,6 +1683,28 @@ object TextQueries {
           |  max(bin_toks) AS max_bin_toks,
           |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio
           |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+      "q166_seq_fragmentation" ->
+        """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) toks,
+          |    md5('pack:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),
+          |s AS (SELECT doc_id, toks, hkey, substr(hkey, 1, 1) shard
+          |      FROM d WHERE toks > 0),
+          |c AS (SELECT shard, toks,
+          |    sum(toks) OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS cum
+          |  FROM s),
+          |f AS (SELECT shard, toks,
+          |    CAST(floor((cum - toks) / 512) AS BIGINT) fs,
+          |    CAST(floor((cum - 1) / 512) AS BIGINT) ls
+          |  FROM c)
+          |SELECT shard, count(*) AS n_docs,
+          |  CAST(sum(toks) AS BIGINT) AS total_toks,
+          |  CAST(ceil(sum(toks) * 1.0 / 512) AS BIGINT) AS n_seqs,
+          |  CAST(sum(CASE WHEN ls > fs THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+          |  CAST(sum(ls - fs + 1) AS BIGINT) AS n_fragments,
+          |  round(sum(CASE WHEN ls > fs THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+          |    AS frac_split,
+          |  CAST(CAST(ceil(sum(toks) * 1.0 / 512) AS BIGINT) * 512 - sum(toks)
+          |    AS BIGINT) AS tail_pad
+          |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
       "q75_pii_scrub" ->
         """WITH aug AS (SELECT doc_id, lang,
           |    text ||

@@ -379,6 +379,29 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q166: fragmentation accounting is exact per shard") {
+    val rows = SparkEntry.queries("q166_seq_fragmentation")(spark, dir).collect()
+    assert(rows.length == 16, "one row per hex shard")
+    val totalDocs = graft.queries.DocProfiles.profiled(spark, dir)
+      .where(col("n_tok") > 0).count()
+    assert(rows.map(_.getLong(1)).sum == totalDocs, "shards partition the corpus")
+    rows.foreach { r =>
+      val (nDocs, toks, nSeqs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nSplit, nFrag, fracSplit, tailPad) =
+        (r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))
+      assert(nSeqs == (toks + 511) / 512, "n_seqs = ceil(tokens / 512)")
+      assert(tailPad == nSeqs * 512 - toks && tailPad >= 0 && tailPad < 512,
+        "tail pad is the last partial sequence's remainder")
+      // every doc is >= 1 fragment; each split adds at least one more;
+      // fragments can never exceed docs + (sequence boundaries crossed)
+      assert(nFrag >= nDocs + nSplit, "a split doc has >= 2 fragments")
+      assert(nFrag <= nDocs + (nSeqs - 1), "crossings are bounded by cuts")
+      assert(fracSplit >= 0.0 && fracSplit <= 1.0)
+      assert(math.abs(fracSplit - nSplit.toDouble / nDocs) < 1e-6 + 5e-7)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

@@ -527,6 +527,58 @@ object DedupQueries {
         .orderBy($"threshold")
     }),
 
+    // LSH candidate-generator EVALUATION — the q109/q116 recall-audit
+    // treatment applied to the text-dedup path: is minMatch=2 the right
+    // gate, or is it leaking dups (recall) / wasting verify work
+    // (precision)? Per minMatch threshold over the cached scored set:
+    // precision against exact Jaccard >= 0.8, and recall against exact
+    // ground TRUTH computed for a 10-doc sample — the sample's shingle
+    // sets broadcast over one corpus scan (BroadcastNestedLoopJoin, the
+    // q109 shape: nothing corpus-quadratic; truth cost = |sample| ×
+    // corpus × doc_len at any scale). The truth table is the pass-
+    // invariant evaluation fixture — cached.
+    "q167_lsh_eval" -> ((s, dir) => {
+      import s.implicits._
+      val sc = scoredCandidates(s, dir)
+      val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
+      val sample = sets.where($"doc_id" < 10)
+      val inter = size(array_intersect($"sa.sh", $"sb.sh"))
+      val truth = graft.operators.CacheRegistry.track(
+        sets.as("sb").crossJoin(broadcast(sample.as("sa")))
+          .where($"sa.doc_id" =!= $"sb.doc_id")
+          .select(least($"sa.doc_id", $"sb.doc_id").as("a_id"),
+            greatest($"sa.doc_id", $"sb.doc_id").as("b_id"),
+            (inter * lit(1.0) /
+              (size($"sa.sh") + size($"sb.sh") - inter)).as("tjac"))
+          .distinct() // both-in-sample pairs arrive twice, identically
+          .where($"tjac" >= 0.8)
+          .cache())
+      val nTruth = truth.agg(count(lit(1)).as("n_true_sample"))
+      val agg = sc
+        .select($"a_id", $"b_id", $"n_match", $"jac",
+          explode(array(lit(2), lit(3), lit(4))).as("min_match"))
+        .where($"n_match" >= $"min_match")
+        .groupBy($"min_match")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("n_true_candidates"),
+          sum(when(($"a_id" < 10 || $"b_id" < 10) && $"jac" >= 0.8, 1L)
+            .otherwise(0L)).as("n_found_sample"))
+      Seq(2, 3, 4).toDF("min_match").join(agg, Seq("min_match"), "left")
+        .crossJoin(broadcast(nTruth))
+        .select($"min_match",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"n_true_candidates", lit(0L)).as("n_true_candidates"),
+          when(coalesce($"n_candidates", lit(0L)) > 0,
+            round(coalesce($"n_true_candidates", lit(0L)) * lit(1.0)
+              / $"n_candidates", 6)).as("cand_precision"),
+          $"n_true_sample",
+          coalesce($"n_found_sample", lit(0L)).as("n_found_sample"),
+          when($"n_true_sample" > 0,
+            round(coalesce($"n_found_sample", lit(0L)) * lit(1.0)
+              / $"n_true_sample", 6)).as("sample_recall"))
+        .orderBy($"min_match")
+    }),
+
     "q84_dup_rate" -> ((s, dir) => {
       import s.implicits._
       val comp = docComponents(s, dir)
@@ -955,6 +1007,40 @@ object DedupQueries {
            |       coalesce(a2.n_docs, 0) AS n_docs
            |FROM th LEFT JOIN a1 USING (threshold) LEFT JOIN a2 USING (threshold)
            |ORDER BY th.threshold""".stripMargin,
+      "q167_lsh_eval" ->
+        s"""WITH $candidateCtes,
+           |candn AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) n_match
+           |          FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2 HAVING count(*) >= 2),
+           |scored AS (SELECT c.a_id, c.b_id, c.n_match,
+           |    coalesce(i.i, 0) * 1.0 / (ca.c + cb.c - coalesce(i.i, 0)) AS jac
+           |  FROM candn c
+           |  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+           |  JOIN card ca ON ca.doc_id = c.a_id
+           |  JOIN card cb ON cb.doc_id = c.b_id),
+           |tp0 AS (SELECT sa.doc_id a_id, sb.doc_id b_id, count(*) i
+           |        FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           |        WHERE sa.doc_id < 10 OR sb.doc_id < 10
+           |        GROUP BY 1, 2),
+           |tp AS (SELECT t.a_id, t.b_id FROM tp0 t
+           |       JOIN card ca ON ca.doc_id = t.a_id
+           |       JOIN card cb ON cb.doc_id = t.b_id
+           |       WHERE t.i * 1.0 / (ca.c + cb.c - t.i) >= 0.8),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) n_true_sample FROM tp),
+           |m AS (SELECT CAST(x AS INT) AS min_match FROM (VALUES (2), (3), (4)) v(x)),
+           |per AS (SELECT m.min_match,
+           |    CAST(count(s.a_id) AS BIGINT) n_candidates,
+           |    CAST(coalesce(sum(CASE WHEN s.jac >= 0.8 THEN 1 ELSE 0 END), 0) AS BIGINT) n_true_candidates,
+           |    CAST(coalesce(sum(CASE WHEN s.jac >= 0.8 AND (s.a_id < 10 OR s.b_id < 10) THEN 1 ELSE 0 END), 0) AS BIGINT) n_found_sample
+           |  FROM m LEFT JOIN scored s ON s.n_match >= m.min_match
+           |  GROUP BY 1)
+           |SELECT p.min_match, p.n_candidates, p.n_true_candidates,
+           |  CASE WHEN p.n_candidates > 0
+           |       THEN round(p.n_true_candidates * 1.0 / p.n_candidates, 6) END AS cand_precision,
+           |  nt.n_true_sample, p.n_found_sample,
+           |  CASE WHEN nt.n_true_sample > 0
+           |       THEN round(p.n_found_sample * 1.0 / nt.n_true_sample, 6) END AS sample_recall
+           |FROM per p, nt ORDER BY p.min_match""".stripMargin,
       "q84_dup_rate" ->
         s"""WITH RECURSIVE $componentCtes,
            |gs AS (SELECT comp, count(*) sz FROM comp GROUP BY 1),

@@ -402,6 +402,29 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q167: precision/recall are probabilities, candidates shrink with min_match") {
+    val rows = SparkEntry.queries("q167_lsh_eval")(spark, dir).collect()
+    assert(rows.length == 3, "one row per minMatch threshold")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3, 4))
+    val cands = rows.map(_.getLong(1))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      "raising min_match can only shrink the candidate set")
+    rows.foreach { r =>
+      val (nc, nt, found) = (r.getLong(1), r.getLong(2), r.getLong(5))
+      val nTruth = r.getLong(4)
+      assert(nt <= nc, "true candidates are candidates")
+      assert(found <= nTruth, "found sample pairs are a subset of the truth")
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      if (!r.isNullAt(6))
+        assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // at min_match=2 the candidate generator must find every sampled true
+    // pair that shares >= 2 bands — recall on this fixture is high, not 0
+    assert(rows.head.getLong(5) > 0, "fixture yields sampled true pairs found")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

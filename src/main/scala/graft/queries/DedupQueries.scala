@@ -579,6 +579,42 @@ object DedupQueries {
         .orderBy($"min_match")
     }),
 
+    // Keeper-quality AUDIT of the dedup policy — "keep the lowest doc_id"
+    // (q36/q100's law, and every hash-deterministic dedup's) is cheap and
+    // reproducible, but is it throwing away the BEST copy? Per near-dup
+    // component: the kept doc vs the quality-argmax doc (q52's score,
+    // rounded 6dp BEFORE ranking — the round-before-rank law), agreement
+    // flag, and the quality sacrificed. The table that justifies (or
+    // indicts) min-id dedup at this corpus. Rides the memoized component
+    // closure + the shared profile cache; windows partition by component.
+    "q169_keeper_quality" -> ((s, dir) => {
+      import s.implicits._
+      val comp = docComponents(s, dir)
+      val q = graft.queries.DocProfiles.profiled(s, dir)
+        .select($"doc_id",
+          round(lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+            lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+            lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0)),
+            6).as("qual"))
+      val wq = Window.partitionBy($"comp").orderBy($"qual".desc, $"doc_id".asc)
+      val wk = Window.partitionBy($"comp").orderBy($"doc_id".asc)
+      comp.select($"id".as("doc_id"), $"comp")
+        .join(q, Seq("doc_id"))
+        .withColumn("rkq", row_number().over(wq))
+        .withColumn("rkk", row_number().over(wk))
+        .groupBy($"comp")
+        .agg(count(lit(1)).as("group_size"),
+          min($"doc_id").as("keeper"),
+          max(when($"rkk" === 1, $"qual")).as("keeper_quality"),
+          max(when($"rkq" === 1, $"doc_id")).as("best_doc"),
+          max(when($"rkq" === 1, $"qual")).as("best_quality"))
+        .select($"comp", $"group_size", $"keeper", $"keeper_quality",
+          $"best_doc", $"best_quality",
+          ($"keeper" === $"best_doc").as("keeper_is_best"),
+          round($"best_quality" - $"keeper_quality", 6).as("quality_sacrifice"))
+        .orderBy($"comp")
+    }),
+
     "q84_dup_rate" -> ((s, dir) => {
       import s.implicits._
       val comp = docComponents(s, dir)
@@ -1041,6 +1077,27 @@ object DedupQueries {
            |  CASE WHEN nt.n_true_sample > 0
            |       THEN round(p.n_found_sample * 1.0 / nt.n_true_sample, 6) END AS sample_recall
            |FROM per p, nt ORDER BY p.min_match""".stripMargin,
+      "q169_keeper_quality" ->
+        s"""WITH RECURSIVE $componentCtes,
+           |tq AS (SELECT doc_id,
+           |    round(0.5 * least(len(toks) * 1.0 / 100.0, 1.0)
+           |      + 0.3 * (len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) * 1.0 / len(toks))
+           |      + 0.2 * least((list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)) / 6.0, 1.0),
+           |      6) AS qual
+           |  FROM t),
+           |mm AS (SELECT c.doc_id, c.comp, tq.qual,
+           |    row_number() OVER (PARTITION BY c.comp ORDER BY tq.qual DESC, c.doc_id ASC) rkq,
+           |    row_number() OVER (PARTITION BY c.comp ORDER BY c.doc_id ASC) rkk
+           |  FROM comp c JOIN tq USING (doc_id))
+           |SELECT comp, count(*) AS group_size,
+           |  min(doc_id) AS keeper,
+           |  max(CASE WHEN rkk = 1 THEN qual END) AS keeper_quality,
+           |  max(CASE WHEN rkq = 1 THEN doc_id END) AS best_doc,
+           |  max(CASE WHEN rkq = 1 THEN qual END) AS best_quality,
+           |  (min(doc_id) = max(CASE WHEN rkq = 1 THEN doc_id END)) AS keeper_is_best,
+           |  round(max(CASE WHEN rkq = 1 THEN qual END)
+           |    - max(CASE WHEN rkk = 1 THEN qual END), 6) AS quality_sacrifice
+           |FROM mm GROUP BY comp ORDER BY comp""".stripMargin,
       "q84_dup_rate" ->
         s"""WITH RECURSIVE $componentCtes,
            |gs AS (SELECT comp, count(*) sz FROM comp GROUP BY 1),

@@ -729,6 +729,41 @@ object TextQueries {
         .orderBy($"shard")
     }),
 
+    // Quality-score CALIBRATION — the reliability table for q52's linear
+    // quality score, judged against the independent Gopher gate verdict
+    // (q83's four rules): per score decile, what fraction of docs
+    // actually pass the gates. A well-calibrated score rises
+    // monotonically; a flat or inverted decile tells the curation owner
+    // the cheap score is not a proxy for the expensive gates at this
+    // corpus. Spelled with BOTH laws verbatim (q52's score arithmetic in
+    // the oracle's exact operation order, so floor(score·10) lands in
+    // the same decile bit-for-bit; q83's gate thresholds unchanged).
+    // One narrow pass off the shared profile cache + a 10-row rollup.
+    "q168_quality_calibration" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val d = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"n_tok", $"sum_len", $"n_stop",
+          wordShingles($"toks", 3).as("g3"))
+        .withColumn("dup3", when(size($"g3") > 0,
+            lit(1.0) - size(array_distinct($"g3")) * lit(1.0) / size($"g3"))
+          .otherwise(lit(0.0)))
+      val avgLen = $"sum_len" * lit(1.0) / $"n_tok"
+      val stopRatio = $"n_stop" * lit(1.0) / $"n_tok"
+      val score = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * stopRatio +
+        lit(0.2) * least(avgLen / 6.0, lit(1.0))
+      val pass = !($"n_tok" < 30) && !(avgLen < 2.5 || avgLen > 8.0) &&
+        !(stopRatio < 0.03) && !($"dup3" > 0.15)
+      d.select(least(floor(score * 10).cast("int"), lit(9)).as("decile"),
+          when(pass, 1L).otherwise(0L).as("p"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"p").as("n_gopher_pass"),
+          round(sum($"p") * lit(1.0) / count(lit(1)), 6).as("pass_rate"))
+        .orderBy($"decile")
+    }),
+
     // Eval decontamination — flag train-split documents that share any
     // word-5-gram with a test-split document (the standard n-gram-overlap
     // contamination check run before training). Reuses q56's deterministic
@@ -1683,6 +1718,31 @@ object TextQueries {
           |  max(bin_toks) AS max_bin_toks,
           |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio
           |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+      "q168_quality_calibration" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+           |b AS (SELECT doc_id, len(toks) n_tok,
+           |    list_sum(list_transform(toks, t -> len(t))) sum_len,
+           |    len(list_filter(toks, t -> t IN (${inList(stop("en"))}))) n_stop
+           |  FROM t),
+           |g AS (SELECT doc_id, toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] AS g
+           |      FROM t, unnest(range(greatest(len(toks)-2, 0))) AS u(j)),
+           |dd AS (SELECT doc_id, count(*) n_g3, count(DISTINCT g) n_dist FROM g GROUP BY 1),
+           |sc AS (SELECT b.doc_id, b.n_tok, b.sum_len, b.n_stop,
+           |    coalesce(CASE WHEN dd.n_g3 > 0 THEN 1.0 - dd.n_dist * 1.0 / dd.n_g3 END, 0.0) dup3,
+           |    0.5 * least(b.n_tok * 1.0 / 100.0, 1.0)
+           |      + 0.3 * (b.n_stop * 1.0 / b.n_tok)
+           |      + 0.2 * least((b.sum_len * 1.0 / b.n_tok) / 6.0, 1.0) AS score
+           |  FROM b LEFT JOIN dd USING (doc_id)),
+           |f AS (SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS INT) AS decile,
+           |    CASE WHEN NOT (n_tok < 30)
+           |          AND NOT ((sum_len * 1.0 / n_tok) < 2.5 OR (sum_len * 1.0 / n_tok) > 8.0)
+           |          AND NOT ((n_stop * 1.0 / n_tok) < 0.03)
+           |          AND NOT (dup3 > 0.15) THEN 1 ELSE 0 END p
+           |  FROM sc)
+           |SELECT decile, count(*) AS n_docs,
+           |  CAST(sum(p) AS BIGINT) AS n_gopher_pass,
+           |  round(sum(p) * 1.0 / count(*), 6) AS pass_rate
+           |FROM f GROUP BY decile ORDER BY decile""".stripMargin,
       "q166_seq_fragmentation" ->
         """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) toks,
           |    md5('pack:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),

@@ -425,6 +425,35 @@ class PipelineLawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q168: deciles partition the corpus, pass rates are probabilities") {
+    val rows = SparkEntry.queries("q168_quality_calibration")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "deciles partition the corpus")
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      assert(r.getLong(2) <= r.getLong(1), "passes bounded by docs")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q169: keeper is min id, sacrifice nonnegative, flags restate equality") {
+    val rows = SparkEntry.queries("q169_keeper_quality")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture has near-dup components")
+    rows.foreach { r =>
+      val (comp, sz, keeper, bestDoc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(sz >= 2, "components come from pairs")
+      assert(keeper == comp, "CC labels components by min member id")
+      assert(r.getBoolean(6) == (keeper == bestDoc))
+      assert(r.getDouble(7) >= 0.0, "argmax quality >= keeper quality")
+      assert(math.abs(r.getDouble(5) - r.getDouble(3) - r.getDouble(7)) < 1e-6,
+        "sacrifice = best - keeper")
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q146: token mass conserved and oov_rate is a probability") {
     val rows = SparkEntry.queries("q146_oov_rate")(spark, dir).collect()
     assert(rows.length == 20, "one row per source")

@@ -393,6 +393,41 @@ object SimilarityQueries {
     // broadcast of k centroids against one scan of the delta — no
     // corpus-sized work at all — and the staleness ledger decides when
     // the expensive Lloyd rebuild actually pays.
+    // IVF MAINTENANCE through the driver gate — the q121 treatment for
+    // [[graft.operators.IvfIncremental]]: build a REAL persisted index on
+    // the 70% "at-build" slice (q152's md5 split law), append the 30%
+    // arrivals through the operator's frozen-centroid path, hand the
+    // driver the resulting staleness table; the oracle recomputes the
+    // whole lifecycle in SQL (vec_id%10 init, one Lloyd round, frozen
+    // assignment of both generations). Equality IS the operator's claim:
+    // incrementally-appended == from-scratch under the frozen quantizer.
+    // Runs once per batch (ResultMemo); scratch index deleted after
+    // collect; the returned frame is k rows.
+    "q170_ivf_maintenance" -> ((s, dir) =>
+      graft.operators.ResultMemo.getOrCompute(
+        s"ivfinc:$dir:${graft.operators.SessionKey(s)}") {
+        import s.implicits._
+        val isNew = (conv(substring(md5(concat(lit("new:"), $"vec_id".cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0) < 0.3
+        val all = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"), isNew.as("is_new"))
+        val base = java.nio.file.Files.createTempDirectory("graft-q170").toString
+        try {
+          val idx = s"$base/idx"
+          graft.operators.IvfIncremental.build(
+            s, all.where(!$"is_new").select($"vec_id", $"v"), idx, k = 10, iters = 1)
+          graft.operators.IvfIncremental.append(
+            s, idx, all.where($"is_new").select($"vec_id", $"v"))
+          val rows = graft.operators.IvfIncremental.staleness(s, idx, 0.3)
+            .as[(Int, Long, Long, Double, Boolean)].collect().toSeq.sorted
+          rows.toDF("cell", "n_base", "n_new", "new_frac", "stale")
+            .orderBy($"cell")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+          ()
+        }
+      }),
+
     "q152_ivf_staleness" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -1271,6 +1306,41 @@ object SimilarityQueries {
            |    (sqrt(list_dot_product(a.av, a.av)) * sqrt(list_dot_product(b.bv, b.bv))), 6)
            |    AS drift_cosine
            |FROM a JOIN b USING (label) ORDER BY a.label""".stripMargin,
+      "q170_ivf_maintenance" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           |      CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new
+           |    FROM embeddings),
+           |o AS (SELECT vec_id, v FROM e WHERE NOT is_new),
+           |nw AS (SELECT vec_id, v FROM e WHERE is_new),
+           |init AS (SELECT CAST(vec_id % 10 AS INT) AS cl, v FROM o),
+           |u0 AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM init),
+           |cp0 AS (SELECT cl, pos, round(avg(val), 6) c FROM u0 GROUP BY 1, 2),
+           |c0 AS (SELECT cl, list(c ORDER BY pos) cv FROM cp0 GROUP BY 1),
+           |a1 AS (SELECT o.vec_id, o.v, c0.cl,
+           |    row_number() OVER (PARTITION BY o.vec_id
+           |      ORDER BY ${cosSql("o.v", "c0.cv")} DESC, c0.cl ASC) rn
+           |  FROM o CROSS JOIN c0),
+           |m1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+           |u1 AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM m1),
+           |cp1 AS (SELECT cl, pos, round(avg(val), 6) c FROM u1 GROUP BY 1, 2),
+           |c1 AS (SELECT cl, list(c ORDER BY pos) cv FROM cp1 GROUP BY 1),
+           |b0 AS (SELECT o.vec_id, c1.cl,
+           |    row_number() OVER (PARTITION BY o.vec_id
+           |      ORDER BY ${cosSql("o.v", "c1.cv")} DESC, c1.cl ASC) rn
+           |  FROM o CROSS JOIN c1),
+           |g0 AS (SELECT vec_id, cl AS cell, 0 AS gen FROM b0 WHERE rn = 1),
+           |b1 AS (SELECT nw.vec_id, c1.cl,
+           |    row_number() OVER (PARTITION BY nw.vec_id
+           |      ORDER BY ${cosSql("nw.v", "c1.cv")} DESC, c1.cl ASC) rn
+           |  FROM nw CROSS JOIN c1),
+           |g1 AS (SELECT vec_id, cl AS cell, 1 AS gen FROM b1 WHERE rn = 1),
+           |cells AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+           |SELECT cell,
+           |  CAST(sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           |  CAST(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           |  round(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS new_frac,
+           |  sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) > 0.3 AS stale
+           |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
       "q152_ivf_staleness" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
            |        CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new

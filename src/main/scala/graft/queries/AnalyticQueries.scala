@@ -206,10 +206,11 @@ object AnalyticQueries {
     // date_trunc keys the window identically in Spark and DuckDB.
     "q21_tumbling_daily" -> ((s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
-        .groupBy(to_date($"ts").as("day"), $"event_type")
-        .agg(count(lit(1)).as("n"),
-          round(sum($"value".cast(dec)).cast("double"), 2).as("total"))
+      // reads the shared materialized daily rollup (EventStats — the
+      // table IncrementalRollup maintains); decimal sum kept exact
+      EventStats.dailyTypeAgg(s, dir)
+        .select($"day", $"event_type", $"n",
+          round($"total_dec".cast("double"), 2).as("total"))
         .orderBy($"day", $"event_type")
     }),
 

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** ONE cached (day, event_type, n, total_dec) rollup of the event log —
+  * the DocProfiles treatment for the events side: this is exactly the
+  * materialized daily table [[graft.operators.IncrementalRollup]]
+  * maintains in production (q121 gates it), so the daily-analytics pack
+  * (q21 tumbling, q23 sliding, q37 pivot, q90 z-scores, q140 CUSUM)
+  * reads the STORED artifact instead of re-shuffling the raw log per
+  * query. Re-derivations stay exact: counts re-sum exactly, and the
+  * per-(day,type) sum is kept as DECIMAL so any regrouping is exact
+  * decimal addition (a double here would make downstream sums
+  * order-sensitive).
+  */
+object EventStats {
+
+  /** (day DATE, event_type STRING, n BIGINT, total_dec DECIMAL(18,2)). */
+  def dailyTypeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CacheRegistry.track(Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).as("total_dec"))
+      .cache())
+  }
+}

@@ -69,9 +69,8 @@ object ExtendedQueries {
     // sum per type. Two narrow shuffles (day-agg, then window by type).
     "q23_sliding_window" -> ((s, dir) => {
       import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy(to_date($"ts").as("day"), $"event_type")
-        .agg(sum($"value".cast(dec)).as("daily_total_dec"))
+      val daily = EventStats.dailyTypeAgg(s, dir)
+        .select($"day", $"event_type", $"total_dec".as("daily_total_dec"))
       val w = Window.partitionBy($"event_type").orderBy($"day".asc).rowsBetween(-2, 0)
       daily
         .withColumn("sliding3", round(sum($"daily_total_dec").over(w).cast("double"), 2))
@@ -129,11 +128,14 @@ object ExtendedQueries {
     "q37_pivot" -> ((s, dir) => {
       import s.implicits._
       val types = Seq("click", "error", "purchase", "signup", "view")
-      Tables.events(s, dir)
-        .groupBy(to_date($"ts").as("day"))
-        .pivot("event_type", types)
-        .agg(count(lit(1)))
-        .na.fill(0L, types)
+      // pivot over the shared daily rollup: conditional sums of exact
+      // per-(day,type) counts — same values as the raw-log pivot (absent
+      // cells coalesce to 0, the na.fill law), minus the raw-log shuffle
+      val cols = types.map(t =>
+        coalesce(sum(when($"event_type" === t, $"n")), lit(0L)).as(t))
+      EventStats.dailyTypeAgg(s, dir)
+        .groupBy($"day")
+        .agg(cols.head, cols.tail: _*)
         .orderBy($"day")
     }),
 
@@ -482,8 +484,8 @@ object ExtendedQueries {
     // the float cusum deterministic in both engines; 6dp round.
     "q140_cusum_changepoint" -> ((s, dir) => {
       import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+      val daily = EventStats.dailyTypeAgg(s, dir)
+        .groupBy($"day").agg(sum($"n").as("n")) // exact count re-sum
       val mu = daily.agg(avg($"n").as("mu"))
       val wCum = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wRk = Window.orderBy(abs($"cusum").desc, $"day".asc)
@@ -729,9 +731,8 @@ object ExtendedQueries {
     // cannot flip a verdict except exactly at the boundary.
     "q90_anomaly_zscore" -> ((s, dir) => {
       import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date($"ts").as("day"))
-        .agg(count(lit(1)).as("cnt"))
+      val daily = EventStats.dailyTypeAgg(s, dir)
+        .select($"event_type", $"day", $"n".as("cnt"))
       val stats = daily.groupBy($"event_type")
         .agg(avg($"cnt").as("mu"), stddev_samp($"cnt").as("sd"),
           count(lit(1)).as("n_days"),

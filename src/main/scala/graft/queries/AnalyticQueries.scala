@@ -113,7 +113,7 @@ object AnalyticQueries {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
         .rowsBetween(-6, Window.currentRow)
-      Tables.events(s, dir)
+      EventStats.byUser(s, dir) // user-clustered cache (EventStats.byUser)
         .withColumn("rolling7",
           round(sum($"value".cast(dec)).over(w).cast("double"), 2))
         .select($"event_id", $"user_id", $"rolling7")
@@ -221,7 +221,7 @@ object AnalyticQueries {
     "q22_sessionize" -> ((s, dir) => {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      Tables.events(s, dir)
+      EventStats.byUser(s, dir) // user-clustered cache
         .withColumn("prev_ts", lag($"ts", 1).over(byUser))
         .withColumn("new_session",
           when($"prev_ts".isNull ||

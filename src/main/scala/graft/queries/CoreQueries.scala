@@ -98,7 +98,7 @@ object CoreQueries {
     "q08_versions" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      Tables.events(s, dir)
+      EventStats.byUser(s, dir) // user-clustered cache
         .withColumn("version", row_number().over(w))
         .select($"event_id", $"user_id", $"version")
         .orderBy($"event_id")

@@ -18,6 +18,20 @@ import graft.sources.Tables
   */
 object EventStats {
 
+  /** The event log pre-partitioned by user — the clustered layout a
+    * behavioral store keeps on disk (bucketed by user) so every per-user
+    * window/sessionization reads co-located rows. Cached WITH its hash
+    * partitioning: InMemoryTableScan reports outputPartitioning, so the
+    * per-user window family (q17/q22/q24/q150/q163…) skips its exchange
+    * and pays only the in-partition sort. One shuffle per session
+    * instead of one per query per execution.
+    */
+  def byUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.CacheRegistry.track(
+      Tables.events(s, dir).repartition($"user_id").cache())
+  }
+
   /** (day DATE, event_type STRING, n BIGINT, total_dec DECIMAL(18,2)). */
   def dailyTypeAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

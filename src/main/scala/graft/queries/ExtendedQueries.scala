@@ -84,7 +84,7 @@ object ExtendedQueries {
     "q24_lag_lead" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      Tables.events(s, dir)
+      EventStats.byUser(s, dir) // user-clustered cache: window skips its exchange
         .select($"event_id", $"user_id",
           round($"value" - lag($"value", 1).over(w), 6).as("delta_prev"),
           lead($"event_type", 1).over(w).as("next_type"))
@@ -652,7 +652,7 @@ object ExtendedQueries {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
       val wType = Window.partitionBy($"event_type")
-      Tables.events(s, dir)
+      EventStats.byUser(s, dir) // user-clustered cache
         .select($"user_id", $"ts", $"event_id", $"event_type")
         .withColumn("next_type", lead($"event_type", 1).over(w))
         .where($"next_type".isNotNull)
@@ -670,7 +670,7 @@ object ExtendedQueries {
     "q87_retention_cohorts" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id")
-      Tables.events(s, dir)
+      EventStats.byUser(s, dir) // user-clustered cache
         .select($"user_id", to_date($"ts").as("day"))
         .withColumn("cohort", min($"day").over(w))
         .select($"cohort", datediff($"day", $"cohort").as("day_offset"), $"user_id")
@@ -889,7 +889,7 @@ object ExtendedQueries {
     "q150_gap_percentiles" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      val gaps = Tables.events(s, dir)
+      val gaps = EventStats.byUser(s, dir) // user-clustered cache
         .select($"user_id", $"event_id", $"ts", $"event_type")
         .withColumn("nxt", lead($"ts", 1).over(w))
         .where($"nxt".isNotNull)
@@ -1059,7 +1059,7 @@ object ExtendedQueries {
     "q163_trajectory_patterns" -> ((s, dir) => {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      val sess = Tables.events(s, dir)
+      val sess = EventStats.byUser(s, dir) // user-clustered cache
         .withColumn("prev_ts", lag($"ts", 1).over(byUser))
         .withColumn("new_session",
           when($"prev_ts".isNull ||

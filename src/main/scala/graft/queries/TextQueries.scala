@@ -729,6 +729,26 @@ object TextQueries {
         .orderBy($"shard")
     }),
 
+    // Iterative BPE training through the driver gate — q142 gates merge
+    // #1; this drives [[graft.operators.BpeTrainer]]'s full Sennrich loop
+    // for THREE merges and oracles the whole merge log: the oracle
+    // re-runs each round in SQL by collapsing the chosen pair into a
+    // marker char (replace() is left-to-right non-overlapping — exactly
+    // the trainer's merge scan), counting marker-string pairs (bijective
+    // with symbol pairs), and expanding markers back to real symbols for
+    // output and for the lexicographic TIE-BREAK (compared on expanded
+    // symbols on both sides). Runs once per batch (ResultMemo); the log
+    // is 3 rows.
+    "q171_bpe_train" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+        s"bpetrain:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val log = graft.operators.BpeTrainer.trainLog(
+        graft.operators.BpeTrainer.wordDict(Tables.documents(s, dir), "text"), 3)
+      log.map(m => (m.mergeNo, m.a, m.b, m.a + m.b, m.count))
+        .toDF("merge_no", "sym_a", "sym_b", "merged", "pair_count")
+        .orderBy($"merge_no")
+    }),
+
     // Quality-score CALIBRATION — the reliability table for q52's linear
     // quality score, judged against the independent Gopher gate verdict
     // (q83's four rules): per score decile, what fraction of docs
@@ -1723,6 +1743,45 @@ object TextQueries {
           |  max(bin_toks) AS max_bin_toks,
           |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio
           |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+      "q171_bpe_train" ->
+        """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |            FROM documents),
+          |f0 AS (SELECT w, count(*) n FROM w0
+          |       WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
+          |p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f0) GROUP BY 1),
+          |b1 AS (SELECT pair, cnt FROM p1
+          |       ORDER BY cnt DESC, substr(pair, 1, 1) ASC, substr(pair, 2, 1) ASC LIMIT 1),
+          |f1 AS (SELECT replace(f0.w, b1.pair, chr(1)) AS w, f0.n FROM f0, b1),
+          |p2 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f1) GROUP BY 1),
+          |b2 AS (SELECT p2.pair AS pair, p2.cnt AS cnt FROM p2, b1
+          |       ORDER BY p2.cnt DESC,
+          |         replace(substr(p2.pair, 1, 1), chr(1), b1.pair) ASC,
+          |         replace(substr(p2.pair, 2, 1), chr(1), b1.pair) ASC LIMIT 1),
+          |f2 AS (SELECT replace(f1.w, b2.pair, chr(2)) AS w, f1.n FROM f1, b2),
+          |p3 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f2) GROUP BY 1),
+          |b3 AS (SELECT p3.pair AS pair, p3.cnt AS cnt FROM p3, b1, b2
+          |       ORDER BY p3.cnt DESC,
+          |         replace(replace(substr(p3.pair, 1, 1), chr(2), b2.pair), chr(1), b1.pair) ASC,
+          |         replace(replace(substr(p3.pair, 2, 1), chr(2), b2.pair), chr(1), b1.pair) ASC LIMIT 1)
+          |SELECT * FROM (
+          |  SELECT 1 AS merge_no,
+          |    substr(b1.pair, 1, 1) AS sym_a, substr(b1.pair, 2, 1) AS sym_b,
+          |    b1.pair AS merged, b1.cnt AS pair_count FROM b1
+          |  UNION ALL
+          |  SELECT 2,
+          |    replace(substr(b2.pair, 1, 1), chr(1), b1.pair),
+          |    replace(substr(b2.pair, 2, 1), chr(1), b1.pair),
+          |    replace(b2.pair, chr(1), b1.pair), b2.cnt FROM b2, b1
+          |  UNION ALL
+          |  SELECT 3,
+          |    replace(replace(substr(b3.pair, 1, 1), chr(2), b2.pair), chr(1), b1.pair),
+          |    replace(replace(substr(b3.pair, 2, 1), chr(2), b2.pair), chr(1), b1.pair),
+          |    replace(replace(b3.pair, chr(2), b2.pair), chr(1), b1.pair),
+          |    b3.cnt FROM b3, b2, b1
+          |) ORDER BY merge_no""".stripMargin,
       "q168_quality_calibration" ->
         s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
            |b AS (SELECT doc_id, len(toks) n_tok,

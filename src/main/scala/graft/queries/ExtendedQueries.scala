@@ -482,6 +482,30 @@ object ExtendedQueries {
     // the one unpartitioned window is over ~30 aggregated rows (the
     // q119/q120 audit law), never raw events. Day-ordered summation makes
     // the float cusum deterministic in both engines; 6dp round.
+    // k-ANONYMITY audit — the re-identification compliance check that
+    // complements q147's DP release and q151's erasure planner: under the
+    // quasi-identifier (event_type, day-of-week, coarse value bucket),
+    // how many equivalence groups are smaller than k, and what row mass
+    // sits in them (those rows are re-identifiable by linking the quasi
+    // columns). Reported across the k ladder a privacy reviewer actually
+    // sweeps. One shuffle to the group table; the ladder fold is
+    // group-table-sized. Exact integers + one division.
+    "q172_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val g = Tables.events(s, dir)
+        .groupBy($"event_type", dayofweek($"ts").as("dow"),
+          floor($"value" / 100).cast("long").as("vb"))
+        .agg(count(lit(1)).as("gsz"))
+      g.select($"gsz", explode(array(lit(2), lit(5), lit(10))).as("k"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"gsz" < $"k", 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(when($"gsz" < $"k", $"gsz").otherwise(0L)).as("n_rows_at_risk"),
+          round(sum(when($"gsz" < $"k", $"gsz").otherwise(0L)) * lit(1.0)
+            / sum($"gsz"), 6).as("frac_rows_at_risk"))
+        .orderBy($"k")
+    }),
+
     "q140_cusum_changepoint" -> ((s, dir) => {
       import s.implicits._
       val daily = EventStats.dailyTypeAgg(s, dir)
@@ -1727,6 +1751,17 @@ object ExtendedQueries {
         |SELECT f.day, round(f.e, 2) AS est_active_7, x.exact_active_7,
         |  round(abs(round(f.e, 2) - x.exact_active_7) / x.exact_active_7, 4) AS rel_err
         |FROM fin f JOIN x USING (day) ORDER BY day""".stripMargin,
+    "q172_k_anonymity" ->
+      """WITH g AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(floor(value / 100) AS BIGINT) AS vb, CAST(count(*) AS BIGINT) gsz
+        |  FROM events GROUP BY 1, 2, 3),
+        |kk AS (SELECT CAST(x AS INT) AS k FROM (VALUES (2), (5), (10)) v(x))
+        |SELECT kk.k AS k, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN gsz < kk.k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(CASE WHEN gsz < kk.k THEN gsz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  round(sum(CASE WHEN gsz < kk.k THEN gsz ELSE 0 END) * 1.0 / sum(gsz), 6)
+        |    AS frac_rows_at_risk
+        |FROM kk CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin,
     // q140: same day-ordered cumulative sum against the global daily
     // mean; changepoint = max |cusum| (ties by earliest day).
     "q140_cusum_changepoint" ->

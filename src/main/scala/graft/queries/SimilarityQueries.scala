@@ -295,6 +295,48 @@ object SimilarityQueries {
         .orderBy($"q_id", $"rk")
     }),
 
+    // Matryoshka truncation audit (Kusupati et al. 2022, arXiv:2205.13147
+    // — MRL embeddings serve PREFIXES of the vector at lower cost): how
+    // much retrieval survives truncating 64 dims to the first 16? Per
+    // sampled query: top-10 overlap between full-dim and prefix-dim
+    // cosine rankings, and whether the full-dim top-1 is kept. THE
+    // go/no-go table for serving truncated vectors (storage/compute 4×
+    // down). Same brute-force law as q41 at both widths — broadcast
+    // query set over one corpus scan, nothing corpus-quadratic; ranks on
+    // raw cosine with the vec_id tie-break (q41's pinned law).
+    "q173_matryoshka_audit" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = normalized(s, dir)
+        .select($"vec_id", $"v", $"nrm", slice($"v", 1, 16).as("v16"))
+        .withColumn("nrm16", sqrt(dot($"v16", $"v16")))
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"v16".as("qv16"), $"nrm16".as("qnrm16"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val w16 = Window.partitionBy($"q_id").orderBy($"cos16".desc, $"vec_id".asc)
+      // the two-width score table is the audit's pass-invariant fixture
+      // (and both rank windows read it) — cached
+      val scored = graft.operators.CacheRegistry.track(
+        e.join(broadcast(q), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
+            (dot($"qv16", $"v16") / ($"qnrm16" * $"nrm16")).as("cos16"))
+          .cache())
+      val full = scored.withColumn("rk", row_number().over(w))
+        .where($"rk" <= TopK).select($"q_id", $"vec_id", $"rk")
+      val trunc = scored.withColumn("rk16", row_number().over(w16))
+        .where($"rk16" <= TopK).select($"q_id", $"vec_id", $"rk16")
+      full.join(trunc, Seq("q_id", "vec_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(when($"rk16".isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+          max(when($"rk" === 1, $"rk16".isNotNull)).as("top1_kept"))
+        .select($"q_id", $"n_overlap",
+          round($"n_overlap" * lit(1.0) / TopK, 6).as("overlap_frac"),
+          $"top1_kept")
+        .orderBy($"q_id")
+    }),
+
     "q41_knn_brute" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -1306,6 +1348,30 @@ object SimilarityQueries {
            |    (sqrt(list_dot_product(a.av, a.av)) * sqrt(list_dot_product(b.bv, b.bv))), 6)
            |    AS drift_cosine
            |FROM a JOIN b USING (label) ORDER BY a.label""".stripMargin,
+      "q173_matryoshka_audit" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           |           (embedding::DOUBLE[])[1:16] v16 FROM embeddings),
+           |q AS (SELECT vec_id q_id, v qv, v16 qv16 FROM e WHERE vec_id < $NQueries),
+           |sc AS (SELECT q.q_id, e.vec_id,
+           |    ${cosSql("q.qv", "e.v")} AS cos,
+           |    ${cosSql("q.qv16", "e.v16")} AS cos16
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+           |f AS (SELECT q_id, vec_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) rk
+           |  FROM sc),
+           |t AS (SELECT q_id, vec_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos16 DESC, vec_id ASC) rk16
+           |  FROM sc),
+           |j AS (SELECT ff.q_id, ff.vec_id, ff.rk, tt.rk16
+           |      FROM (SELECT * FROM f WHERE rk <= $TopK) ff
+           |      LEFT JOIN (SELECT * FROM t WHERE rk16 <= $TopK) tt
+           |        USING (q_id, vec_id))
+           |SELECT q_id,
+           |  CAST(sum(CASE WHEN rk16 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           |  round(sum(CASE WHEN rk16 IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / $TopK, 6)
+           |    AS overlap_frac,
+           |  max(CASE WHEN rk = 1 THEN rk16 IS NOT NULL END) AS top1_kept
+           |FROM j GROUP BY 1 ORDER BY q_id""".stripMargin,
       "q170_ivf_maintenance" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
            |      CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new

@@ -729,6 +729,33 @@ object TextQueries {
         .orderBy($"shard")
     }),
 
+    // Vocabulary-size coverage curve — the "how big must the vocab be"
+    // table a tokenizer owner reads before fixing |V| (complement of
+    // q146's fixed-vocab OOV rate): token-occurrence mass covered by the
+    // top-N words at each ladder size. Rides the shared (source, w, c)
+    // cache; the rank window runs over the VOCAB-sized aggregate (the
+    // audit's above-an-Aggregate law), never the corpus. Exact integers
+    // + one division per row.
+    "q174_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val wc = DocProfiles.sourceWordCounts(s, dir)
+        .groupBy($"w").agg(sum($"c").as("c"))
+      val wRank = Window.orderBy($"c".desc, $"w".asc)
+      val ranked = wc.withColumn("rk", row_number().over(wRank))
+      val tot = wc.agg(sum($"c").as("tot"), count(lit(1)).as("vocab_size"))
+      ranked.select($"rk", $"c",
+          explode(array(lit(100), lit(1000), lit(10000))).as("vocab_n"))
+        .where($"rk" <= $"vocab_n")
+        .groupBy($"vocab_n")
+        .agg(sum($"c").as("covered"))
+        .crossJoin(broadcast(tot))
+        .select($"vocab_n",
+          least($"vocab_n".cast("long"), $"vocab_size").as("n_words"),
+          $"covered", $"tot".as("total_occurrences"),
+          round($"covered" * lit(1.0) / $"tot", 6).as("coverage"))
+        .orderBy($"vocab_n")
+    }),
+
     // Iterative BPE training through the driver gate — q142 gates merge
     // #1; this drives [[graft.operators.BpeTrainer]]'s full Sennrich loop
     // for THREE merges and oracles the whole merge log: the oracle
@@ -1743,6 +1770,22 @@ object TextQueries {
           |  max(bin_toks) AS max_bin_toks,
           |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio
           |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+      "q174_vocab_coverage" ->
+        """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |            FROM documents),
+          |wc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM w0
+          |       WHERE len(w) > 0 GROUP BY 1),
+          |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) rk FROM wc),
+          |t AS (SELECT CAST(sum(c) AS BIGINT) tot, CAST(count(*) AS BIGINT) vocab_size
+          |      FROM wc),
+          |n AS (SELECT CAST(x AS INT) AS vocab_n FROM (VALUES (100), (1000), (10000)) v(x))
+          |SELECT n.vocab_n,
+          |  least(CAST(n.vocab_n AS BIGINT), t.vocab_size) AS n_words,
+          |  CAST(sum(r.c) AS BIGINT) AS covered,
+          |  t.tot AS total_occurrences,
+          |  round(sum(r.c) * 1.0 / t.tot, 6) AS coverage
+          |FROM n JOIN r ON r.rk <= n.vocab_n CROSS JOIN t
+          |GROUP BY n.vocab_n, t.tot, t.vocab_size ORDER BY n.vocab_n""".stripMargin,
       "q171_bpe_train" ->
         """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
           |            FROM documents),

@@ -729,6 +729,75 @@ object TextQueries {
         .orderBy($"shard")
     }),
 
+    // Heavy-tail DIAGNOSIS of the document-length distribution — the
+    // Hill estimator ladder (Hill 1975): for each k, the tail index
+    // α̂_k = k / Σ_{i≤k} ln(x_i / x_(k+1)) over the k largest lengths.
+    // A stable plateau across k ⇒ genuine power-law tail (expect giant
+    // documents at any corpus size: cap/split them); α̂ drifting with k ⇒
+    // no power law. This is the plot practitioners read to pick k — and
+    // the principled backing for q145's clipping and q134's curriculum
+    // bins. Scale shape: the top-(k_max+1) lengths arrive via
+    // TakeOrderedAndProject (ties carry equal VALUES, so any tie choice
+    // yields the same multiset); the rank window runs above that Limit
+    // (the audit law). ln over exact integers; 6dp round at the end.
+    "q176_tail_index" -> ((s, dir) => {
+      import s.implicits._
+      val top = Tables.documents(s, dir)
+        .select($"n_chars".cast("double").as("x"))
+        .orderBy($"x".desc).limit(201)
+      val ranked = top
+        .withColumn("rk", row_number().over(Window.orderBy($"x".desc)))
+      val ks = Seq(50, 100, 200)
+      ranked.select($"rk", $"x",
+          explode(array(ks.map(lit): _*)).as("k"))
+        .where($"rk" <= $"k" + 1)
+        .groupBy($"k")
+        .agg(sum(when($"rk" <= $"k", log($"x"))).as("sum_ln"),
+          max(when($"rk" === $"k" + 1, $"x")).as("x_threshold"))
+        .select($"k", $"x_threshold",
+          round($"k" / ($"sum_ln" - $"k" * log($"x_threshold")), 6).as("alpha"))
+        .orderBy($"k")
+    }),
+
+    // Fold-based UNCERTAINTY on corpus statistics — the missing error
+    // bar: any per-source mean (here q52's quality score) is a point
+    // estimate; splitting the corpus into 10 deterministic md5 folds and
+    // reading the spread of fold means gives the classic big-data
+    // standard error without resampling RNG. A source whose CI is wide
+    // has too few docs to trust its quality number. Fold means are
+    // rounded 6dp BEFORE the spread (round-before-aggregate), so the
+    // second-level stats fold identical inputs on both engines. One
+    // narrow pass off the profile cache + two bounded aggs.
+    "q175_fold_uncertainty" -> ((s, dir) => {
+      import s.implicits._
+      val fold = (conv(substring(md5(concat(lit("fold:"), $"doc_id".cast("string"))
+        .cast("binary")), 1, 4), 16, 10) % 10).cast("int")
+      val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+        lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+      // fold means live as exact integer MICRO-units (6dp × 1e6), so the
+      // spread is computed from exact integer sums — a float stddev's
+      // accumulation-order ulps can flip a 6dp round at a .5e-6 boundary
+      // between engines; (S2 − S1²/n)/(n−1) from exact longs cannot
+      val perFold = DocProfiles.profiled(s, dir)
+        .select($"source", fold.as("fold"), quality.as("q"))
+        .groupBy($"source", $"fold")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"q") * 1000000.0).cast("long").as("mi"))
+      perFold.groupBy($"source")
+        .agg(count(lit(1)).as("n_folds"),
+          sum($"n").as("n_docs"),
+          sum($"mi").as("s1"), sum($"mi" * $"mi").as("s2"))
+        .select($"source", $"n_folds", $"n_docs",
+          round($"s1" / $"n_folds" / 1e6, 6).as("mean_quality"),
+          round(sqrt(($"s2" - $"s1" * $"s1" / $"n_folds")
+            / ($"n_folds" - 1) / $"n_folds") / 1e6, 6).as("stderr"))
+        .select($"source", $"n_folds", $"n_docs", $"mean_quality", $"stderr",
+          round($"mean_quality" - lit(1.96) * $"stderr", 6).as("ci_lo"),
+          round($"mean_quality" + lit(1.96) * $"stderr", 6).as("ci_hi"))
+        .orderBy($"source")
+    }),
+
     // Vocabulary-size coverage curve — the "how big must the vocab be"
     // table a tokenizer owner reads before fixing |V| (complement of
     // q146's fixed-vocab OOV rate): token-occurrence mass covered by the
@@ -1770,6 +1839,48 @@ object TextQueries {
           |  max(bin_toks) AS max_bin_toks,
           |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio
           |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+      "q176_tail_index" ->
+        """WITH top AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+          |             ORDER BY x DESC LIMIT 201),
+          |r AS (SELECT x, row_number() OVER (ORDER BY x DESC) rk FROM top),
+          |k AS (SELECT CAST(kk AS INT) AS k FROM (VALUES (50), (100), (200)) v(kk)),
+          |g AS (SELECT k.k,
+          |    sum(CASE WHEN r.rk <= k.k THEN ln(r.x) END) AS sum_ln,
+          |    max(CASE WHEN r.rk = k.k + 1 THEN r.x END) AS x_threshold
+          |  FROM k JOIN r ON r.rk <= k.k + 1 GROUP BY 1)
+          |SELECT k, x_threshold,
+          |  round(k / (sum_ln - k * ln(x_threshold)), 6) AS alpha
+          |FROM g ORDER BY k""".stripMargin,
+      "q175_fold_uncertainty" ->
+        s"""WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') toks
+          |           FROM documents),
+          |b AS (SELECT doc_id, source,
+          |    CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 AS fold,
+          |    len(toks) n_tok,
+          |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+          |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) n_stop
+          |  FROM t),
+          |q AS (SELECT source, fold,
+          |    0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+          |      + 0.3 * (n_stop * 1.0 / n_tok)
+          |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0) AS qv
+          |  FROM b),
+          |pf AS (SELECT source, fold, CAST(count(*) AS BIGINT) n,
+          |       CAST(round(avg(qv) * 1000000.0) AS BIGINT) mi
+          |       FROM q GROUP BY 1, 2),
+          |agg AS (SELECT source, CAST(count(*) AS BIGINT) n_folds,
+          |    CAST(sum(n) AS BIGINT) n_docs,
+          |    CAST(sum(mi) AS BIGINT) s1, CAST(sum(mi * mi) AS BIGINT) s2
+          |  FROM pf GROUP BY 1),
+          |st AS (SELECT source, n_folds, n_docs,
+          |    round(s1 / n_folds / 1e6, 6) AS mean_quality,
+          |    round(sqrt((s2 - s1 * s1 / n_folds) / (n_folds - 1) / n_folds) / 1e6, 6)
+          |      AS stderr
+          |  FROM agg)
+          |SELECT source, n_folds, n_docs, mean_quality, stderr,
+          |  round(mean_quality - 1.96 * stderr, 6) AS ci_lo,
+          |  round(mean_quality + 1.96 * stderr, 6) AS ci_hi
+          |FROM st ORDER BY source""".stripMargin,
       "q174_vocab_coverage" ->
         """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
           |            FROM documents),

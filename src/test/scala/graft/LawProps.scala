@@ -118,4 +118,64 @@ object LawProps extends Properties("graft-laws") {
         (bounds :| "count bracket") &&
         (guaranteed :| "heavy hitters present")
     }
+
+  private val genToks: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("a", "b", "ab", "the", "x", "yy", "z9"))
+
+  private def arrayData(toks: List[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+
+  property("token-entropy expression law: equals the count-based formula; " +
+      "0 for constant docs; ln(n) for all-distinct; null only when empty") =
+    forAll(genToks) { toks =>
+      val got = Option(
+        graft.functions.expressions.TokenEntropyExpr.compute(arrayData(toks)))
+        .map(_.doubleValue())
+      if (toks.isEmpty) (got.isEmpty :| "empty -> null")
+      else {
+        val n = toks.size.toDouble
+        val counts = toks.groupBy(identity).values.map(_.size.toDouble)
+        val want = math.log(n) - counts.map(c => c * math.log(c)).sum / n
+        val v = got.get
+        ((math.abs(v - want) < 1e-9) :| "matches relational formula") &&
+          ((counts.size != 1 || math.abs(v) < 1e-12) :| "constant doc -> 0") &&
+          ((counts.exists(_ > 1) || math.abs(v - math.log(n)) < 1e-9)
+            :| "all-distinct -> ln n") &&
+          ((v >= -1e-12 && v <= math.log(n) + 1e-9) :| "0 <= H <= ln n")
+      }
+    }
+
+  property("top-token-share expression law: equals max count / n; in (0, 1]; " +
+      "1 iff constant; share >= 1/distinct") =
+    forAll(genToks) { toks =>
+      val got = Option(
+        graft.functions.expressions.TopTokenShareExpr.compute(arrayData(toks)))
+        .map(_.doubleValue())
+      if (toks.isEmpty) (got.isEmpty :| "empty -> null")
+      else {
+        val n = toks.size.toDouble
+        val counts = toks.groupBy(identity).values.map(_.size)
+        val want = counts.max / n
+        val v = got.get
+        ((v == want) :| "exactly max/n (one exact division)") &&
+          ((v > 0.0 && v <= 1.0) :| "a probability") &&
+          (((v == 1.0) == (counts.size == 1)) :| "1 iff single type") &&
+          ((v >= 1.0 / counts.size - 1e-12) :| "pigeonhole lower bound")
+      }
+    }
+
+  property("BPE encode law: lossless concat; applying merges never grows " +
+      "the segmentation; empty merge list = characters") =
+    forAll(Gen.alphaLowerStr.map(_.take(12)),
+      Gen.listOf(Gen.zip(Gen.alphaLowerStr.map(s => s.take(2)).suchThat(_.nonEmpty),
+        Gen.alphaLowerStr.map(s => s.take(2)).suchThat(_.nonEmpty)))) { (w, merges) =>
+      val m0 = graft.operators.BpeTrainer.BpeModel(Nil)
+      val m = graft.operators.BpeTrainer.BpeModel(merges)
+      val base = m0.encode(w)
+      val enc = m.encode(w)
+      ((base.mkString == w) :| "no merges = chars") &&
+        ((enc.mkString == w) :| "lossless under any merge list") &&
+        ((enc.size <= base.size) :| "merges never grow the segmentation")
+    }
 }

@@ -615,6 +615,32 @@ object DedupQueries {
         .orderBy($"comp")
     }),
 
+    // Dedup SCALING ladder — how duplicate mass grows with corpus size:
+    // at nested md5 subsamples (25% ⊂ 50% ⊂ 100%), the winnowing-
+    // fingerprint collision census. Near-dup mass grows superlinearly in
+    // crawl size (every new shard re-collides with everything already
+    // kept), so the 100 TB plan needs this curve, not one point: if
+    // dup_frac doubles from 50%→100%, the next 10× crawl is mostly
+    // duplicates and the dedup tier, not storage, is the budget item.
+    // One pass off the profile cache per ladder rung folded as a single
+    // conditional aggregation (rungs nest, so each fp group is counted
+    // once per rung it belongs to). Exact integers + one division.
+    "q177_dedup_scaling" -> ((s, dir) => {
+      import s.implicits._
+      val d = DocProfiles.profiled(s, dir)
+        .select($"pct", $"fp").where($"fp".isNotNull)
+        .select($"fp", explode(array(lit(0.25), lit(0.5), lit(1.0))).as("frac"))
+        .where($"pct" < $"frac")
+      d.groupBy($"frac", $"fp").agg(count(lit(1)).as("gsz"))
+        .groupBy($"frac")
+        .agg(sum($"gsz").as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when($"gsz" > 1, $"gsz" - 1).otherwise(0L)).as("n_removable"),
+          round(sum(when($"gsz" > 1, $"gsz" - 1).otherwise(0L)) * lit(1.0)
+            / sum($"gsz"), 6).as("dup_frac"))
+        .orderBy($"frac")
+    }),
+
     "q84_dup_rate" -> ((s, dir) => {
       import s.implicits._
       val comp = docComponents(s, dir)
@@ -1077,6 +1103,26 @@ object DedupQueries {
            |  CASE WHEN nt.n_true_sample > 0
            |       THEN round(p.n_found_sample * 1.0 / nt.n_true_sample, 6) END AS sample_recall
            |FROM per p, nt ORDER BY p.min_match""".stripMargin,
+      "q177_dedup_scaling" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks,
+          |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+          |  FROM documents),
+          |h AS (SELECT pct,
+          |    list_min(list_transform(
+          |      [list_aggregate(toks[j+1:j+5], 'string_agg', ' ') FOR j IN range(greatest(len(toks)-4, 0))],
+          |      s -> md5(s))) fp
+          |  FROM t),
+          |d AS (SELECT f.frac, h.fp FROM h
+          |      CROSS JOIN (SELECT CAST(x AS DOUBLE) AS frac
+          |                  FROM (VALUES (0.25), (0.5), (1.0)) v(x)) f
+          |      WHERE h.fp IS NOT NULL AND h.pct < f.frac),
+          |g AS (SELECT frac, fp, CAST(count(*) AS BIGINT) gsz FROM d GROUP BY 1, 2)
+          |SELECT frac, CAST(sum(gsz) AS BIGINT) AS n_docs,
+          |  CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(sum(CASE WHEN gsz > 1 THEN gsz - 1 ELSE 0 END) AS BIGINT) AS n_removable,
+          |  round(sum(CASE WHEN gsz > 1 THEN gsz - 1 ELSE 0 END) * 1.0 / sum(gsz), 6)
+          |    AS dup_frac
+          |FROM g GROUP BY frac ORDER BY frac""".stripMargin,
       "q169_keeper_quality" ->
         s"""WITH RECURSIVE $componentCtes,
            |tq AS (SELECT doc_id,

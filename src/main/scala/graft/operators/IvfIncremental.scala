@@ -100,8 +100,10 @@ object IvfIncremental {
     */
   def append(spark: SparkSession, indexDir: String,
       newVectors: DataFrame): Long = {
+    // max(gen) is null when the cells table is empty (build over an empty
+    // corpus) — coalesce to -1 so the first append lands as generation 0.
     val gen = assignments(spark, indexDir)
-      .agg(max(col("gen"))).collect()(0).getInt(0) + 1
+      .agg(coalesce(max(col("gen")), lit(-1))).collect()(0).getInt(0) + 1
     val assigned = assignFrozen(newVectors, centroids(spark, indexDir))
       .withColumn("gen", lit(gen))
     assigned.write.mode("append").parquet(s"$indexDir/cells")

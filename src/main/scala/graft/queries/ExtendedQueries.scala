@@ -482,6 +482,20 @@ object ExtendedQueries {
     // the one unpartitioned window is over ~30 aggregated rows (the
     // q119/q120 audit law), never raw events. Day-ordered summation makes
     // the float cusum deterministic in both engines; 6dp round.
+    "q140_cusum_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      val daily = EventStats.dailyTypeAgg(s, dir)
+        .groupBy($"day").agg(sum($"n").as("n")) // exact count re-sum
+      val mu = daily.agg(avg($"n").as("mu"))
+      val wCum = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRk = Window.orderBy(abs($"cusum").desc, $"day".asc)
+      daily.crossJoin(broadcast(mu))
+        .withColumn("cusum", round(sum($"n" - $"mu").over(wCum), 6))
+        .withColumn("is_changepoint", row_number().over(wRk) === 1)
+        .select($"day", $"n", $"cusum", $"is_changepoint")
+        .orderBy($"day")
+    }),
+
     // k-ANONYMITY audit — the re-identification compliance check that
     // complements q147's DP release and q151's erasure planner: under the
     // quasi-identifier (event_type, day-of-week, coarse value bucket),
@@ -504,20 +518,6 @@ object ExtendedQueries {
           round(sum(when($"gsz" < $"k", $"gsz").otherwise(0L)) * lit(1.0)
             / sum($"gsz"), 6).as("frac_rows_at_risk"))
         .orderBy($"k")
-    }),
-
-    "q140_cusum_changepoint" -> ((s, dir) => {
-      import s.implicits._
-      val daily = EventStats.dailyTypeAgg(s, dir)
-        .groupBy($"day").agg(sum($"n").as("n")) // exact count re-sum
-      val mu = daily.agg(avg($"n").as("mu"))
-      val wCum = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wRk = Window.orderBy(abs($"cusum").desc, $"day".asc)
-      daily.crossJoin(broadcast(mu))
-        .withColumn("cusum", round(sum($"n" - $"mu").over(wCum), 6))
-        .withColumn("is_changepoint", row_number().over(wRk) === 1)
-        .select($"day", $"n", $"cusum", $"is_changepoint")
-        .orderBy($"day")
     }),
 
     // CMS ROLLUP law — the frequency twin of q120: q131's count-min cells

@@ -71,7 +71,10 @@ object Tables {
     *     row-group pruning.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Needed BEFORE the read (schema inference rejects NANOS without it);
+    // check-then-set so repeated calls don't mutate shared session conf.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -43,11 +43,15 @@ object StreamingDecontamination {
   def flag(stream: DataFrame, textCol: String,
       bloomBytes: Array[Byte]): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(stream.sparkSession)
-    stream
-      .withColumn("ghs", gramHashes(textCol))
-      .withColumn("suspect", exists(col("ghs"),
-        gh => call_function("graft_bloom_contains",
-          lit(bloomBytes), xxhash64(gh))))
+    val flagged = stream.withColumn("ghs", gramHashes(textCol))
+    // BloomPrefilter.build returns null for an EMPTY test-gram table; a
+    // null filter makes graft_bloom_contains yield null, which would drop
+    // docs from BOTH paths (!null and null are each false). An empty test
+    // set means every doc is provably clean — say so explicitly.
+    if (bloomBytes == null) flagged.withColumn("suspect", lit(false))
+    else flagged.withColumn("suspect", exists(col("ghs"),
+      gh => call_function("graft_bloom_contains",
+        lit(bloomBytes), xxhash64(gh))))
   }
 
   /** The provably-clean fast path (no false negatives ⇒ no join needed). */

@@ -101,6 +101,16 @@ object StreamingNearDup {
   /** q31's minMatch verdict over collected hits: a doc colliding in >=
     * `minMatch` distinct bands is a near-dup candidate (batch fold — run
     * it per micro-batch in foreachBatch, or over the accumulated hit log).
+    *
+    * Saturation caveat (the one divergence from the batch law, see the
+    * object doc): a bucket that later saturates cannot retract hits it
+    * emitted BEFORE crossing `maxBucket` — Append-mode streams are
+    * non-retractive — so those pre-saturation hits still count toward
+    * the >= `minMatch` verdict here, while the batch q31 path drops the
+    * whole saturated band retroactively. A doc can therefore be
+    * quarantined at ingest that the batch sweep would not flag; it errs
+    * toward quarantine (false positive for the downstream exact-verify
+    * step), never toward missing a duplicate.
     */
   def quarantine(hits: DataFrame, minMatch: Int = 2): DataFrame =
     hits.groupBy(col("doc_id"))

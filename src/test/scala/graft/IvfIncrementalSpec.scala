@@ -74,6 +74,25 @@ class IvfIncrementalSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("append onto an empty cells table lands as generation 0 (no NPE on null max)") {
+    val idx = tmpDir("ivf-empty")
+    val all = corpus().cache()
+    // Index with trained centroids but ZERO assigned rows — the
+    // max(gen)=null shape: build, then truncate cells.
+    IvfIncremental.build(spark, all, idx)
+    val emptyCells = IvfIncremental.assignments(spark, idx).where(lit(false)).cache()
+    emptyCells.count()
+    emptyCells.write.mode("overwrite").parquet(s"$idx/cells")
+    assert(IvfIncremental.assignments(spark, idx).count() == 0L)
+    val wave = all.limit(7)
+    val n = IvfIncremental.append(spark, idx, wave) // NPE'd before the coalesce fix
+    assert(n == wave.count())
+    val gens = IvfIncremental.assignments(spark, idx)
+      .select($"gen").distinct().as[Int].collect().toSet
+    assert(gens == Set(0), s"first append onto empty cells is gen 0, got $gens")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("build is deterministic: same corpus, identical centroid tables") {
     val i1 = tmpDir("ivf-d1")
     val i2 = tmpDir("ivf-d2")

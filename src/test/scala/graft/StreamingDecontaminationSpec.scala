@@ -100,6 +100,13 @@ class StreamingDecontaminationSpec extends SparkSpec {
       "clean ∪ settled == exact decontaminated set")
     assert((cleanIds & settled).isEmpty)
 
+    // EMPTY TEST SET law: a null Bloom (BloomPrefilter.build over zero
+    // grams) means every doc is provably clean — nothing may be dropped.
+    val flaggedEmpty = StreamingDecontamination.flag(arrivals, "text", null)
+    assert(StreamingDecontamination.certainClean(flaggedEmpty).count() ==
+      arrivals.count(), "null bloom (empty test set) keeps every doc")
+    assert(StreamingDecontamination.suspects(flaggedEmpty).count() == 0L)
+
     // planted copies of test docs must be caught
     val planted = (all.filter(_ >= 5000L))
     assert(planted.nonEmpty && planted.subsetOf(trueHitIds),

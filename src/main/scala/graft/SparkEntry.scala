@@ -40,7 +40,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ AnalyticQueries.defs ++ ExtendedQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
-      MultimodalQueries.defs ++ GraphQueries.defs
+      MultimodalQueries.defs ++ GraphQueries.defs ++ StreamingGateQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +48,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ AnalyticQueries.oracles ++ ExtendedQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
-      MultimodalQueries.oracles ++ GraphQueries.oracles
+      MultimodalQueries.oracles ++ GraphQueries.oracles ++ StreamingGateQueries.oracles
 }

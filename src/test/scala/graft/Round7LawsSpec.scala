@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-7 streaming gate queries (q178-q180),
+  * asserted through the REAL query builders (which run their streaming
+  * drains — memoized per session, so each drain executes once here).
+  * The deep batch-equivalence proofs live in StreamingNearDupSpec /
+  * StreamingDecontaminationSpec / StreamingQuantileSpec; these laws pin
+  * the gate FIXTURES' semantics:
+  *
+  *   - q178: hits exist (the planted near-identical copies collide);
+  *     every hit's keeper strictly precedes the flagged doc; at least one
+  *     planted copy (+100000 ids) reaches the >=2-band quarantine verdict;
+  *   - q179: kept is a subset of the arrival id space; the planted
+  *     test-doc copies are NOT kept (they share every gram with the test
+  *     split); genuine train docs survive;
+  *   - q180: exactly |groups|x3 rows; per group the estimates are
+  *     monotone p50 <= p95 <= p99 and n equals the group's row count.
+  */
+class Round7LawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q178: keeper precedes doc; planted copies quarantine") {
+    val hits = SparkEntry.queries("q178_streaming_neardup_gate")(spark, dir)
+      .collect()
+    assert(hits.nonEmpty, "planted copies must produce band hits")
+    hits.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0), "bucket keeper precedes the hit")
+    }
+    val flagged = graft.streaming.StreamingNearDup.quarantine(
+        hits.toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .toDF("doc_id", "band", "first_doc"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(flagged.exists(_ >= 100000L),
+      s"at least one planted near-identical copy quarantines, got $flagged")
+  }
+
+  test("q179: planted test copies dropped, train bulk kept") {
+    val kept = SparkEntry.queries("q179_streaming_decontamination_gate")(spark, dir)
+      .as[Long].collect().toSet
+    assert(kept.nonEmpty, "train bulk must survive decontamination")
+    // planted ids are test-doc copies re-keyed +100000: every gram is a
+    // test gram, so any planted doc long enough to gram must be dropped
+    val plantedKept = kept.filter(_ >= 100000L)
+    assert(plantedKept.isEmpty,
+      s"planted test-doc copies must not be kept, got $plantedKept")
+    // kept ids come from the train split (pct < 0.8)
+    val trainIds = graft.queries.DocProfiles.profiled(spark, dir)
+      .where($"pct" < 0.8).select($"doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(trainIds))
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q180: monotone quantiles, exact group counts") {
+    val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val counts = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == counts.size * 3, "three quantiles per group")
+    rows.groupBy(_._1).foreach { case (grp, g) =>
+      val byQ = g.map(e => e._2 -> e._3).toMap
+      assert(byQ("p50") <= byQ("p95") && byQ("p95") <= byQ("p99"),
+        s"$grp: quantile estimates must be monotone")
+      g.foreach { e => assert(e._4 == counts(grp), s"$grp: n is the group count") }
+    }
+  }
+}

@@ -197,21 +197,59 @@ object MediaPipeline {
     }
   }
 
-  /** STUB resize — deterministic fake: keeps every k-th byte so the
-    * "resized" content scales with the target area the way a real
-    * image/audio resample would. A real implementation decodes, resamples,
-    * re-encodes here; the Spark-side contract (binary in, binary out,
-    * metadata records the target dims, per-row narrow) is what the
-    * pipeline depends on.
+  /** REAL image resize: ImageIO decode → `Graphics2D.drawImage` bilinear
+    * scaled redraw at (width, height) → lossless PNG re-encode, all
+    * in-JDK and in-memory. Returns None for bytes ImageIO cannot read.
+    * PNG output makes the round-trip deterministic (no lossy encoder
+    * state) and `decode(resize(a))` reports exactly the target dims.
+    */
+  private[multimodal] def resizeImage(bytes: Array[Byte], width: Int,
+      height: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resize: REAL for images (decode → scaled redraw → PNG re-encode,
+    * same batched per-partition shape as [[decode]]); payloads with no
+    * JDK codec — audio/video and undecodable bytes — take the
+    * deterministic every-k-th-byte subsample fallback so the operator is
+    * total. `meta("resize_decoded")` records which path produced the
+    * content, mirroring [[MediaFeatures.decoded]].
     */
   def resize(assets: Dataset[MediaAsset], width: Int, height: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
-    assets.map { a =>
-      val target = math.max(width * height, 1)
-      val step = math.max(a.content.length / target, 1)
-      val out = a.content.indices.collect { case i if i % step == 0 => a.content(i) }.toArray
-      a.copy(content = out,
-        meta = a.meta ++ Map("resized_w" -> width.toString, "resized_h" -> height.toString))
+    assets.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { a =>
+        val real =
+          if (a.kind == "image" && looksLikeImage(a.content))
+            resizeImage(a.content, width, height)
+          else None
+        val dims = Map("resized_w" -> width.toString, "resized_h" -> height.toString)
+        real match {
+          case Some(bytes) =>
+            a.copy(content = bytes, meta = a.meta ++ dims + ("resize_decoded" -> "true"))
+          case None =>
+            val target = math.max(width * height, 1)
+            val step = math.max(a.content.length / target, 1)
+            val out = a.content.indices.collect { case i if i % step == 0 => a.content(i) }.toArray
+            a.copy(content = out, meta = a.meta ++ dims + ("resize_decoded" -> "false"))
+        }
+      }
     }
   }
 

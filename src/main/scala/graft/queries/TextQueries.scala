@@ -845,6 +845,65 @@ object TextQueries {
         .orderBy($"merge_no")
     }),
 
+    // The trained BPE model MEETS the corpus — the real
+    // tokens-per-doc/fertility ledger a tokenizer change actually ships,
+    // closing the q171→q123 gap (q123 counts whitespace tokens; this
+    // counts symbols under the q171-trained merges). Shape: merges come
+    // from the memoized q171 log (one training run per batch); the
+    // DICTIONARY (not the corpus) is encoded executor-side (vocab-sized
+    // work) into a (w, n_syms) table that broadcast-joins the corpus
+    // token stream; ineligible tokens (non-alpha, len<2 — outside the
+    // q142 dictionary law) count 1 symbol. The rollup aggregates straight
+    // to the (lang, source) grid — no per-doc shuffle at any corpus
+    // size. Oracle: q171's marker-collapse CTEs verbatim, then
+    // len(3×replace(w)) per word IS the symbol count (each merged symbol
+    // is one marker char, so string length = symbol count and replace()
+    // is exactly the trainer's left-to-right non-overlapping scan).
+    "q181_bpe_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val log = defs("q171_bpe_train")(s, dir).collect()
+      val merges = log.sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val model = graft.operators.BpeTrainer.BpeModel(merges)
+      val bc = s.sparkContext.broadcast(model)
+      // the encoded dictionary is the STORED artifact a tokenizer ships —
+      // session-cached so the per-pass work is the broadcast build, not a
+      // corpus re-aggregate + vocab re-encode
+      val dictSyms = graft.operators.CacheRegistry.track(
+        graft.operators.BpeTrainer
+          .wordDict(Tables.documents(s, dir), "text")
+          .as[(String, Long)]
+          .map { case (w, _) => (w, bc.value.encode(w).length) }
+          .toDF("w", "n_syms")
+          .cache())
+      val prof = DocProfiles.profiled(s, dir)
+      // rides the shared inverted-index cache (one explode per session,
+      // shared with the BM25/TF-IDF family) — per-pass work is a cached
+      // (doc, term, tf) scan, never a corpus re-tokenize: Σ tf·syms over
+      // terms equals Σ syms over tokens (case variants lower to the same
+      // dictionary word)
+      val bpe = DocProfiles.termFreqs(s, dir)
+        .join(prof.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
+        .select($"lang", $"source", lower($"term").as("w"), $"tf")
+        .join(broadcast(dictSyms), Seq("w"), "left")
+        .groupBy($"lang", $"source")
+        .agg(sum($"tf" * coalesce($"n_syms", lit(1)).cast("long")).as("total_bpe_tokens"))
+      prof.groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_ws_tokens"),
+          sum($"n_chars").as("nc"))
+        .join(bpe, Seq("lang", "source"))
+        .select($"lang", $"source", $"n_docs", $"total_ws_tokens",
+          $"total_bpe_tokens",
+          round($"total_bpe_tokens" * lit(1.0) / $"total_ws_tokens", 6)
+            .as("bpe_per_ws_tok"),
+          round($"nc" * lit(1.0) / $"total_bpe_tokens", 6)
+            .as("chars_per_bpe_tok"),
+          round($"total_bpe_tokens" * lit(1.0) / $"n_docs", 6)
+            .as("bpe_per_doc"))
+        .orderBy($"lang", $"source")
+    }),
+
     // Quality-score CALIBRATION — the reliability table for q52's linear
     // quality score, judged against the independent Gopher gate verdict
     // (q83's four rules): per score decile, what fraction of docs
@@ -1936,6 +1995,53 @@ object TextQueries {
           |    replace(replace(b3.pair, chr(2), b2.pair), chr(1), b1.pair),
           |    b3.cnt FROM b3, b2, b1
           |) ORDER BY merge_no""".stripMargin,
+      // q181 = q171's marker-collapse machinery, then the corpus scored
+      // under the learned merges: after the three in-order replaces every
+      // symbol is ONE char (markers chr(1..3)), so len() IS the per-word
+      // symbol count; ineligible tokens count 1.
+      "q181_bpe_fertility" ->
+        """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |            FROM documents),
+          |f0 AS (SELECT w, count(*) n FROM w0
+          |       WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
+          |p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f0) GROUP BY 1),
+          |b1 AS (SELECT pair, cnt FROM p1
+          |       ORDER BY cnt DESC, substr(pair, 1, 1) ASC, substr(pair, 2, 1) ASC LIMIT 1),
+          |f1 AS (SELECT replace(f0.w, b1.pair, chr(1)) AS w, f0.n FROM f0, b1),
+          |p2 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f1) GROUP BY 1),
+          |b2 AS (SELECT p2.pair AS pair, p2.cnt AS cnt FROM p2, b1
+          |       ORDER BY p2.cnt DESC,
+          |         replace(substr(p2.pair, 1, 1), chr(1), b1.pair) ASC,
+          |         replace(substr(p2.pair, 2, 1), chr(1), b1.pair) ASC LIMIT 1),
+          |f2 AS (SELECT replace(f1.w, b2.pair, chr(2)) AS w, f1.n FROM f1, b2),
+          |p3 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f2) GROUP BY 1),
+          |b3 AS (SELECT p3.pair AS pair, p3.cnt AS cnt FROM p3, b1, b2
+          |       ORDER BY p3.cnt DESC,
+          |         replace(replace(substr(p3.pair, 1, 1), chr(2), b2.pair), chr(1), b1.pair) ASC,
+          |         replace(replace(substr(p3.pair, 2, 1), chr(2), b2.pair), chr(1), b1.pair) ASC LIMIT 1),
+          |tok AS (SELECT lang, source, lower(w) AS w FROM (
+          |        SELECT lang, source, unnest(string_split_regex(trim(text), '\s+')) AS w
+          |        FROM documents)),
+          |enc AS (SELECT t.lang, t.source,
+          |    CASE WHEN regexp_matches(t.w, '^[a-z]+$') AND len(t.w) >= 2
+          |      THEN len(replace(replace(replace(t.w, b1.pair, chr(1)), b2.pair, chr(2)), b3.pair, chr(3)))
+          |      ELSE 1 END AS n_bpe
+          |  FROM tok t, b1, b2, b3),
+          |bpe AS (SELECT lang, source, CAST(sum(n_bpe) AS BIGINT) total_bpe_tokens
+          |        FROM enc GROUP BY 1, 2),
+          |meta AS (SELECT lang, source, count(*) n_docs,
+          |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) total_ws_tokens,
+          |    CAST(sum(n_chars) AS BIGINT) nc
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT m.lang, m.source, m.n_docs, m.total_ws_tokens, b.total_bpe_tokens,
+          |  round(b.total_bpe_tokens * 1.0 / m.total_ws_tokens, 6) AS bpe_per_ws_tok,
+          |  round(m.nc * 1.0 / b.total_bpe_tokens, 6) AS chars_per_bpe_tok,
+          |  round(b.total_bpe_tokens * 1.0 / m.n_docs, 6) AS bpe_per_doc
+          |FROM meta m JOIN bpe b USING (lang, source)
+          |ORDER BY m.lang, m.source""".stripMargin,
       "q168_quality_calibration" ->
         s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
            |b AS (SELECT doc_id, len(toks) n_tok,

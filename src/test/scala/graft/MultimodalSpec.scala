@@ -146,17 +146,61 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getString(2).length == 32)) // md5 hex
   }
 
-  test("resize: deterministic subsample, metadata records target dims") {
+  test("resize: deterministic subsample fallback, metadata records target dims") {
     val assets = MediaPipeline.assetsFromDocuments(docs())
     val resized = MediaPipeline.resize(assets, 8, 4).collect().sortBy(_.media_id)
     val orig = assets.collect().sortBy(_.media_id)
     resized.zip(orig).foreach { case (r, o) =>
       assert(r.content.length <= o.content.length)
       assert(r.meta("resized_w") == "8" && r.meta("resized_h") == "4")
+      assert(r.meta("resize_decoded") == "false") // text bytes: no codec
       assert(r.meta("source") == "documents") // original meta preserved
     }
     val again = MediaPipeline.resize(assets, 8, 4).collect().sortBy(_.media_id)
     assert(resized.zip(again).forall { case (a, b) => a.content.sameElements(b.content) })
+  }
+
+  test("resize: real PNGs are decoded, redrawn at target dims, re-encoded") {
+    import spark.implicits._
+    val (png1, img1) = pngFixture(7, 5)
+    val (png2, _) = pngFixture(32, 16)
+    val assets = Seq(
+      MediaAsset(300L, "image", png1, Map("source" -> "fix")),
+      MediaAsset(301L, "image", png2, Map("source" -> "fix"))).toDS()
+    val resized = MediaPipeline.resize(assets, 8, 4).collect().sortBy(_.media_id)
+    resized.foreach { r =>
+      assert(r.meta("resize_decoded") == "true", "real codec path taken")
+      assert(r.meta("resized_w") == "8" && r.meta("resized_h") == "4")
+      assert(r.meta("source") == "fix")
+    }
+    // decode of the resized PNG reports the ACTUAL target pixel dims
+    val feats = MediaPipeline.decode(resized.toSeq.toDS()).collect().sortBy(_.media_id)
+    feats.foreach { f =>
+      assert(f.decoded, "resized output must itself be a decodable PNG")
+      assert(f.width == 8 && f.height == 4,
+        s"real resize yields target dims, got ${f.width}x${f.height}")
+    }
+    // upscale direction works too (bilinear redraw, not a byte subsample)
+    val up = MediaPipeline.resize(assets, 64, 32).collect().sortBy(_.media_id)
+    val upFeats = MediaPipeline.decode(up.toSeq.toDS()).collect().sortBy(_.media_id)
+    upFeats.foreach(f => assert(f.width == 64 && f.height == 32))
+    // deterministic: PNG re-encode is lossless and stable
+    val again = MediaPipeline.resize(assets, 8, 4).collect().sortBy(_.media_id)
+    assert(resized.zip(again).forall { case (a, b) => a.content.sameElements(b.content) })
+    // pixel spot-check: corner pixel of an 8x4 redraw of the 7x5 source
+    // equals Graphics2D's own answer computed directly on the fixture
+    val ref = {
+      val out = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img1, 0, 0, 8, 4, null)
+      g.dispose()
+      out.getRGB(0, 0)
+    }
+    val got = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.head.content)).getRGB(0, 0)
+    assert(got == ref, "redraw matches a direct Graphics2D scale of the source")
   }
 
   test("nearDupCandidates: identical content within kind is cosine-1 near-dup") {

@@ -55,6 +55,19 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q181: every token yields >= 1 symbol; ledger covers the corpus") {
+    val rows = SparkEntry.queries("q181_bpe_fertility")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    assert(rows.map(_.getLong(2)).sum == docs.count(), "n_docs covers the corpus")
+    rows.foreach { r =>
+      val (ws, bpe, perTok) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(bpe >= ws, "each whitespace token yields at least one BPE symbol")
+      assert(perTok >= 1.0 && math.abs(perTok - bpe * 1.0 / ws) < 1e-6)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{BloomPrefilter, ResultMemo, SessionKey}
 import graft.sources.Tables
-import graft.streaming.{StreamingDecontamination, StreamingNearDup, StreamingQuantile}
+import graft.streaming.{StreamingCuration, StreamingDecontamination, StreamingDedup, StreamingDrift, StreamingNearDup, StreamingQuantile, StreamingTopK}
 
 /** Driver-gated STREAMING queries — the q170/q171 treatment applied to the
   * streaming ingest gates: each query actually RUNS its streaming operator
@@ -180,6 +180,137 @@ object StreamingGateQueries {
             .select($"grp", $"q", round($"est", 2).as("est_price"), $"n")
             .orderBy($"grp", $"q")
         }
+      }),
+
+    // STREAMING DEDUP GATE — StreamingDedup.withinWatermark (Spark's
+    // dropDuplicatesWithinWatermark, RocksDB-backed state evicted as the
+    // watermark passes) over the event log plus planted redeliveries
+    // (exact row copies of every event_id % 7 == 0 — the at-least-once
+    // delivery duplicate a bus actually produces). The gate returns the
+    // post-dedup per-type counts; the oracle is the exactly-once law
+    // itself: count(DISTINCT event_id) per type over the same doubled
+    // fixture. Duplicate rows are bit-identical, so keep-first is
+    // deterministic regardless of which physical copy survives.
+    "q182_streaming_dedup_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"sddgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q182") { base =>
+          val ev = Tables.events(s, dir).select($"event_id", $"event_type", $"ts")
+          val fixture = ev.unionAll(ev.where($"event_id" % 7 === 0))
+          val src = s"$base/src"
+          fixture.repartition(1).write.mode("overwrite").parquet(src)
+          val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          drain(StreamingDedup.withinWatermark(stream, "ts", "1 hour", Seq("event_id"))
+              .select($"event_type"), s"$base/ckpt", "append") { (b, _) =>
+            counts.synchronized {
+              b.groupBy($"event_type").count().collect().foreach { r =>
+                val k = r.getString(0)
+                counts(k) = counts.getOrElse(k, 0L) + r.getLong(1)
+              }
+            }
+          }
+          counts.toSeq.sortBy(_._1).toDF("event_type", "n_events")
+            .orderBy($"event_type")
+        }
+      }),
+
+    // STREAMING CURATION GATE — StreamingCuration.curate at ingest: the
+    // q55 quality law scores each arriving doc, sub-threshold docs drop,
+    // and re-published bodies (planted: every doc_id < 30 re-keyed
+    // +100000 with identical text) collapse by content hash. The gate
+    // returns the kept content-hash set with each hash's candidate count
+    // (recomputed batch-side — the kept ROW is arrival-order-dependent,
+    // the kept HASH set is not, which is the deterministic surface); the
+    // oracle respells the law: distinct md5(text) over quality-passing
+    // arrivals, counts included.
+    "q183_streaming_curation_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"scurgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q183") { base =>
+          val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+          val fixture = docs.unionAll(docs.where($"doc_id" < 30)
+            .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+          val src = s"$base/src"
+          fixture.repartition(1).write.mode("overwrite").parquet(src)
+          val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+          val kept = scala.collection.mutable.Buffer.empty[String]
+          drain(StreamingCuration.curate(stream, "text", minQuality = 0.5)
+              .select(md5($"text".cast("binary")).as("ch")).as[String],
+            s"$base/ckpt", "append") { (b, _) =>
+            kept.synchronized { kept ++= b.collect() }
+          }
+          val candidates = s.read.parquet(src)
+            .where(StreamingCuration.quality($"text") >= 0.5)
+            .groupBy(md5($"text".cast("binary")).as("ch"))
+            .agg(count(lit(1)).as("n_candidates"))
+          // materialize before the scratch dir (the plan's source) is
+          // deleted — the result is hash-set-sized
+          kept.toSeq.toDF("ch").distinct()
+            .join(candidates, Seq("ch"))
+            .as[(String, Long)].collect().toSeq.sorted
+            .toDF("ch", "n_candidates")
+            .orderBy($"ch")
+        }
+      }),
+
+    // STREAMING DRIFT GATE — StreamingDrift.monitor per event type: the
+    // first refN=100 observations (in deterministic value-then-arrival
+    // fold order — within one micro-batch, the 100 smallest values)
+    // freeze the reference histogram; the batch remainder is scored by
+    // total-variation distance. tvd uses an exact integer numerator
+    // (Σ|a_i·tb − b_i·ta| / (2·ta·tb)) so the double is
+    // engine-reproducible and the oracle can respell the whole monitor:
+    // rank per key by value, first 100 = reference, bucket both parts,
+    // one integer fold, one division.
+    "q184_streaming_drift_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"sdrgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q184") { base =>
+          val src = s"$base/src"
+          Tables.events(s, dir).select($"event_type", $"value")
+            .repartition(1).write.mode("overwrite").parquet(src)
+          val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+          val reports = scala.collection.mutable.Buffer.empty[StreamingDrift.DriftReport]
+          drain(StreamingDrift.monitor(stream, "event_type", "value",
+              nBuckets = 16, bucketWidth = 25.0, refN = 100L, threshold = 0.2),
+            s"$base/ckpt", "update") { (b, _) =>
+            reports.synchronized { reports ++= b.collect() }
+          }
+          reports.toSeq.sortBy(_.key)
+            .toDF("key", "batch", "n", "tvd", "alert")
+            .select($"key", $"batch", $"n", round($"tvd", 6).as("tvd"), $"alert")
+            .orderBy($"key")
+        }
+      }),
+
+    // STREAMING TOP-K GATE — StreamingTopK's Space-Saving sketch per
+    // event type over a 200-value item domain (user_id % 200). With
+    // capacity (256) above the domain size the sketch NEVER evicts, so
+    // Space-Saving degenerates to exact counting — the "exact when
+    // possible" half of the paper's guarantee, and the half an oracle
+    // can hash-check: top-10 by (count desc, item asc) with err = 0.
+    // (The eviction half is property-tested against brute force in
+    // LawProps.) State is ≤ capacity triples per group either way.
+    "q185_streaming_topk_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"stkgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q185") { base =>
+          val src = s"$base/src"
+          Tables.events(s, dir)
+            .select($"event_type".as("grp"), $"ts",
+              ($"user_id" % 200).cast("string").as("item"))
+            .repartition(1).write.mode("overwrite").parquet(src)
+          val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+          val hits = scala.collection.mutable.Buffer.empty[StreamingTopK.HeavyHitter]
+          drain(StreamingTopK.topK(stream, "grp", "ts", "item", k = 10, capacity = 256),
+            s"$base/ckpt", "update") { (b, _) =>
+            hits.synchronized { hits ++= b.collect() }
+          }
+          hits.toSeq.sortBy(h => (h.group, h.rank))
+            .toDF("grp", "item", "count", "err", "rank")
+            .orderBy($"grp", $"rank")
+        }
       }))
 
   def oracles: Map[String, String] = Map(
@@ -250,5 +381,78 @@ object StreamingGateQueries {
         |    max(total) AS n
         |  FROM cum JOIN qs ON cn >= ceil(qv * total) GROUP BY grp, q)
         |SELECT grp, q, round(mid / 100.0, 2) AS est_price, CAST(n AS BIGINT) AS n
-        |FROM est ORDER BY grp, q""".stripMargin)
+        |FROM est ORDER BY grp, q""".stripMargin,
+
+    // The exactly-once law over the doubled fixture: distinct event ids
+    // per type (event ids are globally unique, so the duplicates planted
+    // by the gate collapse back to the original counts).
+    "q182_streaming_dedup_gate" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type FROM events WHERE event_id % 7 = 0)
+        |SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The curation law: q55's quality spelling over the arrivals
+    // (corpus + planted re-publications), kept = distinct content hash
+    // among quality-passing docs, with each hash's candidate count.
+    "q183_streaming_curation_gate" ->
+      """WITH fx AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30),
+        |t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') toks FROM fx),
+        |b AS (SELECT doc_id, text,
+        |    len(toks) n_tok,
+        |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+        |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id, text,
+        |    0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+        |      + 0.3 * (n_stop * 1.0 / n_tok)
+        |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0) AS quality
+        |  FROM b)
+        |SELECT md5(text) AS ch, CAST(count(*) AS BIGINT) AS n_candidates
+        |FROM q WHERE quality >= 0.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The drift monitor respelled: per type, value-rank <= 100 freezes
+    // the reference, the remainder is the observation window; histograms
+    // on trunc(value/25) clamped to [0,15]; tvd = exact integer numerator
+    // over the bucket grid, one division. Rank ties across the boundary
+    // share a bucket, so the histograms are order-invariant.
+    "q184_streaming_drift_gate" ->
+      """WITH v AS (SELECT event_type AS key, value FROM events),
+        |c AS (SELECT key, count(*) cnt FROM v GROUP BY 1),
+        |r AS (SELECT key, value, row_number() OVER (PARTITION BY key ORDER BY value) rk FROM v),
+        |b AS (SELECT r.key,
+        |    CASE WHEN r.rk <= 100 THEN 0 ELSE 1 END part,
+        |    least(15, greatest(0, CAST(trunc(r.value / 25.0) AS INT))) bkt
+        |  FROM r JOIN c USING (key) WHERE c.cnt > 100),
+        |h AS (SELECT key, bkt,
+        |    CAST(sum(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS BIGINT) a,
+        |    CAST(sum(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS BIGINT) bb
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT key, CAST(sum(a) AS BIGINT) ta, CAST(sum(bb) AS BIGINT) tb
+        |      FROM h GROUP BY 1),
+        |s AS (SELECT h.key, CAST(sum(abs(h.a * t.tb - h.bb * t.ta)) AS BIGINT) num
+        |      FROM h JOIN t USING (key) GROUP BY 1)
+        |SELECT s.key, CAST(0 AS BIGINT) AS batch, t.tb AS n,
+        |  round(CAST(s.num AS DOUBLE) / (2.0 * t.ta * t.tb), 6) AS tvd,
+        |  (CAST(s.num AS DOUBLE) / (2.0 * t.ta * t.tb)) > 0.2 AS alert
+        |FROM s JOIN t USING (key) ORDER BY s.key""".stripMargin,
+
+    // The exact-when-possible Space-Saving law: a 200-item domain under
+    // capacity 256 never evicts, so the sketch reports exact counts with
+    // err = 0 and the top-10 ranks by (count desc, item asc).
+    "q185_streaming_topk_gate" ->
+      """WITH i AS (SELECT event_type AS grp, CAST(user_id % 200 AS VARCHAR) AS item
+        |           FROM events),
+        |c AS (SELECT grp, item, CAST(count(*) AS BIGINT) cnt FROM i GROUP BY 1, 2),
+        |r AS (SELECT grp, item, cnt,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, item ASC) AS INT) rank
+        |  FROM c)
+        |SELECT grp, item, cnt AS count, CAST(0 AS BIGINT) AS err, rank
+        |FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin)
 }

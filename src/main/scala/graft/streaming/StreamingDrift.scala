@@ -38,11 +38,18 @@ object StreamingDrift {
   private def bucketOf(v: Double, nBuckets: Int, width: Double): Int =
     math.min(nBuckets - 1, math.max(0, (v / width).toInt))
 
-  /** Total-variation distance between two count histograms. */
+  /** Total-variation distance between two count histograms, computed with
+    * an exact INTEGER numerator — Σ|a_i·tb − b_i·ta| / (2·ta·tb) — so the
+    * value is engine-reproducible (one float division, no float summation
+    * order; the q181-gate discipline). Overflow needs a_i·tb ≥ 2^63 —
+    * ~3·10^9 rows on BOTH sides of one key's histogram — beyond any
+    * per-key reference this monitor freezes.
+    */
   private def tvd(a: Array[Long], b: Array[Long]): Double = {
-    val (ta, tb) = (a.sum.toDouble, b.sum.toDouble)
-    if (ta == 0 || tb == 0) 0.0
-    else a.indices.map(i => math.abs(a(i) / ta - b(i) / tb)).sum / 2.0
+    val (ta, tb) = (a.sum, b.sum)
+    if (ta == 0L || tb == 0L) 0.0
+    else a.indices.map(i => math.abs(a(i) * tb - b(i) * ta)).sum.toDouble /
+      (2.0 * ta * tb)
   }
 
   /** Monitor `stream`'s `valueCol` distribution per `keyCol`. Run with

@@ -68,6 +68,65 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q182: dedup restores the original per-type counts exactly") {
+    val got = SparkEntry.queries("q182_streaming_dedup_gate")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "planted redeliveries collapse to the original log")
+  }
+
+  test("q183: kept hashes unique; planted re-publications double their candidate count") {
+    val rows = SparkEntry.queries("q183_streaming_curation_gate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per kept hash")
+    // every passing doc_id < 30 was re-published once → its hash counts 2
+    val planted = graft.sources.Tables.documents(spark, dir)
+      .where($"doc_id" < 30 &&
+        graft.streaming.StreamingCuration.quality($"text") >= 0.5)
+      .select(md5($"text".cast("binary"))).as[String].collect().toSet
+    assert(planted.nonEmpty)
+    val byHash = rows.toMap
+    planted.foreach(ch => assert(byHash(ch) == 2L, s"$ch must count original + replant"))
+  }
+
+  test("q184: observation window is count-refN; tvd is a distance") {
+    val rows = SparkEntry.queries("q184_streaming_drift_gate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val counts = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (key, batch, n, tvd, alert) =>
+      assert(batch == 0L, "single staged file = single micro-batch")
+      assert(n == counts(key) - 100L, "reference freezes the first 100")
+      assert(tvd >= 0.0 && tvd <= 1.0)
+      assert(alert == (tvd > 0.2))
+    }
+  }
+
+  test("q185: exact-when-possible — counts exact, err 0, ranks dense") {
+    val rows = SparkEntry.queries("q185_streaming_topk_gate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (grp, g) =>
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to sorted.length), s"$grp: dense ranks")
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      }, s"$grp: (count desc, item asc) order")
+    }
+    assert(rows.forall(_._4 == 0L), "no eviction below capacity → err 0")
+    // counts are EXACT: spot-check against a direct aggregate
+    val exact = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type".as("grp"), ($"user_id" % 200).cast("string").as("item"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (grp, item, c, _, _) => assert(exact((grp, item)) == c) }
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{BloomPrefilter, ResultMemo, SessionKey}
 import graft.sources.Tables
-import graft.streaming.{StreamingCuration, StreamingDecontamination, StreamingDedup, StreamingDrift, StreamingNearDup, StreamingQuantile, StreamingTopK}
+import graft.streaming.{StreamCorrelator, StreamingAnomaly, StreamingCuration, StreamingDecontamination, StreamingDedup, StreamingDrift, StreamingHeartbeat, StreamingNearDup, StreamingQuantile, StreamingTopK}
 
 /** Driver-gated STREAMING queries — the q170/q171 treatment applied to the
   * streaming ingest gates: each query actually RUNS its streaming operator
@@ -311,6 +311,115 @@ object StreamingGateQueries {
             .toDF("grp", "item", "count", "err", "rank")
             .orderBy($"grp", $"rank")
         }
+      }),
+
+    // STREAMING ANOMALY GATE — StreamingAnomaly's prequential Welford
+    // monitor per event type: each observation is z-scored against the
+    // state accumulated strictly BEFORE it (fold order = (event-time ms,
+    // value), the operator's batching-invariance order), then folded in.
+    // The oracle respells the prequential law with window aggregates
+    // over the same prefix order: avg/stddev_samp over ROWS UNBOUNDED
+    // PRECEDING .. 1 PRECEDING. Welford and the two-pass window stddev
+    // are algebraically identical; z rounds to 6dp on both sides.
+    "q186_streaming_anomaly_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"sangate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q186") { base =>
+          val src = s"$base/src"
+          Tables.events(s, dir).select($"event_type", $"ts", $"value")
+            .repartition(1).write.mode("overwrite").parquet(src)
+          val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+          val out = scala.collection.mutable.Buffer.empty[StreamingAnomaly.Anomaly]
+          drain(StreamingAnomaly.detect(stream, "event_type", "ts", "value",
+              threshold = 3.0, minObservations = 5),
+            s"$base/ckpt", "update") { (b, _) =>
+            out.synchronized { out ++= b.collect() }
+          }
+          out.toSeq.sortBy(a => (a.key, a.ts.getTime, a.value))
+            .toDF("key", "ts", "value", "z", "nSeen")
+            .select($"key", $"ts", $"value", round($"z", 6).as("z"),
+              $"nSeen".as("n_seen"))
+            .orderBy($"key", $"ts", $"value")
+        }
+      }),
+
+    // STREAM-STREAM CORRELATION GATE — StreamCorrelator's watermarked
+    // interval join run as a REAL two-stream join through the state
+    // store: views matched to the same cohort's purchases within one
+    // event-time day. An inner interval join emits a pair as soon as
+    // both sides have arrived (the watermark bounds state, not
+    // emission), so the one-batch drain emits exactly the batch law —
+    // the oracle is the plain SQL interval join, rolled up per cohort
+    // with an exact integer gap sum.
+    "q187_stream_correlate_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"scorgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q187") { base =>
+          val ev = Tables.events(s, dir)
+          def side(tpe: String, p: String) = ev.where($"event_type" === tpe)
+            .select(($"user_id" % 100).as(s"${p}_key"), $"ts".as(s"${p}_ts"),
+              $"event_id".as(s"${p}_id"))
+          val (lsrc, rsrc) = (s"$base/l", s"$base/r")
+          side("view", "l").repartition(1).write.mode("overwrite").parquet(lsrc)
+          side("purchase", "r").repartition(1).write.mode("overwrite").parquet(rsrc)
+          val l = s.readStream.schema(s.read.parquet(lsrc).schema).parquet(lsrc)
+          val r = s.readStream.schema(s.read.parquet(rsrc).schema).parquet(rsrc)
+          val joined = StreamCorrelator.correlate(
+            l, "l_ts", "l_key", r, "r_ts", "r_key",
+            within = "1 day", delay = "1 day")
+          val pairs = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+          drain(joined.select($"l_key",
+              (unix_micros($"r_ts") - unix_micros($"l_ts")).as("gap_us"),
+              $"l_id").as[(Long, Long, Long)],
+            s"$base/ckpt", "append") { (b, _) =>
+            pairs.synchronized { pairs ++= b.collect() }
+          }
+          pairs.toSeq.groupBy(_._1).toSeq
+            .map { case (k, g) => (k, g.size.toLong, g.map(_._2).sum) }
+            .sortBy(_._1)
+            .toDF("cohort", "n_pairs", "sum_gap_us")
+            .orderBy($"cohort")
+        }
+      }),
+
+    // STREAMING HEARTBEAT GATE — watermark-driven silent-key detection:
+    // per 50-user cohort, state holds only the last event time; an
+    // EVENT-TIME timeout fires when the watermark (stream time, never
+    // wall clock) passes lastSeen + 6h. The drain stages the log, arms
+    // every cohort, then appends one sentinel event 2h past the log's
+    // end — the watermark advances to sentinel − 10min and the provably
+    // silent cohorts fire (some via the no-data batch Spark runs when a
+    // watermark advance leaves pending timeouts). The oracle is the
+    // silence law in exact millisecond arithmetic (the operator's
+    // Timestamp.getTime space): fire iff lastSeen_ms + 6h < wm_ms.
+    "q188_streaming_heartbeat_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"shbgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q188") { base =>
+          val src = s"$base/src"
+          val shaped = Tables.events(s, dir)
+            .select(($"user_id" % 50).cast("string").as("key"), $"ts")
+          shaped.repartition(1).write.mode("overwrite").parquet(src)
+          val maxTs = shaped.agg(max($"ts")).collect()(0).getTimestamp(0)
+          val alerts = scala.collection.mutable.Buffer.empty[StreamingHeartbeat.Silence]
+          def drainOnce(): Unit = {
+            val stream = s.readStream.schema(s.read.parquet(src).schema)
+              .parquet(src).withWatermark("ts", "10 minutes")
+            drain(StreamingHeartbeat.detect(stream, "key", "ts",
+                silenceMs = 6L * 3600 * 1000),
+              s"$base/ckpt", "append") { (b, _) =>
+              alerts.synchronized { alerts ++= b.collect() }
+            }
+          }
+          drainOnce()
+          // sentinel arrival 2h past the log: watermark → maxTs + 110min
+          Seq(("~sentinel", new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+            .toDF("key", "ts").repartition(1).write.mode("append").parquet(src)
+          drainOnce()
+          alerts.toSeq.filter(_.key != "~sentinel").sortBy(_.key)
+            .toDF("key", "last_seen", "deadline")
+            .orderBy($"key")
+        }
       }))
 
   def oracles: Map[String, String] = Map(
@@ -454,5 +563,57 @@ object StreamingGateQueries {
         |    CAST(row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, item ASC) AS INT) rank
         |  FROM c)
         |SELECT grp, item, cnt AS count, CAST(0 AS BIGINT) AS err, rank
-        |FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin)
+        |FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,
+
+    // The prequential law: each row scored against the strictly-prior
+    // prefix in (event-time ms, value) order — window aggregates over
+    // ROWS UNBOUNDED PRECEDING .. 1 PRECEDING.
+    "q186_streaming_anomaly_gate" ->
+      """WITH v AS (
+        |  SELECT event_type AS key, ts, value,
+        |    epoch_us(ts) // 1000 AS tms
+        |  FROM events),
+        |w AS (
+        |  SELECT key, ts, value,
+        |    count(*) OVER pre AS n_seen,
+        |    avg(value) OVER pre AS mu,
+        |    stddev_samp(value) OVER pre AS sd
+        |  FROM v
+        |  WINDOW pre AS (PARTITION BY key ORDER BY tms, value
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT key, ts, value,
+        |  round((value - mu) / sd, 6) AS z,
+        |  CAST(n_seen AS BIGINT) AS n_seen
+        |FROM w
+        |WHERE n_seen >= 5 AND sd > 0 AND abs((value - mu) / sd) >= 3.0
+        |ORDER BY key, ts, value""".stripMargin,
+
+    // The interval-join law: views matched to the same cohort's
+    // purchases with purchase time in [view time, view time + 1 day],
+    // rolled up per cohort with the exact microsecond gap sum.
+    "q187_stream_correlate_gate" ->
+      """WITH l AS (SELECT user_id % 100 AS k, ts, event_id FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id % 100 AS k, ts FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT l.k, epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+        |      FROM l JOIN r ON l.k = r.k
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 DAY)
+        |SELECT k AS cohort, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The silence law in the operator's exact millisecond space: a
+    // cohort fires iff lastSeen_ms + 6h is strictly below the final
+    // watermark (sentinel at maxTs + 2h, minus the 10-minute delay).
+    "q188_streaming_heartbeat_gate" ->
+      """WITH k AS (
+        |  SELECT CAST(user_id % 50 AS VARCHAR) AS key,
+        |    max(epoch_us(ts) // 1000) AS lastms
+        |  FROM events GROUP BY 1),
+        |wm AS (
+        |  SELECT max(epoch_us(ts) // 1000) + 7200000 - 600000 AS w FROM events)
+        |SELECT key,
+        |  make_timestamp(lastms * 1000) AS last_seen,
+        |  make_timestamp((lastms + 21600000) * 1000) AS deadline
+        |FROM k, wm WHERE lastms + 21600000 < w
+        |ORDER BY key""".stripMargin)
 }

@@ -127,6 +127,45 @@ class Round7LawsSpec extends SparkSpec {
     rows.foreach { case (grp, item, c, _, _) => assert(exact((grp, item)) == c) }
   }
 
+  test("q186: anomalies clear the threshold against a warm prefix") {
+    val rows = SparkEntry.queries("q186_streaming_anomaly_gate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, z, nSeen) =>
+      assert(math.abs(z) >= 3.0 - 1e-6, "emitted z clears the threshold")
+      assert(nSeen >= 5L, "cold-start window suppressed")
+    }
+  }
+
+  test("q187: pairs bounded by the interval; gaps within one day") {
+    val rows = SparkEntry.queries("q187_stream_correlate_gate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.exists(_._2 > 0))
+    val dayUs = 24L * 3600 * 1000000
+    rows.foreach { case (_, n, sumGap) =>
+      assert(n > 0)
+      assert(sumGap >= 0L && sumGap <= n * dayUs,
+        "every matched purchase is within [view, view + 1 day]")
+    }
+  }
+
+  test("q188: exactly the provably-silent cohorts fire; deadline = lastSeen + 6h") {
+    val rows = SparkEntry.queries("q188_streaming_heartbeat_gate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(rows.nonEmpty)
+    val sixH = 6L * 3600 * 1000
+    rows.foreach { case (_, seen, dl) =>
+      assert(dl.getTime == seen.getTime + sixH)
+    }
+    // the silence law restated: fired iff lastSeen(ms) + 6h < maxTs + 110min
+    val lastSeen = graft.sources.Tables.events(spark, dir)
+      .groupBy(($"user_id" % 50).cast("string").as("key")).agg(max($"ts").as("m"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    val wm = lastSeen.values.max + (120L - 10L) * 60 * 1000
+    val want = lastSeen.filter { case (_, m) => m + sixH < wm }.keySet
+    assert(rows.map(_._1).toSet == want, "fired set equals the silence law")
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

@@ -406,6 +406,84 @@ object ExtendedQueries {
     // Registers here are exact integers; only the final estimate is
     // float-rounded (6.5% expected error at m=256 — rel_err column
     // shows the actual).
+    // Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    // (Inf. Proc. Letters 97(5), 2006): each item draws u ∈ (0,1) and
+    // ranks by key u^(1/w); the top-k under that key IS a weighted
+    // sample without replacement (the reservoir algorithm's batch
+    // spelling). The mixture-sampling move q67/q92 approximate with
+    // independent coin flips, exact and deterministic: u comes from the
+    // md5-percentile law (salt "aes:"), w = the doc's token count, so
+    // long documents are proportionally favored and the whole draw is
+    // one narrow pass + a top-k — at 100 TB this is TakeOrderedAndProject
+    // over a scan, no shuffle beyond the k-row reduction. The float key
+    // is rank-only (never emitted): u^(1/w) spacing (~1e-3 on this
+    // corpus) sits ten orders above cross-engine pow() ulp noise.
+    "q189_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val u = conv(substring(md5(concat(lit("aes:"), $"doc_id".cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      val w = Window.orderBy(col("k").desc, col("doc_id").asc)
+      DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"n_tok", u.as("u"))
+        .withColumn("k", pow($"u", lit(1.0) / $"n_tok"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 20)
+        .select($"rank", $"doc_id", $"n_tok".cast("long").as("n_tok"))
+        .orderBy($"rank")
+    }),
+
+    // Split-overlap SKETCH — set OPERATIONS over the portable HLL (the
+    // q117 registers, built per corpus split): union by per-bucket max,
+    // intersection by inclusion–exclusion (|A∩B| ≈ |A|+|B|−|A∪B|). This
+    // is how a 100 TB pipeline measures train/test gram leakage WITHOUT
+    // the exact distinct-join (q71's full machinery): per-split register
+    // tables are 256 mergeable integers each, the union is a max-merge,
+    // and every estimate is the q117 formula — identical arithmetic in
+    // both engines, so even the estimates hash-match. The exact counts
+    // (off the cached distinct-gram tables) supply the measured error.
+    "q190_split_overlap_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val g = DocProfiles.grams(s, dir)
+      val sides = g.select($"gh",
+          when($"pct" < 0.8, "train").when($"pct" >= 0.9, "test").as("split"))
+        .where($"split".isNotNull)
+      // gh is already an md5 hex digest — its first 8 hex chars are the
+      // uniform 32-bit hash the registers consume
+      val hv = conv(substring($"gh", 1, 8), 16, 10).cast("long")
+      val wBits = $"hv" % 16777216L
+      val regs = graft.operators.CacheRegistry.track(sides
+        .select($"split", hv.as("hv"))
+        .select($"split", shiftright($"hv", 24).as("bucket"),
+          when(wBits === 0L, lit(25)).otherwise(lit(25) - length(bin(wBits))).as("rho"))
+        .groupBy($"split", $"bucket").agg(max($"rho").as("rho"))
+        .cache())
+      val unionRegs = regs.groupBy($"bucket").agg(max($"rho").as("rho"))
+        .select(lit("union").as("split"), $"bucket", $"rho")
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val raw = lit(alpha) * lit(65536.0) / ($"denom" + (lit(256.0) - $"nb"))
+      val empties = lit(256.0) - $"nb"
+      val est = when(raw <= 640.0 && empties > 0.0,
+        lit(256.0) * log(lit(256.0) / empties)).otherwise(raw)
+      val ests = regs.unionAll(unionRegs).groupBy($"split")
+        .agg(count(lit(1)).as("nb"), sum(pow(lit(2.0), -$"rho")).as("denom"))
+        .select($"split", est.as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exTrain = DocProfiles.trainGrams(s, dir).count()
+      val exTest = DocProfiles.testGrams(s, dir).count()
+      val exInter = DocProfiles.testGrams(s, dir)
+        .join(DocProfiles.trainGrams(s, dir), Seq("gh"), "left_semi").count()
+      val estInter = (ests("train") + ests("test")) - ests("union")
+      Seq(
+        ("intersection", estInter, exInter),
+        ("test", ests("test"), exTest),
+        ("train", ests("train"), exTrain),
+        ("union", ests("union"), exTrain + exTest - exInter))
+        .toDF("measure", "e", "exact")
+        .select($"measure", round($"e", 2).as("est"), $"exact",
+          round(abs($"e" - $"exact") / greatest($"exact", lit(1L)), 4).as("rel_err"))
+        .orderBy($"measure")
+    }),
+
     "q117_portable_hll" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
@@ -1643,6 +1721,74 @@ object ExtendedQueries {
     // q117 = the engine-neutral HLL: every step below is the exact same
     // arithmetic the Spark side runs (md5 prefix, bin()-length rho,
     // dyadic register sums), so the ESTIMATE itself hash-matches.
+    // q189 = the A-ES law respelled: u from the salted md5 percentile,
+    // key = u^(1/n_tok), top-20 by (key desc, doc_id asc); the key is
+    // rank-only on both sides.
+    "q189_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+        |    CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    CAST(row_number() OVER (ORDER BY pow(u, 1.0 / n_tok) DESC, doc_id ASC) AS INT) AS rank
+        |  FROM d)
+        |SELECT rank, doc_id, n_tok FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q190 = per-split portable-HLL registers off the gram hashes (gh is
+    // already an md5 — its 8-hex prefix is the 32-bit hash), union by
+    // max, intersection by inclusion-exclusion, q117's estimate formula,
+    // exact distinct-gram counts for the measured error.
+    "q190_split_overlap_sketch" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+        |  FROM documents),
+        |t AS (SELECT doc_id, pct, string_split_regex(trim(text), '\s+') toks FROM sp),
+        |g AS (SELECT doc_id, pct,
+        |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+        |  FROM t, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+        |sides AS (SELECT gh, CASE WHEN pct < 0.8 THEN 'train'
+        |                          WHEN pct >= 0.9 THEN 'test' END AS split
+        |          FROM g WHERE pct < 0.8 OR pct >= 0.9),
+        |hv AS (SELECT split, CAST(('0x' || substr(gh, 1, 8)) AS BIGINT) AS hv FROM sides),
+        |regs AS (SELECT split, hv >> 24 AS bucket,
+        |    max(CASE WHEN hv % 16777216 = 0 THEN 25
+        |             ELSE 25 - length(bin(hv % 16777216)) END) AS rho
+        |  FROM hv GROUP BY 1, 2),
+        |allregs AS (SELECT split, bucket, rho FROM regs
+        |            UNION ALL
+        |            SELECT 'union', bucket, max(rho) FROM regs GROUP BY 2),
+        |agg AS (SELECT split, count(*) AS nb, sum(power(2.0, -rho)) AS denom
+        |        FROM allregs GROUP BY 1),
+        |est AS (SELECT split,
+        |    CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / (denom + (256.0 - nb)) <= 640.0
+        |              AND (256.0 - nb) > 0.0
+        |         THEN 256.0 * ln(256.0 / (256.0 - nb))
+        |         ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / (denom + (256.0 - nb)) END AS e
+        |  FROM agg),
+        |tr AS (SELECT DISTINCT gh FROM sides WHERE split = 'train'),
+        |te AS (SELECT DISTINCT gh FROM sides WHERE split = 'test'),
+        |ex AS (SELECT (SELECT count(*) FROM tr) AS x_train,
+        |              (SELECT count(*) FROM te) AS x_test,
+        |              (SELECT count(*) FROM te JOIN tr USING (gh)) AS x_inter),
+        |rows_ AS (
+        |  SELECT 'intersection' AS measure,
+        |    ((SELECT e FROM est WHERE split = 'train') + (SELECT e FROM est WHERE split = 'test'))
+        |      - (SELECT e FROM est WHERE split = 'union') AS e,
+        |    CAST(x_inter AS BIGINT) AS exact FROM ex
+        |  UNION ALL
+        |  SELECT 'test', (SELECT e FROM est WHERE split = 'test'), CAST(x_test AS BIGINT) FROM ex
+        |  UNION ALL
+        |  SELECT 'train', (SELECT e FROM est WHERE split = 'train'), CAST(x_train AS BIGINT) FROM ex
+        |  UNION ALL
+        |  SELECT 'union', (SELECT e FROM est WHERE split = 'union'),
+        |    CAST(x_train + x_test - x_inter AS BIGINT) FROM ex)
+        |SELECT measure, round(e, 2) AS est, exact,
+        |  round(abs(e - exact) / greatest(exact, 1), 4) AS rel_err
+        |FROM rows_ ORDER BY measure""".stripMargin,
+
     "q117_portable_hll" ->
       """WITH h AS (
         |  SELECT event_type,

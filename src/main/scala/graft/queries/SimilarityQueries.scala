@@ -542,6 +542,73 @@ object SimilarityQueries {
     // negatives are too easy; corpus-wide exact search too expensive) —
     // the cell join IS the hardness filter. Rides the session-cached
     // Lloyd tower; pair work bounded by cell population like q122/q135.
+    // Contrastive TRIPLET mining — the training-pair builder an
+    // embedding-model pipeline runs over its corpus: for each anchor,
+    // the nearest SAME-label in-cell neighbor is the positive and the
+    // nearest CROSS-label in-cell neighbor is the hard negative (q159's
+    // law), with the triplet margin pos_cos − neg_cos the curriculum
+    // signal (small/negative margin = the informative triplet). All
+    // pair work is cell-bounded on the shared cached IVF tower — never
+    // corpus² — and at 100 TB the anchors stream against broadcast
+    // probes exactly like the ANN family.
+    "q191_triplet_mining" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, _) = ivfCells(s, dir)
+      val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+      val c2 = cells.join(lab, Seq("vec_id"))
+      val q = c2.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"cell".as("qc"), $"label".as("ql"))
+      // ONE cell-bounded join scores every (anchor, candidate) pair; the
+      // same/cross-label split is a window PARTITION key, so positives
+      // and negatives rank in the same pass instead of two joins
+      val wSame = Window.partitionBy($"q_id", $"same")
+        .orderBy($"cos".desc, $"vec_id".asc)
+      val ranked = graft.operators.CacheRegistry.track(
+        c2.join(broadcast(q), $"cell" === $"qc" && $"vec_id" =!= $"q_id")
+          .select($"q_id", ($"label" === $"ql").as("same"), $"vec_id",
+            (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+          .withColumn("rk", row_number().over(wSame)).where($"rk" === 1)
+          .cache())
+      val pos = ranked.where($"same")
+        .select($"q_id", $"vec_id".as("pos_id"), $"cos".as("pc"))
+      val neg = ranked.where(!$"same")
+        .select($"q_id".as("nq"), $"vec_id".as("neg_id"), $"cos".as("nc"))
+      pos.join(neg, $"q_id" === $"nq")
+        .select($"q_id".as("anchor"), $"pos_id", $"neg_id",
+          round($"pc", 6).as("pos_cos"), round($"nc", 6).as("neg_cos"),
+          round($"pc" - $"nc", 6).as("margin"))
+        .orderBy($"anchor")
+    }),
+
+    // SEMANTIC decontamination — q71's eval-leakage check lifted from
+    // gram space to embedding space (the check gram overlap cannot do:
+    // a paraphrased eval document shares no 5-gram but sits next to its
+    // source in embedding space). Per test-split vector (the md5
+    // percentile law on vec_id), the maximum cosine against any
+    // TRAIN-split vector in its IVF cell; cosine >= the SemDeDup
+    // threshold flags the test vector as semantically leaked. Work is
+    // cell-bounded on the cached tower; at 100 TB the test split is the
+    // small broadcast side and the train corpus streams by cell.
+    "q192_semantic_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, _) = ivfCells(s, dir)
+      val pct = conv(substring(md5(concat(lit(""), $"vec_id".cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      val c2 = cells.withColumn("pct", pct)
+      val probe = c2.where($"pct" >= 0.9)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell".as("qc"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      c2.where($"pct" < 0.8).join(broadcast(probe), $"cell" === $"qc")
+        .select($"q_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rk", row_number().over(w)).where($"rk" === 1)
+        .select($"q_id".as("test_id"), $"vec_id".as("nearest_train_id"),
+          round($"cos", 6).as("max_cos"),
+          ($"cos" >= SemDedupTau.toDouble).as("leaked"))
+        .orderBy($"test_id")
+    }),
+
     "q159_hard_negatives" -> ((s, dir) => {
       import s.implicits._
       val (cells, _) = ivfCells(s, dir)
@@ -1444,6 +1511,49 @@ object SimilarityQueries {
            |  round(max(ratio), 6) AS max_ratio
            |FROM r GROUP BY 1 ORDER BY label""".stripMargin
       },
+      // q191 = the triplet law over the unrolled k-means chain: per
+      // anchor, top-1 same-label and top-1 cross-label in-cell cosines.
+      "q191_triplet_mining" ->
+        s"""WITH $ivfCtesSql,
+           |cl AS (SELECT c.vec_id, c.v, c.cell, e.label
+           |       FROM cells c JOIN e ON e.vec_id = c.vec_id),
+           |q AS (SELECT vec_id q_id, v qv, cell qc, label ql FROM cl WHERE vec_id < $NQueries),
+           |pp AS (SELECT q.q_id, cl.vec_id,
+           |         ${cosSql("q.qv", "cl.v")} cos,
+           |         row_number() OVER (PARTITION BY q.q_id
+           |           ORDER BY ${cosSql("q.qv", "cl.v")} DESC, cl.vec_id ASC) rk
+           |       FROM cl JOIN q ON cl.cell = q.qc AND cl.label = q.ql
+           |         AND cl.vec_id <> q.q_id),
+           |nn AS (SELECT q.q_id, cl.vec_id,
+           |         ${cosSql("q.qv", "cl.v")} cos,
+           |         row_number() OVER (PARTITION BY q.q_id
+           |           ORDER BY ${cosSql("q.qv", "cl.v")} DESC, cl.vec_id ASC) rk
+           |       FROM cl JOIN q ON cl.cell = q.qc AND cl.label <> q.ql)
+           |SELECT p.q_id AS anchor, p.vec_id AS pos_id, n.vec_id AS neg_id,
+           |  round(p.cos, 6) AS pos_cos, round(n.cos, 6) AS neg_cos,
+           |  round(p.cos - n.cos, 6) AS margin
+           |FROM pp p JOIN nn n ON p.q_id = n.q_id AND p.rk = 1 AND n.rk = 1
+           |ORDER BY anchor""".stripMargin,
+
+      // q192 = the semantic-leakage law: per test-split vector (md5
+      // percentile on vec_id), the max train-split cosine within its
+      // cell, flagged at the SemDeDup threshold.
+      "q192_semantic_decontamination" ->
+        s"""WITH $ivfCtesSql,
+           |cp AS (SELECT vec_id, v, cell,
+           |    CAST(('0x' || substr(md5('' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+           |  FROM cells),
+           |q AS (SELECT vec_id q_id, v qv, cell qc FROM cp WHERE pct >= 0.9),
+           |tr AS (SELECT vec_id, v, cell FROM cp WHERE pct < 0.8),
+           |p AS (SELECT q.q_id, tr.vec_id,
+           |        ${cosSql("q.qv", "tr.v")} cos,
+           |        row_number() OVER (PARTITION BY q.q_id
+           |          ORDER BY ${cosSql("q.qv", "tr.v")} DESC, tr.vec_id ASC) rk
+           |      FROM tr JOIN q ON tr.cell = q.qc)
+           |SELECT q_id AS test_id, vec_id AS nearest_train_id,
+           |  round(cos, 6) AS max_cos, cos >= $SemDedupTau AS leaked
+           |FROM p WHERE rk = 1 ORDER BY test_id""".stripMargin,
+
       "q159_hard_negatives" ->
         s"""WITH $ivfCtesSql,
            |lab AS (SELECT vec_id, label FROM e),

@@ -166,6 +166,72 @@ class Round7LawsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == want, "fired set equals the silence law")
   }
 
+  test("q189: the sample is exactly the top-20 by the A-ES key") {
+    val got = SparkEntry.queries("q189_weighted_sample")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1 to 20))
+    // independent recomputation of every key; the sampled set must be
+    // the argmax-20 under (key desc, doc_id asc)
+    val keys = graft.queries.DocProfiles.profiled(spark, dir)
+      .select($"doc_id", $"n_tok",
+        (conv(substring(md5(concat(lit("aes:"), $"doc_id".cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0).as("u"))
+      .collect().map(r => (r.getLong(0), math.pow(r.getDouble(2), 1.0 / r.getInt(1))))
+    val want = keys.sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSeq
+    assert(got.map(_._2).toSeq == want, "A-ES top-20 matches brute force")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q190: sketch estimates land near the exact split cardinalities") {
+    val rows = SparkEntry.queries("q190_split_overlap_sketch")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val (exTr, exTe, exIn) = (rows("train")._2, rows("test")._2, rows("intersection")._2)
+    assert(rows("union")._2 == exTr + exTe - exIn, "exact union by inclusion-exclusion")
+    assert(exIn <= math.min(exTr, exTe))
+    // m=256 HLL ≈ 6.5% expected error; intersection compounds three
+    // estimates — loose but honest bounds
+    Seq("train", "test", "union").foreach { m =>
+      val (est, exact) = rows(m)
+      assert(math.abs(est - exact) / exact < 0.3, s"$m estimate within 30%")
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q191: triplets are labeled correctly and margins restate the cosines") {
+    val rows = SparkEntry.queries("q191_triplet_mining")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (a, p, n, pc, nc, m) =>
+      assert(labels(p) == labels(a), "positive shares the anchor's label")
+      assert(labels(n) != labels(a), "negative crosses the label")
+      assert(p != a && n != a)
+      assert(math.abs(m - (pc - nc)) < 2e-6, "margin restates the cosines")
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q192: flags restate the threshold; probes are the test split") {
+    val rows = SparkEntry.queries("q192_semantic_decontamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cos, leaked) =>
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+      assert(leaked == (cos >= 0.4 - 1e-9) || math.abs(cos - 0.4) < 1e-6)
+    }
+    val pctOf = (id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(2).map("%02x".format(_)).mkString
+      java.lang.Integer.parseInt(hex, 16) / 65536.0
+    }
+    rows.foreach { case (id, _, _) => assert(pctOf(id) >= 0.9, "probe is test-split") }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

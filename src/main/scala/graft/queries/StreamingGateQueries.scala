@@ -420,6 +420,65 @@ object StreamingGateQueries {
             .toDF("key", "last_seen", "deadline")
             .orderBy($"key")
         }
+      }),
+
+    // STREAMING INGEST FUNNEL — the three gates COMPOSED in one
+    // streaming query, the way a production ingest actually runs them:
+    // quality gate (q55 law) → exact content dedup (keep-first per
+    // md5(text)) → decontamination flag (Bloom probe), with the suspect
+    // residue settled exactly per micro-batch. Arrivals = the corpus
+    // plus planted exact re-publications (+100000, doc_id < 25) plus
+    // planted test-doc copies (+200000, 5 docs). The gate returns the
+    // funnel's SURVIVOR SET as content hashes (the arrival-order-
+    // invariant surface); the oracle composes the three batch laws:
+    // distinct md5(text) of quality-passing arrivals sharing no
+    // word-5-gram with the test split. One stream, three operators,
+    // one hash-checked law — the composition IS the capability.
+    "q193_streaming_ingest_funnel" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"sfungate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q193") { base =>
+          val prof = DocProfiles.profiled(s, dir)
+            .select($"doc_id", $"pct", $"text")
+          val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+          val fixture = docs
+            .unionAll(docs.where($"doc_id" < 25)
+              .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+            .unionAll(prof.where($"pct" >= 0.9).orderBy($"doc_id").limit(5)
+              .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+          val src = s"$base/src"
+          fixture.repartition(1).write.mode("overwrite").parquet(src)
+          val testGrams = DocProfiles.testGrams(s, dir)
+          val bloom = BloomPrefilter.build(testGrams, "gh",
+            math.max(testGrams.count(), 64L))
+          val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+          // stage 1+2 (stateful) then stage 3 (stateless flag) in ONE query
+          val funnel = StreamingDecontamination.flag(
+            StreamingCuration.curate(stream, "text", minQuality = 0.5),
+            "text", bloom)
+          val out = scala.collection.mutable.Buffer.empty[(String, Boolean)]
+          drain(funnel.select(md5($"text".cast("binary")).as("ch"), $"suspect")
+              .as[(String, Boolean)], s"$base/ckpt", "append") { (b, _) =>
+            out.synchronized { out ++= b.collect() }
+          }
+          val cleanCh = out.toSeq.collect { case (ch, false) => ch }
+          val suspectCh = out.toSeq.collect { case (ch, true) => ch }.distinct
+          // exact settle of the suspect residue at hash granularity: a
+          // hash survives iff its text shares no gram with the test set
+          val settled =
+            if (suspectCh.isEmpty) Seq.empty[String]
+            else {
+              val texts = s.read.parquet(src)
+                .withColumn("ch", md5($"text".cast("binary")))
+                .join(suspectCh.toDF("ch"), Seq("ch"), "left_semi")
+                .select($"ch", $"text").dropDuplicates("ch")
+              StreamingDecontamination.settle(
+                StreamingDecontamination.flag(texts, "text", bloom)
+                  .withColumnRenamed("ch", "doc_ch"), testGrams, "doc_ch")
+                .select($"doc_ch").as[String].collect().toSeq
+            }
+          (cleanCh ++ settled).distinct.sorted.toDF("ch").orderBy($"ch")
+        }
       }))
 
   def oracles: Map[String, String] = Map(
@@ -604,6 +663,45 @@ object StreamingGateQueries {
     // The silence law in the operator's exact millisecond space: a
     // cohort fires iff lastSeen_ms + 6h is strictly below the final
     // watermark (sentinel at maxTs + 2h, minus the 10-minute delay).
+    // The funnel's composed law: distinct content hashes of
+    // quality-passing arrivals whose text shares no word-5-gram with
+    // the test split (exact dedup is absorbed by DISTINCT; the planted
+    // test-doc copies fall to the decontamination stage).
+    "q193_streaming_ingest_funnel" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM (
+        |    SELECT doc_id, text FROM sp WHERE pct >= 0.9 ORDER BY doc_id LIMIT 5)),
+        |t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') toks FROM fx),
+        |b AS (SELECT doc_id, text,
+        |    len(toks) n_tok,
+        |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+        |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id, text FROM b
+        |      WHERE 0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+        |          + 0.3 * (n_stop * 1.0 / n_tok)
+        |          + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0) >= 0.5),
+        |qt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM q),
+        |qg AS (SELECT doc_id,
+        |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+        |  FROM qt, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+        |tt AS (SELECT string_split_regex(trim(text), '\s+') toks FROM sp WHERE pct >= 0.9),
+        |tg AS (SELECT DISTINCT
+        |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+        |  FROM tt, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+        |bad AS (SELECT DISTINCT qg.doc_id FROM qg JOIN tg USING (gh))
+        |SELECT DISTINCT md5(q.text) AS ch
+        |FROM q LEFT JOIN bad ON q.doc_id = bad.doc_id
+        |WHERE bad.doc_id IS NULL ORDER BY ch""".stripMargin,
+
     "q188_streaming_heartbeat_gate" ->
       """WITH k AS (
         |  SELECT CAST(user_id % 50 AS VARCHAR) AS key,

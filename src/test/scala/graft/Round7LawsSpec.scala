@@ -232,6 +232,26 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q193: the funnel's survivor set composes the three stage laws") {
+    val kept = SparkEntry.queries("q193_streaming_ingest_funnel")(spark, dir)
+      .as[String].collect().toSet
+    assert(kept.nonEmpty)
+    // stage 2 law: hashes are unique by construction (it's a set)
+    // stage 1+3 law: every kept hash is quality-passing and shares no
+    // test gram; every planted test-doc copy's hash is absent
+    val prof = graft.queries.DocProfiles.profiled(spark, dir)
+    val plantedTestCh = prof.where($"pct" >= 0.9).orderBy($"doc_id").limit(5)
+      .select(md5($"text".cast("binary"))).as[String].collect().toSet
+    assert(kept.intersect(plantedTestCh).isEmpty,
+      "contaminated test-doc copies fall at the decontamination stage")
+    val lowQualityCh = graft.sources.Tables.documents(spark, dir)
+      .where(graft.streaming.StreamingCuration.quality($"text") < 0.5)
+      .select(md5($"text".cast("binary"))).as[String].collect().toSet
+    assert(kept.intersect(lowQualityCh).isEmpty,
+      "sub-threshold docs fall at the quality stage")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

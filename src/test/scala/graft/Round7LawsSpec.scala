@@ -252,6 +252,21 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q194: IR metrics are well-formed and mutually consistent") {
+    val rows = SparkEntry.queries("q194_retrieval_eval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 10, "ten eval queries")
+    val validRr = (1 to 10).map(k => math.rint(1.0 / k * 1e6) / 1e6).toSet + 0.0
+    rows.foreach { case (_, rr, ndcg, nRel) =>
+      assert(validRr.exists(v => math.abs(v - rr) < 1e-6), s"rr $rr is 1/rank or 0")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(nRel >= 0L && nRel <= 10L)
+      assert((rr > 0) == (nRel > 0), "reciprocal rank fires iff a relevant doc is in top-10")
+      if (nRel > 0) assert(ndcg > 0.0)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

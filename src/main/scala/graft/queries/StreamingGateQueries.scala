@@ -479,6 +479,55 @@ object StreamingGateQueries {
             }
           (cleanCh ++ settled).distinct.sorted.toDF("ch").orderBy($"ch")
         }
+      }),
+
+    // UNANSWERED-REQUEST GATE — StreamCorrelator.unanswered, the OUTER
+    // half q187 doesn't exercise: views that never saw a same-cohort
+    // purchase within one event-time day, emitted only once the
+    // watermark proves a match impossible. The drain processes the two
+    // staged streams (arming join state), then appends one sentinel
+    // event 30 days past the log to BOTH sides — the watermark sails
+    // past every view's deadline, so exactly the provably-unanswered
+    // views flush (no boundary arithmetic left in the law). Oracle =
+    // the plain SQL anti-join: views with no purchase in
+    // [ts, ts + 1 day] for their cohort.
+    "q195_stream_unanswered_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"sunagate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q195") { base =>
+          val ev = Tables.events(s, dir)
+          def side(tpe: String, p: String) = ev.where($"event_type" === tpe)
+            .select(($"user_id" % 100).as(s"${p}_key"), $"ts".as(s"${p}_ts"),
+              $"event_id".as(s"${p}_id"))
+          val (lsrc, rsrc) = (s"$base/l", s"$base/r")
+          side("view", "l").repartition(1).write.mode("overwrite").parquet(lsrc)
+          side("purchase", "r").repartition(1).write.mode("overwrite").parquet(rsrc)
+          val maxTs = ev.agg(max($"ts")).collect()(0).getTimestamp(0)
+          val out = scala.collection.mutable.Buffer.empty[(Long, Long)]
+          def drainOnce(): Unit = {
+            val l = s.readStream.schema(s.read.parquet(lsrc).schema).parquet(lsrc)
+            val r = s.readStream.schema(s.read.parquet(rsrc).schema).parquet(rsrc)
+            drain(StreamCorrelator.unanswered(
+                l, "l_ts", "l_key", r, "r_ts", "r_key",
+                within = "1 day", delay = "1 day")
+                .select($"l_key", $"l_id").as[(Long, Long)],
+              s"$base/ckpt", "append") { (b, _) =>
+              out.synchronized { out ++= b.collect() }
+            }
+          }
+          drainOnce()
+          val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+          Seq((-1L, far, -1L)).toDF("l_key", "l_ts", "l_id")
+            .repartition(1).write.mode("append").parquet(lsrc)
+          Seq((-1L, far, -1L)).toDF("r_key", "r_ts", "r_id")
+            .repartition(1).write.mode("append").parquet(rsrc)
+          drainOnce()
+          out.toSeq.filter(_._1 >= 0L).groupBy(_._1).toSeq
+            .map { case (k, g) => (k, g.size.toLong) }
+            .sortBy(_._1)
+            .toDF("cohort", "n_unanswered")
+            .orderBy($"cohort")
+        }
       }))
 
   def oracles: Map[String, String] = Map(
@@ -659,6 +708,20 @@ object StreamingGateQueries {
         |SELECT k AS cohort, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The timeout-detection law: views with no same-cohort purchase in
+    // [ts, ts + 1 day]; the far-future sentinel makes every verdict
+    // final, so no watermark arithmetic survives into the law.
+    "q195_stream_unanswered_gate" ->
+      """WITH l AS (SELECT user_id % 100 AS k, ts, event_id FROM events
+        |           WHERE event_type = 'view'),
+        |r AS (SELECT user_id % 100 AS k, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT DISTINCT l.event_id FROM l JOIN r ON l.k = r.k
+        |      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 DAY)
+        |SELECT l.k AS cohort, CAST(count(*) AS BIGINT) AS n_unanswered
+        |FROM l LEFT JOIN m ON l.event_id = m.event_id
+        |WHERE m.event_id IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The silence law in the operator's exact millisecond space: a
     // cohort fires iff lastSeen_ms + 6h is strictly below the final

@@ -267,6 +267,26 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q195: unanswered counts restate the batch anti-join law") {
+    val got = SparkEntry.queries("q195_stream_unanswered_gate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // independent batch recomputation of the timeout law
+    val ev = graft.sources.Tables.events(spark, dir)
+    val l = ev.where($"event_type" === "view")
+      .select(($"user_id" % 100).as("k"), $"ts", $"event_id")
+    val r = ev.where($"event_type" === "purchase")
+      .select(($"user_id" % 100).as("rk"), $"ts".as("rts"))
+    val matched = l.join(r, $"k" === $"rk" && $"rts" >= $"ts" &&
+        $"rts" <= $"ts" + expr("interval 1 day"))
+      .select($"event_id").distinct()
+    val want = l.join(matched, Seq("event_id"), "left_anti")
+      .groupBy($"k").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == want, "streamed timeout verdicts equal the batch law")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

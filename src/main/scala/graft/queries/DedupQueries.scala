@@ -337,6 +337,35 @@ object DedupQueries {
         .orderBy($"doc_id")
     }),
 
+    // DEDUP-AWARE weighted sampling — the FineWeb-style "count content
+    // once" draw: sampling raw documents over-represents boilerplate
+    // (every near-dup copy is another ticket); sampling KEEPERS weighted
+    // by cluster size restores content-mass proportions with one ticket
+    // per distinct content. Clusters = the verified near-dup components
+    // (q36's memoized closure; docs outside any component are size-1
+    // clusters of themselves); the draw is q189's exact A-ES law with
+    // w = cluster size. Work beyond the shared component table is one
+    // anti-join + a top-k.
+    "q197_cluster_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val comp = docComponents(s, dir)
+      val clusters = comp.groupBy($"comp")
+        .agg(count(lit(1)).as("sz"))
+        .select($"comp".as("keeper"), $"sz")
+      val singles = Tables.documents(s, dir).select($"doc_id")
+        .join(comp.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+        .select($"doc_id".as("keeper"), lit(1L).as("sz"))
+      val u = conv(substring(md5(concat(lit("cws:"), $"keeper".cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      val w = Window.orderBy($"k".desc, $"keeper".asc)
+      clusters.unionAll(singles)
+        .withColumn("k", pow(u, lit(1.0) / $"sz"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 10)
+        .select($"rank", $"keeper", $"sz".as("cluster_size"))
+        .orderBy($"rank")
+    }),
+
     // The dedup MANIFEST — the actionable ledger a removal pass executes:
     // one row per document to delete, pointing at the group member kept
     // in its place (min doc_id per verified near-dup component — a
@@ -947,6 +976,21 @@ object DedupQueries {
       "q36_dedup_components" ->
         s"""WITH RECURSIVE $componentCtes
            |SELECT doc_id, comp FROM comp ORDER BY doc_id""".stripMargin,
+      // q197 = the component closure + the A-ES draw over keepers
+      // weighted by cluster size (singletons weigh 1).
+      "q197_cluster_weighted_sample" ->
+        s"""WITH RECURSIVE $componentCtes,
+           |cl AS (SELECT comp AS keeper, CAST(count(*) AS BIGINT) sz FROM comp GROUP BY comp),
+           |si AS (SELECT d.doc_id AS keeper, CAST(1 AS BIGINT) sz FROM documents d
+           |       WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)),
+           |al AS (SELECT * FROM cl UNION ALL SELECT * FROM si),
+           |r AS (SELECT keeper, sz,
+           |        CAST(row_number() OVER (ORDER BY
+           |          pow(CAST(('0x' || substr(md5('cws:' || CAST(keeper AS VARCHAR)), 1, 4)) AS INT) / 65536.0,
+           |            1.0 / sz) DESC, keeper ASC) AS INT) rank
+           |      FROM al)
+           |SELECT rank, keeper, sz AS cluster_size FROM r WHERE rank <= 10
+           |ORDER BY rank""".stripMargin,
       // q133: q127's rare-gram pair selection, then gaps-and-islands over
       // shared gram positions per (a_pos − b_pos) diagonal; longest island
       // of R grams = verbatim run of R+K−1 tokens.

@@ -1450,6 +1450,41 @@ object TextQueries {
     // ranking (the q96/q124 round-before-rank law) so ranks are
     // engine-identical; DCG spells ln() arithmetic identically on both
     // sides.
+    // TOKEN-BUDGET curation — "keep the best documents until the token
+    // budget is spent", the selection rule a compute-bound training run
+    // actually applies. The scale-safe spelling is a BINNED threshold
+    // search, not a global sort: quality (q55's law) buckets into 100
+    // integer bins, the per-bin token masses cumulate top-down (a
+    // 100-row window — bounded by construction, never data-sized), and
+    // the marginal bin where the cumulative mass first exceeds 40% of
+    // corpus tokens becomes the keep threshold (whole bins above it
+    // kept; the partial bin excluded — a deployment would doc-rank
+    // inside it). Budget arithmetic is exact integer (total·2/5).
+    "q196_token_budget_curation" -> ((s, dir) => {
+      import s.implicits._
+      val d = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"lang", $"n_tok", $"sum_len", $"n_stop")
+      val score = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+        lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+      val scored = d.withColumn("qb",
+        least(floor(score * 100).cast("int"), lit(99)))
+      val wCum = Window.orderBy($"qb".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = scored.groupBy($"qb").agg(sum($"n_tok").as("btoks"))
+        .withColumn("cum", sum($"btoks").over(wCum))
+      val total = scored.agg(sum($"n_tok")).collect()(0).getLong(0)
+      val budget = (total * 2) / 5
+      val marginal = cum.where($"cum" > budget).agg(max($"qb"))
+        .collect()(0).getInt(0)
+      scored.where($"qb" > marginal)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("tokens_kept"))
+        .withColumn("threshold_bin", lit(marginal))
+        .withColumn("budget_tokens", lit(budget))
+        .orderBy($"lang")
+    }),
+
     // Memoized per batch (the q110/q170 report treatment): a retrieval
     // eval is recomputed when the index changes, not per read — and its
     // plan is ~10 tiny broadcast joins whose scheduling depth, not data,
@@ -2329,6 +2364,33 @@ object TextQueries {
            |        CAST(row_number() OVER (ORDER BY w DESC, doc_id ASC) AS INT) rnk
            |      FROM sc ORDER BY w DESC, doc_id ASC LIMIT 15)
            |SELECT rnk, doc_id, lang, n_feats, w FROM r ORDER BY rnk""".stripMargin,
+      // q196 = the binned threshold law: 100 quality bins, top-down
+      // cumulative token mass, marginal bin at the exact-integer 40%
+      // budget, whole bins above kept.
+      "q196_token_budget_curation" ->
+        """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |b AS (SELECT doc_id, lang,
+          |    len(toks) n_tok,
+          |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+          |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) n_stop
+          |  FROM t),
+          |sc AS (SELECT doc_id, lang, n_tok,
+          |    least(CAST(floor((0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+          |      + 0.3 * (n_stop * 1.0 / n_tok)
+          |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0)) * 100) AS INT), 99) AS qb
+          |  FROM b),
+          |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) total FROM sc),
+          |cum AS (SELECT qb, sum(btoks) OVER (ORDER BY qb DESC) cum FROM (
+          |        SELECT qb, CAST(sum(n_tok) AS BIGINT) btoks FROM sc GROUP BY 1)),
+          |mg AS (SELECT CAST(max(cum.qb) AS INT) m FROM cum, tot
+          |       WHERE cum.cum > (tot.total * 2) // 5)
+          |SELECT sc.lang, count(*) AS n_kept,
+          |  CAST(sum(sc.n_tok) AS BIGINT) AS tokens_kept,
+          |  mg.m AS threshold_bin,
+          |  CAST((tot.total * 2) // 5 AS BIGINT) AS budget_tokens
+          |FROM sc, mg, tot WHERE sc.qb > mg.m
+          |GROUP BY sc.lang, mg.m, tot.total ORDER BY sc.lang""".stripMargin,
+
       // q194 = the eval law respelled: per-query BM25 over the train
       // split, same-source relevance, MRR@10 + binary nDCG@10; scores
       // round before rank, DCG arithmetic spelled identically.

@@ -287,6 +287,53 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q196: kept mass fits the budget; the marginal bin would exceed it") {
+    val rows = SparkEntry.queries("q196_token_budget_curation")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val budget = rows.head._5
+    val thr = rows.head._4
+    val kept = rows.map(_._3).sum
+    assert(kept <= budget, s"whole-bin selection under budget ($kept <= $budget)")
+    // adding the marginal bin's mass must cross the budget (threshold law)
+    val d = graft.queries.DocProfiles.profiled(spark, dir)
+      .select($"lang", $"n_tok", $"sum_len", $"n_stop")
+    val score = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+      lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+      lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+    val marginalMass = d
+      .where(least(floor(score * 100).cast("int"), lit(99)) === thr)
+      .agg(coalesce(sum($"n_tok"), lit(0L))).collect()(0).getLong(0)
+    assert(kept + marginalMass > budget,
+      "the threshold bin is exactly where cumulative mass crosses the budget")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q197: cluster-weighted draw is the A-ES argmax over keepers") {
+    val rows = SparkEntry.queries("q197_cluster_weighted_sample")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.forall(_._3 >= 1L))
+    // brute-force: rebuild keepers+sizes, recompute keys, compare top-10
+    val comp = SparkEntry.queries("q36_dedup_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySz = comp.groupBy(_._2).map { case (k, g) => (k, g.length.toLong) }
+    val inComp = comp.map(_._1).toSet
+    val singles = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id").as[Long].collect().filterNot(inComp).map(_ -> 1L)
+    def uOf(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cws:$id".getBytes("UTF-8"))
+      java.lang.Integer.parseInt(h.take(2).map("%02x".format(_)).mkString, 16) / 65536.0
+    }
+    val want = (bySz.toSeq ++ singles)
+      .map { case (id, sz) => (id, sz, math.pow(uOf(id), 1.0 / sz)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(10)
+      .map { case (id, sz, _) => (id, sz) }
+    assert(rows.map(r => (r._2, r._3)).toSeq == want, "A-ES top-10 matches brute force")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

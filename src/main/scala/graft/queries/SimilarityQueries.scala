@@ -609,6 +609,36 @@ object SimilarityQueries {
         .orderBy($"test_id")
     }),
 
+    // Embedding HEALTH audit — the data-quality check every ANN build
+    // runs first: per label, vector count, non-finite vectors (NaN/Inf
+    // components — a failed encoder batch), zero-norm vectors (cosine
+    // is undefined on them), and the 6dp norm envelope over the finite
+    // remainder. Two pathological vectors are PLANTED under label -1
+    // (one all-zero, one NaN-poisoned) so the audit's catch paths are
+    // exercised, not just claimed. One narrow scan at any corpus size.
+    "q199_embedding_health" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val real = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      val bad = Seq(
+        (100000L, -1, Seq.fill(Dim)(0.0)),
+        (100001L, -1, Double.NaN +: Seq.fill(Dim - 1)(1.0)))
+        .toDF("vec_id", "label", "v")
+      val nonfinite = exists($"v", x => isnan(x) || abs(x) === Double.PositiveInfinity)
+      real.unionAll(bad)
+        .withColumn("bad", nonfinite)
+        .withColumn("nrm", when($"bad", lit(null)).otherwise(sqrt(dot($"v", $"v"))))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"bad", 1L).otherwise(0L)).as("n_nonfinite"),
+          sum(when(!$"bad" && $"nrm" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          round(min($"nrm"), 6).as("min_norm"),
+          round(max($"nrm"), 6).as("max_norm"),
+          round(avg($"nrm"), 6).as("avg_norm"))
+        .orderBy($"label")
+    }),
+
     "q159_hard_negatives" -> ((s, dir) => {
       import s.implicits._
       val (cells, _) = ivfCells(s, dir)
@@ -1511,6 +1541,31 @@ object SimilarityQueries {
            |  round(max(ratio), 6) AS max_ratio
            |FROM r GROUP BY 1 ORDER BY label""".stripMargin
       },
+      // q199 = the audit law with the same two planted pathologies;
+      // norms null out for non-finite vectors so the envelope covers
+      // the finite remainder.
+      "q199_embedding_health" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings
+           |  UNION ALL
+           |  SELECT 100000, -1, list_transform(range($Dim), x -> 0.0)
+           |  UNION ALL
+           |  SELECT 100001, -1,
+           |    list_concat(['nan'::DOUBLE], list_transform(range(${Dim - 1}), x -> 1.0))),
+           |b AS (SELECT label,
+           |    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+           |    sqrt(list_dot_product(v, v)) AS nrm0
+           |  FROM e),
+           |c AS (SELECT label, bad,
+           |    CASE WHEN bad THEN NULL ELSE nrm0 END AS nrm FROM b)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           |  CAST(sum(CASE WHEN NOT bad AND nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           |  round(min(nrm), 6) AS min_norm,
+           |  round(max(nrm), 6) AS max_norm,
+           |  round(avg(nrm), 6) AS avg_norm
+           |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
       // q191 = the triplet law over the unrolled k-means chain: per
       // anchor, top-1 same-label and top-1 cross-label in-cell cosines.
       "q191_triplet_mining" ->

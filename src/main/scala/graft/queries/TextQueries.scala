@@ -1450,6 +1450,83 @@ object TextQueries {
     // ranking (the q96/q124 round-before-rank law) so ranks are
     // engine-identical; DCG spells ln() arithmetic identically on both
     // sides.
+    // The corpus DATA CARD — the per-language datasheet a dataset ships
+    // with ("Datasheets for Datasets", Gebru et al., CACM 2021): doc and
+    // token counts, quality-gate pass count (q55's law), documents
+    // involved in exact-content duplicate groups (q35's hash law), and
+    // the train/val/test allocation (q56's md5-percentile law) — every
+    // column an already-proven exact-integer law, assembled into the one
+    // table a dataset consumer reads first. Rides the shared profile
+    // cache; the dup-group probe is a broadcast of the (tiny) repeated-
+    // hash set.
+    "q200_data_card" -> ((s, dir) => {
+      import s.implicits._
+      val p = DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"lang", $"n_tok", $"sum_len", $"n_stop", $"pct", $"ch")
+      val dupCh = p.groupBy($"ch").agg(count(lit(1)).as("n"))
+        .where($"n" > 1).select($"ch", lit(1L).as("is_dup"))
+      val score = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+        lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+      p.join(broadcast(dupCh), Seq("ch"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          sum(when(score >= 0.5, 1L).otherwise(0L)).as("n_quality_pass"),
+          sum(coalesce($"is_dup", lit(0L))).as("n_exact_dup_docs"),
+          sum(when($"pct" < 0.8, 1L).otherwise(0L)).as("n_train"),
+          sum(when($"pct" >= 0.8 && $"pct" < 0.9, 1L).otherwise(0L)).as("n_val"),
+          sum(when($"pct" >= 0.9, 1L).otherwise(0L)).as("n_test"))
+        .orderBy($"lang")
+    }),
+
+    // MERGE-LADDER fertility curve — the tokenizer-sizing tradeoff table:
+    // corpus-level BPE tokens and fertility at every merge-count prefix
+    // K = 0..3 of the q171-trained model (K=0 is character-level — the
+    // anchor every BPE paper plots from). One dictionary encode computes
+    // all four symbol counts as a WIDE row (w, s0..s3); one broadcast
+    // join + four sums scores the corpus — the marginal value of each
+    // merge, measured, for the price of one pass. Oracle = the marker
+    // collapse applied 0, 1, 2, 3 times.
+    "q198_bpe_merge_ladder" -> ((s, dir) => {
+      import s.implicits._
+      val log = defs("q171_bpe_train")(s, dir).collect()
+      val merges = log.sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val models = (0 to 3).map(k =>
+        graft.operators.BpeTrainer.BpeModel(merges.take(k)))
+      val bc = s.sparkContext.broadcast(models)
+      val dictSyms = graft.operators.CacheRegistry.track(
+        graft.operators.BpeTrainer
+          .wordDict(Tables.documents(s, dir), "text")
+          .as[(String, Long)]
+          .map { case (w, _) =>
+            val e = bc.value.map(_.encode(w).length.toLong)
+            (w, e(0), e(1), e(2), e(3))
+          }
+          .toDF("w", "s0", "s1", "s2", "s3")
+          .cache())
+      val base = DocProfiles.profiled(s, dir)
+        .agg(sum($"n_tok").as("tws"), sum($"n_chars").as("nc"))
+        .collect()(0)
+      val (tws, nc) = (base.getLong(0), base.getLong(1))
+      val sums = DocProfiles.termFreqs(s, dir)
+        .select(lower($"term").as("w"), $"tf")
+        .join(broadcast(dictSyms), Seq("w"), "left")
+        .agg(sum($"tf" * coalesce($"s0", lit(1L))).as("t0"),
+          (1 to 3).map(k =>
+            sum($"tf" * coalesce(col(s"s$k"), lit(1L))).as(s"t$k")): _*)
+        .collect()(0)
+      // HALF_UP to match round() in BOTH engines (rint would half-even)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (0 to 3).map { k =>
+        val t = sums.getLong(k)
+        (k, t, r6(t * 1.0 / tws), r6(nc * 1.0 / t))
+      }.toDF("n_merges", "total_bpe_tokens", "bpe_per_ws_tok", "chars_per_bpe_tok")
+        .orderBy($"n_merges")
+    }),
+
     // TOKEN-BUDGET curation — "keep the best documents until the token
     // budget is spent", the selection rule a compute-bound training run
     // actually applies. The scale-safe spelling is a BINNED threshold
@@ -2364,6 +2441,85 @@ object TextQueries {
            |        CAST(row_number() OVER (ORDER BY w DESC, doc_id ASC) AS INT) rnk
            |      FROM sc ORDER BY w DESC, doc_id ASC LIMIT 15)
            |SELECT rnk, doc_id, lang, n_feats, w FROM r ORDER BY rnk""".stripMargin,
+      // q200 = the datasheet assembled from the proven fragments: q55
+      // quality, q35 content hash, q56 split — all exact integers.
+      "q200_data_card" ->
+        s"""WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') toks,
+           |    ${md5PctSql("")} AS pct
+           |  FROM documents),
+           |b AS (SELECT doc_id, lang, pct, md5(text) ch,
+           |    len(toks) n_tok,
+           |    list_sum(list_transform(toks, x -> len(x))) sum_len,
+           |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is'))) n_stop
+           |  FROM t),
+           |dup AS (SELECT ch FROM b GROUP BY ch HAVING count(*) > 1),
+           |sc AS (SELECT b.*,
+           |    0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+           |      + 0.3 * (n_stop * 1.0 / n_tok)
+           |      + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0) AS quality,
+           |    CASE WHEN dup.ch IS NULL THEN 0 ELSE 1 END AS is_dup
+           |  FROM b LEFT JOIN dup ON b.ch = dup.ch)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           |  CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+           |  CAST(sum(is_dup) AS BIGINT) AS n_exact_dup_docs,
+           |  CAST(sum(CASE WHEN pct < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |  CAST(sum(CASE WHEN pct >= 0.8 AND pct < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |  CAST(sum(CASE WHEN pct >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // q198 = the marker collapse applied 0..3 times per word; global
+      // sums over the token stream, four ladder rows.
+      "q198_bpe_merge_ladder" ->
+        """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |            FROM documents),
+          |f0 AS (SELECT w, count(*) n FROM w0
+          |       WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY 1),
+          |p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f0) GROUP BY 1),
+          |b1 AS (SELECT pair, cnt FROM p1
+          |       ORDER BY cnt DESC, substr(pair, 1, 1) ASC, substr(pair, 2, 1) ASC LIMIT 1),
+          |f1 AS (SELECT replace(f0.w, b1.pair, chr(1)) AS w, f0.n FROM f0, b1),
+          |p2 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f1) GROUP BY 1),
+          |b2 AS (SELECT p2.pair AS pair, p2.cnt AS cnt FROM p2, b1
+          |       ORDER BY p2.cnt DESC,
+          |         replace(substr(p2.pair, 1, 1), chr(1), b1.pair) ASC,
+          |         replace(substr(p2.pair, 2, 1), chr(1), b1.pair) ASC LIMIT 1),
+          |f2 AS (SELECT replace(f1.w, b2.pair, chr(2)) AS w, f1.n FROM f1, b2),
+          |p3 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) cnt
+          |       FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM f2) GROUP BY 1),
+          |b3 AS (SELECT p3.pair AS pair, p3.cnt AS cnt FROM p3, b1, b2
+          |       ORDER BY p3.cnt DESC,
+          |         replace(replace(substr(p3.pair, 1, 1), chr(2), b2.pair), chr(1), b1.pair) ASC,
+          |         replace(replace(substr(p3.pair, 2, 1), chr(2), b2.pair), chr(1), b1.pair) ASC LIMIT 1),
+          |tok AS (SELECT lower(w) AS w FROM (
+          |        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)),
+          |enc AS (SELECT
+          |    CASE WHEN regexp_matches(t.w, '^[a-z]+$') AND len(t.w) >= 2
+          |      THEN len(t.w) ELSE 1 END AS s0,
+          |    CASE WHEN regexp_matches(t.w, '^[a-z]+$') AND len(t.w) >= 2
+          |      THEN len(replace(t.w, b1.pair, chr(1))) ELSE 1 END AS s1,
+          |    CASE WHEN regexp_matches(t.w, '^[a-z]+$') AND len(t.w) >= 2
+          |      THEN len(replace(replace(t.w, b1.pair, chr(1)), b2.pair, chr(2))) ELSE 1 END AS s2,
+          |    CASE WHEN regexp_matches(t.w, '^[a-z]+$') AND len(t.w) >= 2
+          |      THEN len(replace(replace(replace(t.w, b1.pair, chr(1)), b2.pair, chr(2)), b3.pair, chr(3))) ELSE 1 END AS s3
+          |  FROM tok t, b1, b2, b3),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) tws,
+          |          CAST(sum(s0) AS BIGINT) t0, CAST(sum(s1) AS BIGINT) t1,
+          |          CAST(sum(s2) AS BIGINT) t2, CAST(sum(s3) AS BIGINT) t3
+          |        FROM enc),
+          |nc AS (SELECT CAST(sum(n_chars) AS BIGINT) nc FROM documents),
+          |ladder AS (
+          |  SELECT 0 AS n_merges, t0 AS t FROM tot UNION ALL
+          |  SELECT 1, t1 FROM tot UNION ALL
+          |  SELECT 2, t2 FROM tot UNION ALL
+          |  SELECT 3, t3 FROM tot)
+          |SELECT CAST(l.n_merges AS INT) AS n_merges, l.t AS total_bpe_tokens,
+          |  round(l.t * 1.0 / tot.tws, 6) AS bpe_per_ws_tok,
+          |  round(nc.nc * 1.0 / l.t, 6) AS chars_per_bpe_tok
+          |FROM ladder l, tot, nc ORDER BY n_merges""".stripMargin,
+
       // q196 = the binned threshold law: 100 quality bins, top-down
       // cumulative token mass, marginal bin at the exact-integer 40%
       // budget, whole bins above kept.

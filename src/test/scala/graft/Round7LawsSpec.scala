@@ -334,6 +334,51 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q198: each merge can only shrink the corpus token count") {
+    val rows = SparkEntry.queries("q198_bpe_merge_ladder")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, "a merge never increases symbol count")
+        assert(b._3 <= a._3 + 1e-9 && b._4 >= a._4 - 1e-9,
+          "fertility falls, chars-per-token rises, monotonically")
+      case _ =>
+    }
+    // q181 consistency: the K=3 row IS q181's corpus total
+    val q181Total = SparkEntry.queries("q181_bpe_fertility")(spark, dir)
+      .agg(sum($"total_bpe_tokens")).collect()(0).getLong(0)
+    assert(rows.last._2 == q181Total, "ladder K=3 equals the q181 ledger total")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q199: the audit catches exactly the planted pathologies") {
+    val rows = SparkEntry.queries("q199_embedding_health")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bad = rows.find(_._1 == -1).get
+    assert(bad._2 == 2L && bad._3 == 1L && bad._4 == 1L,
+      "planted label: one NaN vector caught, one zero-norm vector caught")
+    rows.filter(_._1 >= 0).foreach { case (l, _, nf, nz) =>
+      assert(nf == 0L && nz == 0L, s"label $l: real corpus is clean")
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("q200: the data card's columns are mutually consistent") {
+    val rows = SparkEntry.queries("q200_data_card")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    assert(rows.map(_._2).sum == docs.count(), "cards cover the corpus")
+    rows.foreach { case (lang, n, toks, qp, dup, tr, va, te) =>
+      assert(tr + va + te == n, s"$lang: split allocation partitions the docs")
+      assert(qp <= n && dup <= n)
+      assert(toks > 0)
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

@@ -568,7 +568,11 @@ object ExtendedQueries {
       val wCum = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wRk = Window.orderBy(abs($"cusum").desc, $"day".asc)
       daily.crossJoin(broadcast(mu))
-        .withColumn("cusum", round(sum($"n" - $"mu").over(wCum), 6))
+        // + 0.0 canonicalizes -0.0 → 0.0: the float residual of the
+        // final row (Σn − d·mu ≈ ±1e-13) rounds to a SIGNED zero whose
+        // sign is engine-noise, and the hash distinguishes 0.0 from -0.0
+        // (caught at sf0.001, where Σn happens to divide evenly)
+        .withColumn("cusum", round(sum($"n" - $"mu").over(wCum), 6) + lit(0.0))
         .withColumn("is_changepoint", row_number().over(wRk) === 1)
         .select($"day", $"n", $"cusum", $"is_changepoint")
         .orderBy($"day")
@@ -1916,7 +1920,7 @@ object ExtendedQueries {
         |m AS (SELECT avg(n) AS mu FROM daily),
         |c AS (SELECT day, n,
         |        round(sum(n - mu) OVER (ORDER BY day
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cusum
         |      FROM daily, m),
         |r AS (SELECT day, n, cusum,
         |        (row_number() OVER (ORDER BY abs(cusum) DESC, day ASC) = 1)

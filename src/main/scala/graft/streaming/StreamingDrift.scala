@@ -45,7 +45,7 @@ object StreamingDrift {
     * ~3·10^9 rows on BOTH sides of one key's histogram — beyond any
     * per-key reference this monitor freezes.
     */
-  private def tvd(a: Array[Long], b: Array[Long]): Double = {
+  private[graft] def tvd(a: Array[Long], b: Array[Long]): Double = {
     val (ta, tb) = (a.sum, b.sum)
     if (ta == 0L || tb == 0L) 0.0
     else a.indices.map(i => math.abs(a(i) * tb - b(i) * ta)).sum.toDouble /

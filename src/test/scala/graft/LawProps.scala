@@ -119,6 +119,40 @@ object LawProps extends Properties("graft-laws") {
         (guaranteed :| "heavy hitters present")
     }
 
+  property("tvd law: a metric on count histograms — 0 on self, symmetric, " +
+      "in [0,1], 1 exactly on disjoint support, empty side is 0 by convention") =
+    forAll(
+      Gen.listOfN(8, Gen.chooseNum(0L, 50L)),
+      Gen.listOfN(8, Gen.chooseNum(0L, 50L))) { (la, lb) =>
+      val (a, b) = (la.toArray, lb.toArray)
+      val d = graft.streaming.StreamingDrift.tvd(a, b)
+      val disjoint = a.indices.forall(i => a(i) == 0L || b(i) == 0L)
+      val someMass = a.sum > 0 && b.sum > 0
+      ((d >= 0.0 && d <= 1.0 + 1e-12) :| s"range: $d") &&
+        ((graft.streaming.StreamingDrift.tvd(a, a) == 0.0) :| "identity") &&
+        ((d == graft.streaming.StreamingDrift.tvd(b, a)) :| "symmetry") &&
+        ((!someMass || !disjoint || math.abs(d - 1.0) < 1e-12) :| "disjoint → 1") &&
+        ((someMass || d == 0.0) :| "empty side → 0")
+    }
+
+  property("portable-quantile sketch law: the estimate's bucket brackets the " +
+      "true quantile; every bucket spans <= 1/32 relative width") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 2000000L)),
+      Gen.oneOf(0.5, 0.9, 0.99)) { (cents, qv) =>
+      import graft.streaming.StreamingQuantile._
+      val sk = cents.foldLeft(Map.empty[(Int, Long), Long])(foldSketch)
+      val est = estimate(sk, qv)
+      val sorted = cents.sorted
+      val truth = sorted((math.ceil(qv * cents.size).toInt - 1).max(0))
+      val (tb, th) = bucketOf(truth)
+      val (lo, hi) = bucketRange(tb, th)
+      // the walk stops at the bucket holding the ceil(q·n)-th value, so
+      // the estimate is that bucket's midpoint — inside [lo, hi]
+      ((est >= lo && est <= hi) :| s"est $est inside truth bucket [$lo, $hi]") &&
+        ((hi - lo <= math.max(hi / 32, 0) + 1) :| s"bucket width bound [$lo, $hi]") &&
+        ((sk.valuesIterator.sum == cents.size.toLong) :| "mass conserved")
+    }
+
   private val genToks: Gen[List[String]] =
     Gen.listOf(Gen.oneOf("a", "b", "ab", "the", "x", "yy", "z9"))
 

@@ -528,6 +528,58 @@ object StreamingGateQueries {
             .toDF("cohort", "n_unanswered")
             .orderBy($"cohort")
         }
+      }),
+
+    // DELIVERY-SEMANTICS GATE — the REFERENCE'S HEART driver-gated end
+    // to end: the event log staged as an envelope topic, drained through
+    // a real StreamingSubscription with a type filter (F2/F3), a handler
+    // that permanently fails every event whose id ends "00"
+    // (event_id % 100 == 0 under the %012d id law), bounded retries
+    // (maxRetries = 2), and dead-letter capture on exhaustion (T3/T4).
+    // The gate returns per-type delivered/dead-lettered counts; the
+    // oracle is the delivery law itself: filtered types only, every
+    // failing event dead-letters EXACTLY once, everything else
+    // delivers. This hash-checks the retry/DLQ bookkeeping the
+    // reference's tests assert in-process (broker_test.ts,
+    // deadletter_test.ts), at the driver gate.
+    "q201_delivery_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"delgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q201") { base =>
+          val types = Seq("error", "purchase", "view")
+          val logDir = s"$base/log"
+          Tables.events(s, dir).select(
+              format_string("%012d", $"event_id").as("id"),
+              $"event_type".as("type"),
+              lit("gate-events").as("topic"),
+              $"ts".as("timestamp"),
+              lit("1.0").as("schemaVersion"),
+              $"props".as("payload"),
+              map(lit("user_id"), $"user_id".cast("string")).as("metadata"))
+            .repartition(8).write.mode("overwrite").parquet(logDir)
+          val dlq = new graft.dlq.InMemoryDeadLetterQueue()
+          val handler: graft.model.EventRow => Unit = { e =>
+            if (e.id.endsWith("00"))
+              throw new RuntimeException("gate-injected permanent fault")
+          }
+          val sub = new graft.streaming.StreamingSubscription(
+            s, logDir, s"$base/ckpt", handler, dlq,
+            topicName = Some("gate-events"),
+            options = graft.broker.SubscriptionOptions(
+              name = Some("q201-gate"), receiveHistoricalEvents = true,
+              eventTypes = types, maxRetries = 2, retryDelayMillis = 0L),
+            ordered = false)
+          sub.runAvailable()
+          val totals = s.read.parquet(logDir)
+            .where($"type".isin(types: _*))
+            .groupBy($"type").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          types.sorted.map { t =>
+            val dead = dlq.getEvents(None, Some(t), None).size.toLong
+            (t, totals.getOrElse(t, 0L) - dead, dead)
+          }.toDF("event_type", "n_delivered", "n_dead_lettered")
+            .orderBy($"event_type")
+        }
       }))
 
   def oracles: Map[String, String] = Map(
@@ -721,6 +773,16 @@ object StreamingGateQueries {
         |SELECT l.k AS cohort, CAST(count(*) AS BIGINT) AS n_unanswered
         |FROM l LEFT JOIN m ON l.event_id = m.event_id
         |WHERE m.event_id IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The delivery law: filtered types only; an event dead-letters iff
+    // its id ends "00" (event_id % 100 == 0), exactly once; everything
+    // else delivers.
+    "q201_delivery_gate" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN event_id % 100 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_delivered,
+        |  CAST(sum(CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_lettered
+        |FROM events WHERE event_type IN ('error', 'purchase', 'view')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The silence law in the operator's exact millisecond space: a

@@ -379,6 +379,21 @@ class Round7LawsSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("q201: delivery respects the type filter; failures dead-letter exactly once") {
+    val rows = SparkEntry.queries("q201_delivery_gate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("error", "purchase", "view"),
+      "only the subscribed types appear, F2's law")
+    val ev = graft.sources.Tables.events(spark, dir)
+    rows.foreach { case (t, delivered, dead) =>
+      val total = ev.where($"event_type" === t).count()
+      val failing = ev.where($"event_type" === t && $"event_id" % 100 === 0).count()
+      assert(dead == failing, s"$t: every permanently-failing event dead-letters once")
+      assert(delivered + dead == total, s"$t: nothing lost, nothing duplicated")
+    }
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("q180: monotone quantiles, exact group counts") {
     val rows = SparkEntry.queries("q180_streaming_quantile_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))

@@ -28,14 +28,14 @@ import org.apache.spark.sql.functions._
   *   - the main JSON line keeps the per-query minimums map and a duplicate
   *     `"total_sec"` as its LAST keys — but at 177+ queries that map alone
   *     (~8 KB of full names and nanosecond-precision doubles) exceeds the
-  *     driver's bounded tail capture (~4.5 KB measured from BENCH_r06), so
-  *     lexicographic key order lost q100–q177 (they sort between q09 and
-  *     q10, i.e. into the truncated head). The LAST stdout line is
-  *     therefore a COMPACT per-query record sized to fit the window whole:
-  *     zero-padded numeric keys (q001…) in numeric order, 3-decimal
-  *     seconds, `total_sec` last. Full driver-facing names stay in the
-  *     main line; the compact line is additive, for cross-round
-  *     regression diffs.
+  *     driver's bounded tail capture (exactly 2000 chars measured from
+  *     BENCH_r06/r07, minus sbt's trailing "[success]" line), so
+  *     lexicographic key order lost q100–q177 in r6 and r7's ~2.9 KB
+  *     compact keyed map still lost q001–q054. The LAST stdout line is
+  *     therefore a POSITIONAL integer-millisecond array (`times_ms[i]` =
+  *     query number i+1, ~950 chars at 201 queries) plus `total_sec`.
+  *     Full driver-facing names stay in the main line; the final line is
+  *     additive, for cross-round regression diffs.
   *
   * A separate `{"metric":"streaming_drain"}` line times the streaming
   * delivery path end-to-end: the sf dir's events as an envelope log,
@@ -121,13 +121,20 @@ object Bench {
     // every pass, exactly as before.
     val prepared = mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
     val errors = mutable.Map.empty[String, String]
-    names.foreach { name =>
+    // Legacy protocol skips the prepare pass entirely: constructing an
+    // eager/memoized builder (streaming gates, q181/q194/q196/q198) here
+    // would RUN its drain untimed and populate ResultMemo/CacheRegistry,
+    // so the documented "construction inside the timed region" replay
+    // would actually time a memo hit (r7 advisor finding). Cold state is
+    // enforced below right before the timed passes.
+    if (!legacy) names.foreach { name =>
       try prepared(name) = selected(name)(spark, sfDir)
       catch {
         case t: Throwable =>
           errors(name) = t.toString.linesIterator.next().take(200)
       }
     }
+    if (legacy) { graft.operators.ResultMemo.clear(); graft.operators.CacheRegistry.releaseAll() }
     val samples = mutable.Map.empty[String, Vector[Double]]
     for (pass <- 1 to Runs; name <- names; if prepared.contains(name) || legacy) {
       val t0 = System.nanoTime()
@@ -197,17 +204,33 @@ object Bench {
     // medians map and the total — goes LAST (r4's artifact lost the medians
     // because "samples" printed after them and ate the capture window).
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errJson,"samples":$sampleJson,"queries":$qs,"total_sec":$total}""")
-    // Compact per-query record as the FINAL line (see the header): qNNN =
-    // the query's zero-padded number (full names in the metric:total line
-    // above), numeric order, 3-decimal seconds — ~2.5 KB, so the driver's
-    // bounded tail capture keeps every query's time, q100+ included.
-    val compactQs = results
-      .map { case (name, v) =>
-        val num = name.drop(1).takeWhile(_.isDigit).toInt
-        (num, f""""q$num%03d":${math.rint(v * 1000) / 1000}%s""")
+    // Compact per-query record as the FINAL line. The driver keeps the
+    // LAST 2000 chars of stdout, and sbt's trailing "[success] ..." line
+    // eats ~75 of them — r7's keyed map (~2.9 KB) was head-truncated at
+    // q055, hiding 54 numbers from cross-round regression diffs. A
+    // POSITIONAL array of integer milliseconds (index i = query number
+    // i+1) is ~950 chars at 201 queries, with headroom to ~400. Names
+    // that don't parse as qNNN (or collide on a number) fall into the
+    // "extra" object rather than killing the line (r7 advisor finding);
+    // a -1 entry means every run of that query failed, null means no
+    // query owns that number.
+    val numbered = mutable.Map.empty[Int, Double]
+    val extras = mutable.ArrayBuffer.empty[(String, Double)]
+    results.foreach { case (name, v) =>
+      name.drop(1).takeWhile(_.isDigit).toIntOption match {
+        case Some(n) if n > 0 && !numbered.contains(n) => numbered(n) = v
+        case _ => extras += ((name, v))
       }
-      .sortBy(_._1).map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"per_query","value":$total,"unit":"sec","sf":"$sfDir","note":"qNNN = zero-padded query id; full names in the metric:total line","queries":$compactQs,"total_sec":$total}""")
+    }
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    val maxN = if (numbered.isEmpty) 0 else numbered.keys.max
+    val arr = (1 to maxN)
+      .map(i => numbered.get(i).map(ms).getOrElse("null"))
+      .mkString("[", ",", "]")
+    val extraJson = extras.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val totalR = math.rint(total * 1000) / 1000
+    println(s"""{"metric":"per_query_ms","unit":"ms","note":"times_ms[i] = query q(i+1); -1 = all runs failed","n":${results.size},"extra":$extraJson,"times_ms":$arr,"total_sec":$totalR}""")
     spark.stop()
   }
 

@@ -288,3 +288,28 @@ final class EventBroker(
       true
     })
 }
+
+/** Companion carrying the reference's module-level convenience singleton
+  * `defaultBroker` (src/broker.ts:187: `export const defaultBroker =
+  * new EventBroker()`). A Spark broker cannot be constructed eagerly at
+  * module load — it needs a session and a log location — so the mirror
+  * is a lazily-minted PER-SESSION default: first call creates a broker
+  * over `spark.graft.defaultLogPath` (a scratch directory when unset),
+  * later calls return the same instance, exactly the sharing the
+  * reference's singleton exists to provide. Sessions don't share a
+  * default (two sessions sharing one log path would be two catalogs over
+  * one store — set the conf explicitly for that deployment).
+  */
+object EventBroker {
+
+  private val defaults = TrieMap.empty[SparkSession, EventBroker]
+
+  /** The session's shared default broker (reference: src/broker.ts:187). */
+  def defaultBroker(spark: SparkSession): EventBroker =
+    defaults.getOrElseUpdate(spark, {
+      val path = spark.conf.getOption("spark.graft.defaultLogPath")
+        .getOrElse(java.nio.file.Files
+          .createTempDirectory("graft-default-broker").toString)
+      new EventBroker(spark, path)
+    })
+}

@@ -202,6 +202,10 @@ object MediaPipeline {
     * in-JDK and in-memory. Returns None for bytes ImageIO cannot read.
     * PNG output makes the round-trip deterministic (no lossy encoder
     * state) and `decode(resize(a))` reports exactly the target dims.
+    * The canvas is TYPE_INT_ARGB (PNG carries alpha losslessly), so
+    * transparent regions survive the redraw instead of being silently
+    * composited onto black, and grayscale inputs keep their gray values
+    * exactly (r7 advisor finding).
     */
   private[multimodal] def resizeImage(bytes: Array[Byte], width: Int,
       height: Int): Option[Array[Byte]] =
@@ -210,7 +214,7 @@ object MediaPipeline {
       if (img == null) None
       else {
         val out = new java.awt.image.BufferedImage(width, height,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
         val g = out.createGraphics()
         try {
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

@@ -91,7 +91,11 @@ object StreamingGateQueries {
             s"$base/ckpt", "append") { (b, _) =>
             hits.synchronized { hits ++= b.collect() }
           }
-          hits.toSeq.sortBy(h => (h.doc_id, h.band))
+          // candidate rows only — saturation markers (none in this
+          // fixture: no bucket nears the cap) are a retraction channel
+          // for quarantine(), not candidates
+          hits.toSeq.filter(!_.saturated).sortBy(h => (h.doc_id, h.band))
+            .map(h => (h.doc_id, h.band, h.first_doc))
             .toDF("doc_id", "band", "first_doc")
             .orderBy($"doc_id", $"band")
         }
@@ -536,10 +540,12 @@ object StreamingGateQueries {
     // that permanently fails every event whose id ends "00"
     // (event_id % 100 == 0 under the %012d id law), bounded retries
     // (maxRetries = 2), and dead-letter capture on exhaustion (T3/T4).
-    // The gate returns per-type delivered/dead-lettered counts; the
+    // The gate returns per-type delivered/dead-lettered counts — BOTH
+    // independently measured (deliveries via per-type accumulators
+    // incremented inside the handler, dead-letters off the DLQ); the
     // oracle is the delivery law itself: filtered types only, every
     // failing event dead-letters EXACTLY once, everything else
-    // delivers. This hash-checks the retry/DLQ bookkeeping the
+    // delivers exactly once. This hash-checks the retry/DLQ bookkeeping the
     // reference's tests assert in-process (broker_test.ts,
     // deadletter_test.ts), at the driver gate.
     "q201_delivery_gate" -> ((s, dir) =>
@@ -558,9 +564,21 @@ object StreamingGateQueries {
               map(lit("user_id"), $"user_id".cast("string")).as("metadata"))
             .repartition(8).write.mode("overwrite").parquet(logDir)
           val dlq = new graft.dlq.InMemoryDeadLetterQueue()
+          // n_delivered is MEASURED, not derived as total − dead (r7
+          // advisor finding: the derived spelling would still hash-match
+          // if the subscription silently dropped or double-delivered
+          // without dead-lettering). One LongAccumulator per type,
+          // incremented only when the handler completes — accumulators
+          // merge from executor tasks, so this counts actual successful
+          // handler invocations in distributed delivery, and a dropped or
+          // doubled event now breaks the hash.
+          val delivered = types
+            .map(t => t -> s.sparkContext.longAccumulator(s"q201-delivered-$t"))
+            .toMap
           val handler: graft.model.EventRow => Unit = { e =>
             if (e.id.endsWith("00"))
               throw new RuntimeException("gate-injected permanent fault")
+            delivered.get(e.`type`).foreach(_.add(1L))
           }
           val sub = new graft.streaming.StreamingSubscription(
             s, logDir, s"$base/ckpt", handler, dlq,
@@ -570,13 +588,9 @@ object StreamingGateQueries {
               eventTypes = types, maxRetries = 2, retryDelayMillis = 0L),
             ordered = false)
           sub.runAvailable()
-          val totals = s.read.parquet(logDir)
-            .where($"type".isin(types: _*))
-            .groupBy($"type").count()
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           types.sorted.map { t =>
             val dead = dlq.getEvents(None, Some(t), None).size.toLong
-            (t, totals.getOrElse(t, 0L) - dead, dead)
+            (t, delivered(t).value.longValue, dead)
           }.toDF("event_type", "n_delivered", "n_dead_lettered")
             .orderBy($"event_type")
         }

@@ -1630,10 +1630,18 @@ object TextQueries {
         .groupBy($"q_id")
         .agg(sum(log(lit(2.0)) / log($"i" + lit(1.0))).as("idcg"))
       // materialize the 10-row ledger so the memo hands back a local
-      // table, not a lazy plan that re-runs per read
-      perQ.join(idcg, Seq("q_id"))
-        .select($"q_id", round($"rr", 6).as("rr"),
-          round($"dcg" / $"idcg", 6).as("ndcg"), $"n_rel_top10")
+      // table, not a lazy plan that re-runs per read. The ledger is
+      // anchored on qdocs with LEFT joins (r7 advisor finding): a query
+      // whose source has no train docs — or whose terms carry no train
+      // postings — must still appear, with rr/ndcg 0.0, or downstream
+      // averages over the rows silently overstate the metrics.
+      qdocs.select($"q_id")
+        .join(perQ, Seq("q_id"), "left")
+        .join(idcg, Seq("q_id"), "left")
+        .select($"q_id",
+          round(coalesce($"rr", lit(0.0)), 6).as("rr"),
+          round(coalesce($"dcg" / $"idcg", lit(0.0)), 6).as("ndcg"),
+          coalesce($"n_rel_top10", lit(0L)).as("n_rel_top10"))
         .orderBy($"q_id")
         .as[(Long, Double, Double, Long)].collect().toSeq
         .toDF("q_id", "rr", "ndcg", "n_rel_top10")
@@ -2590,9 +2598,11 @@ object TextQueries {
            |id AS (SELECT nr.q_id, sum(ln(2.0) / ln(i + 1.0)) idcg
            |       FROM nr, unnest(range(1, least(nr.n_rel, 10) + 1)) AS u(i)
            |       GROUP BY 1)
-           |SELECT pq.q_id, round(pq.rr, 6) AS rr,
-           |  round(pq.dcg / id.idcg, 6) AS ndcg, pq.n_rel_top10
-           |FROM pq JOIN id USING (q_id) ORDER BY pq.q_id""".stripMargin,
+           |SELECT qd.q_id, round(coalesce(pq.rr, 0.0), 6) AS rr,
+           |  round(coalesce(pq.dcg / id.idcg, 0.0), 6) AS ndcg,
+           |  coalesce(pq.n_rel_top10, 0) AS n_rel_top10
+           |FROM qd LEFT JOIN pq USING (q_id) LEFT JOIN id USING (q_id)
+           |ORDER BY qd.q_id""".stripMargin,
 
       "q125_bm25" ->
         s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),

@@ -179,3 +179,21 @@ final class EventSourcedRepository[A <: AggregateRoot[_] : scala.reflect.ClassTa
       }
   }
 }
+
+/** Factory for repositories sharing one event log — the reference's
+  * `RepositoryFactory` (src/sourcing.ts:281-302), which exists purely to
+  * keep repository configuration (there the EventStore, here the
+  * EventLog) consistent across aggregate types. Same shape: construct
+  * with the shared store, mint per-type repositories from it.
+  */
+final class RepositoryFactory(log: EventLog) extends Serializable {
+
+  /** Create a repository for `aggregateType` over the shared log
+    * (reference: src/sourcing.ts:289-301; argument order follows the
+    * reference's `(aggregateFactory, aggregateType)`).
+    */
+  def createRepository[A <: AggregateRoot[_] : scala.reflect.ClassTag](
+      aggregateFactory: String => A,
+      aggregateType: String): EventSourcedRepository[A] =
+    new EventSourcedRepository[A](log, aggregateType, aggregateFactory)
+}

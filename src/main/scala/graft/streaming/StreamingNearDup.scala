@@ -28,9 +28,11 @@ import graft.functions.TextFunctions.{keyedMd5, tokens, wordShingles}
   *     shingles is the downstream q33 step, batch or lookup-side);
   *   - a bucket past `maxBucket` members is saturated — the batch
   *     MaxBand law: an "everything hashes alike" cell carries no dedup
-  *     signal — and stops emitting (it cannot retract already-emitted
-  *     hits; the batch sweep drops the whole band retroactively — the
-  *     one documented divergence);
+  *     signal — and stops emitting candidates; it cannot retract the
+  *     already-emitted hits, but the first suppressed arrival emits one
+  *     `saturated = true` marker row, and [[quarantine]] uses it to drop
+  *     the whole bucket's hits before the verdict, matching the batch
+  *     sweep's retroactive band drop;
   *   - ARRIVAL defines precedence (ties inside a micro-batch break by
   *     doc_id, so replay is deterministic) — where the batch law keeps
   *     min-doc_id. Feed in id order and the two coincide exactly
@@ -44,9 +46,16 @@ import graft.functions.TextFunctions.{keyedMd5, tokens, wordShingles}
 object StreamingNearDup {
 
   /** One emitted candidate: `doc_id` collided with `first_doc` (the
-    * bucket keeper) in band `band`.
+    * bucket keeper) in band `band`. `saturated = true` marks the single
+    * row emitted when the bucket CROSSES `maxBucket` — not a candidate
+    * but a retraction signal: consumers (see [[quarantine]]) drop every
+    * hit from a (band, first_doc) bucket so marked, converging the
+    * stream's verdicts back onto the batch MaxBand law that drops the
+    * whole boilerplate band. (`(band, first_doc)` identifies the bucket:
+    * a doc has exactly one minhash per band, so the keeper pins it.)
     */
-  final case class BandHit(doc_id: Long, band: Int, first_doc: Long)
+  final case class BandHit(doc_id: Long, band: Int, first_doc: Long,
+      saturated: Boolean = false)
 
   final case class SigRow(bucket: String, doc_id: Long, band: Int)
 
@@ -90,6 +99,11 @@ object StreamingNearDup {
             if (st.first < 0L) st = BucketState(r.doc_id, 1)
             else {
               if (st.n < maxBucket) out += BandHit(r.doc_id, r.band, st.first)
+              // the first suppressed member ALSO emits the bucket's one
+              // saturation marker, so downstream folds can retract the
+              // pre-saturation hits this Append-mode stream cannot
+              else if (st.n == maxBucket)
+                out += BandHit(r.doc_id, r.band, st.first, saturated = true)
               st = st.copy(n = st.n + 1)
             }
           }
@@ -102,19 +116,30 @@ object StreamingNearDup {
     * `minMatch` distinct bands is a near-dup candidate (batch fold — run
     * it per micro-batch in foreachBatch, or over the accumulated hit log).
     *
-    * Saturation caveat (the one divergence from the batch law, see the
-    * object doc): a bucket that later saturates cannot retract hits it
-    * emitted BEFORE crossing `maxBucket` — Append-mode streams are
-    * non-retractive — so those pre-saturation hits still count toward
-    * the >= `minMatch` verdict here, while the batch q31 path drops the
-    * whole saturated band retroactively. A doc can therefore be
-    * quarantined at ingest that the batch sweep would not flag; it errs
-    * toward quarantine (false positive for the downstream exact-verify
-    * step), never toward missing a duplicate.
+    * Saturation handling: the gate itself cannot retract hits a bucket
+    * emitted before crossing `maxBucket` (Append-mode streams are
+    * non-retractive), but it emits ONE `saturated = true` marker row at
+    * the crossing, and this fold honors it — every hit from a marked
+    * (band, first_doc) bucket is excluded before the verdict, which is
+    * exactly the batch MaxBand law (a saturated band is boilerplate and
+    * carries no dedup signal) applied over the hit log. Hit logs that
+    * predate the marker column (or were built by hand without it) are
+    * treated as marker-free. The only residual divergence from the batch
+    * sweep is a verdict CONSUMED before the marker arrives — that
+    * early-read errs toward quarantine (a false positive for the
+    * downstream exact-verify step), never toward missing a duplicate.
     */
-  def quarantine(hits: DataFrame, minMatch: Int = 2): DataFrame =
-    hits.groupBy(col("doc_id"))
+  def quarantine(hits: DataFrame, minMatch: Int = 2): DataFrame = {
+    val flagged =
+      if (hits.columns.contains("saturated")) hits
+      else hits.withColumn("saturated", lit(false))
+    val sat = flagged.where(col("saturated"))
+      .select(col("band"), col("first_doc")).distinct()
+    flagged.where(!col("saturated"))
+      .join(sat, Seq("band", "first_doc"), "left_anti")
+      .groupBy(col("doc_id"))
       .agg(countDistinct(col("band")).as("n_match"),
         min(col("first_doc")).as("min_first_doc"))
       .where(col("n_match") >= minMatch)
+  }
 }

@@ -216,4 +216,14 @@ class BrokerSpec extends SparkSpec {
     assert(seen.size == 1 && dlq.size == 0)
     assert(!b.retryDeadLetterEvent("no-such-event"))
   }
+
+  test("defaultBroker: one shared per-session instance (broker.ts:187)") {
+    val d1 = EventBroker.defaultBroker(spark)
+    val d2 = EventBroker.defaultBroker(spark)
+    assert(d1 eq d2, "repeat calls return the same singleton")
+    // it is a working broker: topics created through one handle are
+    // visible through the other — the sharing the singleton exists for
+    d1.createTopic("default-shared")
+    assert(d2.getTopic("default-shared").isDefined)
+  }
 }

@@ -190,7 +190,7 @@ class MultimodalSpec extends SparkSpec {
     // pixel spot-check: corner pixel of an 8x4 redraw of the 7x5 source
     // equals Graphics2D's own answer computed directly on the fixture
     val ref = {
-      val out = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
       val g = out.createGraphics()
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)

@@ -149,4 +149,20 @@ class SourcingSpec extends SparkSpec {
     assert(states.map(_._2).toSeq == Seq(1, 2, 1, 2, 1))
     assert(states(1)._3 == "u2@y.com")
   }
+
+  test("RepositoryFactory mints repositories over one shared log (sourcing.ts:281-302)") {
+    val log = new EventLog(spark, tmpDir("factory-log"))
+    val factory = new graft.sourcing.RepositoryFactory(log)
+    val users = factory.createRepository[UserAggregate](
+      id => new UserAggregate(id), "user")
+    val admins = factory.createRepository[UserAggregate](
+      id => new UserAggregate(id), "admin")
+    val u = new UserAggregate("u1"); u.create("dora", "d@x.com"); users.save(u)
+    val a = new UserAggregate("u1"); a.create("root", "r@x.com"); admins.save(a)
+    // same id, different aggregate types → distinct topics in the SHARED log
+    assert(users.getById("u1").get.getState.username == "dora")
+    assert(admins.getById("u1").get.getState.username == "root")
+    assert(log.getEvents("aggregate.user.u1").count() == 1)
+    assert(log.getEvents("aggregate.admin.u1").count() == 1)
+  }
 }

@@ -72,7 +72,8 @@ class StreamingNearDupSpec extends SparkSpec {
         stateRows = Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
     }
-    (out.map(h => (h.doc_id, h.band, h.first_doc)).toSet, stateRows)
+    (out.filter(!_.saturated).map(h => (h.doc_id, h.band, h.first_doc)).toSet,
+      stateRows)
   }
 
   /** The batch spelling of the gate's law over the same corpus. */
@@ -130,5 +131,37 @@ class StreamingNearDupSpec extends SparkSpec {
     assert((0L until 10L).map(_ + 1000L).toSet.subsetOf(flagged),
       s"every planted copy quarantines, got $flagged")
     assert(flagged == batchFlagged, "streaming verdicts equal the batch law's")
+  }
+
+  test("saturation: crossing the cap emits ONE marker and quarantine drops the bucket") {
+    // 6 identical docs → every band bucket holds all 6; with cap=3 a
+    // bucket of exactly 3 members would fully emit (the q31 law keeps
+    // buckets up to the cap), so docs 1-2 emit (ranks 2-3), doc 3 —
+    // membership 4 > cap — emits the bucket's one marker, docs 4-5
+    // emit nothing
+    val df = Seq.tabulate(6)(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val sigs = StreamingNearDup.signatureRows(df, "doc_id", "text")
+    val hits = StreamingNearDup.bandHits(spark, sigs, maxBucket = 3)
+      .collect()
+    val markers = hits.filter(_.saturated)
+    val candidates = hits.filter(!_.saturated)
+    val nBands = sigs.select($"i").distinct().count()
+    assert(markers.length == nBands, "exactly one marker per saturated bucket")
+    assert(markers.forall(m => m.doc_id == 3L && m.first_doc == 0L),
+      "marker carries the first suppressed arrival and the bucket keeper")
+    assert(candidates.forall(h => h.doc_id == 1L || h.doc_id == 2L),
+      "candidates stop at the cap")
+    // quarantine honors the marker: saturated buckets carry no dedup
+    // signal, so NOTHING flags — the batch MaxBand drop, post-hoc
+    val flagged = StreamingNearDup.quarantine(hits.toSeq.toDF())
+    assert(flagged.count() == 0L, "marked buckets are retracted before the verdict")
+    // without the marker the same hit log over-quarantines — the exact
+    // pre-r8 divergence this channel closes
+    val noMarker = StreamingNearDup.quarantine(
+      candidates.toSeq.map(h => (h.doc_id, h.band, h.first_doc))
+        .toDF("doc_id", "band", "first_doc"))
+    assert(noMarker.count() > 0L)
   }
 }

@@ -18,27 +18,54 @@ import graft.sources.Tables
   */
 object EventStats {
 
-  /** The event log pre-partitioned by user — the clustered layout a
-    * behavioral store keeps on disk (bucketed by user) so every per-user
-    * window/sessionization reads co-located rows. Cached WITH its hash
-    * partitioning: InMemoryTableScan reports outputPartitioning, so the
-    * per-user window family (q17/q22/q24/q150/q163…) skips its exchange
-    * and pays only the in-partition sort. One shuffle per session
-    * instead of one per query per execution.
+  /** The event log pre-partitioned by user AND sorted within partitions
+    * on (user_id, ts, event_id) — the clustered+ordered layout a
+    * behavioral store keeps on disk (bucketed AND sorted by user) so
+    * every per-user window/sessionization reads co-located, pre-ordered
+    * rows. Cached WITH partitioning and ordering: InMemoryTableScan
+    * reports both outputPartitioning and outputOrdering, so the per-user
+    * window family (q17/q22/q24/q150/q163…) skips its exchange AND its
+    * sort — the sort is paid once at cache build instead of once per
+    * query per execution. Every per-user window in the pack orders by
+    * (ts asc, event_id asc), so one layout serves them all.
+    *
+    * EAGERLY MATERIALIZED (r8): under AQE, an UNmaterialized cached plan
+    * reports unknown partitioning/ordering (its AdaptiveSparkPlan is not
+    * finalized), so consumers planned before first execution bake in a
+    * redundant Exchange+Sort. Forcing the cache at build time — once per
+    * (session, dir) via ResultMemo — makes every consumer's Window sit
+    * DIRECTLY on the InMemoryTableScan (verified: q22's plan loses both
+    * nodes). Requires canChangeCachedPlanOutputPartitioning=false, set in
+    * every session builder.
     */
   def byUser(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.CacheRegistry.track(
-      Tables.events(s, dir).repartition($"user_id").cache())
+    graft.operators.ResultMemo.getOrCompute(
+        s"evstats-byuser:$dir:${graft.operators.SessionKey(s)}") {
+      val df = graft.operators.CacheRegistry.track(
+        Tables.events(s, dir).repartition($"user_id")
+          .sortWithinPartitions($"user_id", $"ts", $"event_id").cache())
+      df.count()
+      df
+    }
   }
 
-  /** (day DATE, event_type STRING, n BIGINT, total_dec DECIMAL(18,2)). */
+  /** (day DATE, event_type STRING, n BIGINT, total_dec DECIMAL(18,2)).
+    * Eagerly materialized like [[byUser]] so consumers reuse the rollup's
+    * (day, event_type) hash partitioning instead of re-shuffling the
+    * group-count-sized table.
+    */
   def dailyTypeAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.CacheRegistry.track(Tables.events(s, dir)
-      .groupBy(to_date($"ts").as("day"), $"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum($"value".cast("decimal(18,2)")).as("total_dec"))
-      .cache())
+    graft.operators.ResultMemo.getOrCompute(
+        s"evstats-daily:$dir:${graft.operators.SessionKey(s)}") {
+      val df = graft.operators.CacheRegistry.track(Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).as("total_dec"))
+        .cache())
+      df.count()
+      df
+    }
   }
 }

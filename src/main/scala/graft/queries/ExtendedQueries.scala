@@ -769,18 +769,24 @@ object ExtendedQueries {
     }),
 
     // Retention cohort table — users grouped by first-activity day, counted
-    // per day-offset of later activity: THE product-analytics rollup. The
-    // per-user min(day) is one window (same user_id shuffle the other
-    // event analytics reuse); the distinct bounds each (user, day) to one
-    // contribution.
+    // per day-offset of later activity: THE product-analytics rollup.
+    // Shuffle discipline: dedupe to one (user, day) row FIRST — the
+    // groupBy(user_id, day) rides the byUser cache's hash partitioning
+    // (a partitioning on user_id co-locates every (user_id, day) group,
+    // so EnsureRequirements inserts no exchange) and shrinks the data to
+    // active-user-days before anything else touches it. The per-user
+    // min(day) window then sorts only the deduped rows, and because
+    // (user, day) is unique the old row-level `.distinct()` shuffle is
+    // gone entirely — one real exchange (the final cohort rollup)
+    // instead of three.
     "q87_retention_cohorts" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id")
       EventStats.byUser(s, dir) // user-clustered cache
         .select($"user_id", to_date($"ts").as("day"))
+        .groupBy($"user_id", $"day").agg(count(lit(1)).as("_n")).drop("_n")
         .withColumn("cohort", min($"day").over(w))
         .select($"cohort", datediff($"day", $"cohort").as("day_offset"), $"user_id")
-        .distinct()
         .groupBy($"cohort", $"day_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy($"cohort", $"day_offset")

@@ -358,23 +358,46 @@ object SimilarityQueries {
     // margin = best / mean(top4) (the Artetxe & Schwenk ratio-margin
     // criterion) — hubs that are "close to everything" score a margin
     // near 1 and drop out of the top pairs. Scale shape (100 TB): the
-    // probe side broadcasts against one target scan (no corpus shuffle);
-    // top-4 ranking shuffles only (src, tgt, score) tuples, and the
-    // follow-up groupBy reuses the window's hash partitioning on src_id
-    // so the margin fold adds no exchange. When the probe set itself is
-    // corpus-sized, the q44 IVF tower slots in as candidate generator.
+    // exact all-pairs spelling runs only when the probe (source) side is
+    // PROVABLY small — a row-count gate (`graft.bitext.maxExactProbeRows`,
+    // default 200k ≈ 100 MB broadcast at dim 64; the probe count itself
+    // is a limit-bounded scan, not a full count) guards the hint. Past
+    // the gate the q44 IVF tower slots in as candidate generator and the
+    // pair work becomes a cell-bounded SHUFFLED equi-join (pinned by
+    // PlanShapeSpec) — never a corpus-half broadcast. Top-4 ranking
+    // shuffles only (src, tgt, score) tuples either way, and the margin
+    // fold reuses the window's hash partitioning on src_id.
     "q141_bitext_margin" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
+      val maxExact = s.conf.get("graft.bitext.maxExactProbeRows", "200000").toLong
       val e = normalized(s, dir)
-      val src = e.where($"label" === 0)
-        .select($"vec_id".as("src_id"), $"v".as("sv"), $"nrm".as("snrm"))
-      val tgt = e.where($"label" === 1)
-        .select($"vec_id".as("tgt_id"), $"v".as("tv"), $"nrm".as("tnrm"))
+      val probeSmall = e.where($"label" === 0)
+        .limit(math.min(maxExact + 1, Int.MaxValue.toLong).toInt)
+        .count() <= maxExact
+      val scored = if (probeSmall) {
+        val src = e.where($"label" === 0)
+          .select($"vec_id".as("src_id"), $"v".as("sv"), $"nrm".as("snrm"))
+        val tgt = e.where($"label" === 1)
+          .select($"vec_id".as("tgt_id"), $"v".as("tv"), $"nrm".as("tnrm"))
+        tgt.join(broadcast(src))
+          .select($"src_id", $"tgt_id",
+            (dot($"sv", $"tv") / ($"snrm" * $"tnrm")).as("cos"))
+      } else {
+        val (cells, _) = ivfCells(s, dir)
+        val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+        val c2 = cells.join(lab, Seq("vec_id"))
+        val src = c2.where($"label" === 0)
+          .select($"vec_id".as("src_id"), $"v".as("sv"), $"nrm".as("snrm"),
+            $"cell".as("sc"))
+        val tgt = c2.where($"label" === 1)
+          .select($"vec_id".as("tgt_id"), $"v".as("tv"), $"nrm".as("tnrm"), $"cell")
+        tgt.join(src, $"cell" === $"sc")
+          .select($"src_id", $"tgt_id",
+            (dot($"sv", $"tv") / ($"snrm" * $"tnrm")).as("cos"))
+      }
       val w = Window.partitionBy($"src_id").orderBy($"cos".desc, $"tgt_id".asc)
-      tgt.join(broadcast(src))
-        .select($"src_id", $"tgt_id",
-          (dot($"sv", $"tv") / ($"snrm" * $"tnrm")).as("cos"))
+      scored
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= 4)
         .groupBy($"src_id")
@@ -588,8 +611,11 @@ object SimilarityQueries {
     // percentile law on vec_id), the maximum cosine against any
     // TRAIN-split vector in its IVF cell; cosine >= the SemDeDup
     // threshold flags the test vector as semantically leaked. Work is
-    // cell-bounded on the cached tower; at 100 TB the test split is the
-    // small broadcast side and the train corpus streams by cell.
+    // cell-bounded on the cached tower; the probe join rides the `cell`
+    // equi-key UNHINTED, so Catalyst auto-broadcasts only when the test
+    // split actually fits the size threshold and degrades to a shuffled
+    // hash join at corpus scale (the split is 10% of the corpus — a
+    // forced broadcast here would OOM a 100 TB run).
     "q192_semantic_decontamination" -> ((s, dir) => {
       import s.implicits._
       val (cells, _) = ivfCells(s, dir)
@@ -599,7 +625,7 @@ object SimilarityQueries {
       val probe = c2.where($"pct" >= 0.9)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cell".as("qc"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-      c2.where($"pct" < 0.8).join(broadcast(probe), $"cell" === $"qc")
+      c2.where($"pct" < 0.8).join(probe, $"cell" === $"qc")
         .select($"q_id", $"vec_id",
           (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
         .withColumn("rk", row_number().over(w)).where($"rk" === 1)

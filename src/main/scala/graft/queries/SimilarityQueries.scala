@@ -635,6 +635,46 @@ object SimilarityQueries {
         .orderBy($"test_id")
     }),
 
+    // ENSEMBLE decontamination — the production composition: gram
+    // overlap (q71's exact-surface law) OR'd with embedding cosine
+    // (q192's paraphrase-robust law), per TEST-split item. A paraphrased
+    // leak defeats grams but not cosine; a short verbatim quote defeats
+    // cosine but not grams — real pipelines run BOTH and union the
+    // verdicts. Test membership is the shared md5-percentile law on the
+    // 0..n id space (doc_id and vec_id coincide in the fixtures); docs
+    // without an embedding simply carry sem_leaked = false. Every input
+    // is an existing session cache (gram index, trainGrams, IVF tower) —
+    // the ensemble itself adds two bounded semi-join legs and a 3-way
+    // left join on the test-sized table.
+    "q205_contamination_ensemble" -> ((s, dir) => {
+      import s.implicits._
+      val docsTest = DocProfiles.profiled(s, dir).where($"pct" >= 0.9)
+        .select($"doc_id")
+      val gramHits = DocProfiles.grams(s, dir).where($"pct" >= 0.9)
+        .join(DocProfiles.trainGrams(s, dir), Seq("gh"), "left_semi")
+        .select($"doc_id").distinct()
+      val (cells, _) = ivfCells(s, dir)
+      val pct = conv(substring(md5(concat(lit(""), $"vec_id".cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      val c2 = cells.withColumn("pct", pct)
+      val probe = c2.where($"pct" >= 0.9)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"cell".as("qc"))
+      val semHits = c2.where($"pct" < 0.8).join(probe, $"cell" === $"qc")
+        .select($"q_id", (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .groupBy($"q_id").agg(max($"cos").as("mc"))
+        .where($"mc" >= SemDedupTau.toDouble)
+        .select($"q_id".as("doc_id"))
+      docsTest
+        .join(gramHits.withColumn("g", lit(true)), Seq("doc_id"), "left")
+        .join(semHits.withColumn("sm", lit(true)), Seq("doc_id"), "left")
+        .select($"doc_id".as("test_id"),
+          coalesce($"g", lit(false)).as("gram_leaked"),
+          coalesce($"sm", lit(false)).as("sem_leaked"))
+        .withColumn("leaked", $"gram_leaked" || $"sem_leaked")
+        .orderBy($"test_id")
+    }),
+
     // Embedding HEALTH audit — the data-quality check every ANN build
     // runs first: per label, vector count, non-finite vectors (NaN/Inf
     // components — a failed encoder batch), zero-norm vectors (cosine
@@ -1634,6 +1674,39 @@ object SimilarityQueries {
            |SELECT q_id AS test_id, vec_id AS nearest_train_id,
            |  round(cos, 6) AS max_cos, cos >= $SemDedupTau AS leaked
            |FROM p WHERE rk = 1 ORDER BY test_id""".stripMargin,
+
+      // q205 = q71's gram law OR q192's cosine law, per test doc.
+      "q205_contamination_ensemble" ->
+        s"""WITH $ivfCtesSql,
+           |pd AS (SELECT doc_id, text,
+           |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+           |  FROM documents),
+           |trt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM pd WHERE pct < 0.8),
+           |trg AS (SELECT DISTINCT
+           |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+           |  FROM trt, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+           |tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM pd WHERE pct >= 0.9),
+           |ttg AS (SELECT doc_id,
+           |    md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5]) gh
+           |  FROM tt, unnest(range(greatest(len(toks)-4, 0))) AS u(j)),
+           |gl AS (SELECT DISTINCT ttg.doc_id FROM ttg JOIN trg USING (gh)),
+           |cp AS (SELECT vec_id, v, cell,
+           |    CAST(('0x' || substr(md5('' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct
+           |  FROM cells),
+           |q5 AS (SELECT vec_id q_id, v qv, cell qc FROM cp WHERE pct >= 0.9),
+           |tr5 AS (SELECT vec_id, v, cell FROM cp WHERE pct < 0.8),
+           |sl AS (SELECT q5.q_id AS doc_id
+           |       FROM tr5 JOIN q5 ON tr5.cell = q5.qc
+           |       GROUP BY q5.q_id
+           |       HAVING max(${cosSql("q5.qv", "tr5.v")}) >= $SemDedupTau)
+           |SELECT pd.doc_id AS test_id,
+           |  gl.doc_id IS NOT NULL AS gram_leaked,
+           |  sl.doc_id IS NOT NULL AS sem_leaked,
+           |  (gl.doc_id IS NOT NULL OR sl.doc_id IS NOT NULL) AS leaked
+           |FROM pd LEFT JOIN gl ON pd.doc_id = gl.doc_id
+           |        LEFT JOIN sl ON pd.doc_id = sl.doc_id
+           |WHERE pd.pct >= 0.9
+           |ORDER BY test_id""".stripMargin,
 
       "q159_hard_negatives" ->
         s"""WITH $ivfCtesSql,

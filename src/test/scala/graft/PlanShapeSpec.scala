@@ -347,6 +347,34 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("round-8: the byUser cache layout serves the window family sort-free") {
+    // EventStats.byUser is partitioned by user AND sorted within
+    // partitions on (user_id, ts, event_id), eagerly materialized so the
+    // InMemoryTableScan reports that layout. The per-user window family
+    // must then plan with NO window sort — the only sorts left in q22
+    // are the final presentation orderBy (no `ts` in its keys). A
+    // regression (lost ordering metadata, lazy cache, AQE re-plan of the
+    // cached side) reintroduces a SortExec keyed on ts.
+    import org.apache.spark.sql.execution.SortExec
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.queries.EventStats.byUser(spark, dir).count()
+      for (q <- Seq("q22_sessionize", "q17_rolling_sum", "q150_gap_percentiles")) {
+        val phys = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+        val windowSorts = phys.collect {
+          case s: SortExec if s.sortOrder.exists(_.child.toString.startsWith("ts#")) => s
+        }
+        assert(windowSorts.isEmpty,
+          s"$q re-sorts by ts — the byUser cache layout is not being reused:\n$phys")
+      }
+    } finally {
+      saved.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+        v => spark.conf.set("spark.sql.adaptive.enabled", v))
+      graft.operators.CacheRegistry.releaseAll()
+    }
+  }
+
   test("round-8: no data-sized broadcast survives in q141/q192 at scale") {
     // The two r7-verdict `weak` marks. q141: past the row-count gate the
     // probe side must ride the IVF cell equi-join SHUFFLED, never a

@@ -1320,10 +1320,57 @@ object ExtendedQueries {
           (max($"xv") - min($"xv")).as("x_span"),
           (max($"yv") - min($"yv")).as("y_span"))
         .orderBy($"z_block")
+    }),
+
+    // Robust ingest-anomaly detection — q90's z-score family re-based on
+    // MEDIAN / MAD, the estimator that survives what it measures: one
+    // outage day inflates a mean/stddev enough to hide a second outage
+    // (masking), while the 50% breakdown point of median ± 4.4478·MAD
+    // (3σ under the 1.4826 normal-consistency constant) keeps the fence
+    // where the bulk of the days put it. Rides the materialized daily
+    // rollup (group-count-sized), two exact interpolated percentiles per
+    // type — never a data-sized sort. The fence multiplier is spelled
+    // 4.4478 VERBATIM in both engines; gap granularity (counts are
+    // integers, medians end in .0/.5) keeps the comparison off the
+    // boundary.
+    "q210_mad_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val d = EventStats.dailyTypeAgg(s, dir).select($"event_type", $"day", $"n")
+      val med = d.groupBy($"event_type")
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val dev = d.join(broadcast(med), Seq("event_type"))
+        .select($"event_type", $"med", abs($"n" - $"med").as("adev"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(max($"med"), 6).as("med"),
+          round(max($"mad"), 6).as("mad"),
+          sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
+            .as("n_anomalous"))
+        .orderBy($"event_type")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // The MAD fence law — same 4.4478 multiplier verbatim; quantile_cont
+    // over integer counts matches Spark's exact interpolated percentile.
+    "q210_mad_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM d GROUP BY 1),
+        |dev AS (SELECT d.event_type, m.med, abs(n - med) AS adev
+        |        FROM d JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, count(*) AS n_days,
+        |  round(max(dev.med), 6) AS med,
+        |  round(max(md.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalous
+        |FROM dev JOIN md USING (event_type)
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+
     "q107_activity_gini" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS BIGINT) AS rk

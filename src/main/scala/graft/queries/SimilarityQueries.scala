@@ -675,6 +675,78 @@ object SimilarityQueries {
         .orderBy($"test_id")
     }),
 
+    // Cluster COMPOSITION audit — per IVF cell: population, distinct
+    // labels, majority-label purity, and label entropy. The diversity
+    // ledger a curation run reads before trusting cluster-level moves
+    // (SemDeDup pruning, cluster-balanced sampling): a cell that is one
+    // label is a topic silo; near-uniform entropy says the quantizer cut
+    // across labels. Rides the session IVF tower; the only new work is a
+    // vec_id equi-join for labels and a cell-sized rollup. Entropy is
+    // H = ln(n) − (Σ c·ln c)/n with each c·ln c term 6dp-rounded and
+    // summed as DECIMAL — exact integer counts in, order-free sum,
+    // deterministic across engines.
+    "q208_cluster_label_mix" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, _) = ivfCells(s, dir)
+      val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+      cells.select($"vec_id", $"cell").join(lab, Seq("vec_id"))
+        .groupBy($"cell", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"cell")
+        .agg(sum($"c").as("n_vectors"),
+          count(lit(1)).as("n_labels"),
+          max($"c").as("maxc"),
+          sum(round($"c" * log($"c".cast("double")), 6)
+            .cast("decimal(28,6)")).as("sclgc"))
+        .select($"cell", $"n_vectors", $"n_labels",
+          round($"maxc" / $"n_vectors".cast("double"), 6).as("purity"),
+          round(log($"n_vectors".cast("double")) -
+            $"sclgc".cast("double") / $"n_vectors", 6).as("label_entropy"))
+        .orderBy($"cell")
+    }),
+
+    // Length-BIAS audit — per label, the Pearson correlation of document
+    // length (n_chars, over the doc_id ≡ vec_id pairing) against the
+    // vector's cosine to its assigned IVF centroid (q85's per-vector
+    // quantity). The encoder pathology check a multimodal pipeline runs
+    // at ingest: an encoder whose long documents drift systematically
+    // toward (or away from) cluster centers leaks length into the
+    // similarity geometry, and every cosine-based move downstream
+    // (SemDeDup, ANN, triplet mining) inherits the bias. The corpus
+    // norms here are constant 1.0 (unit-normalized — q199 gates that),
+    // so centroid cosine is the right variance-bearing alignment signal.
+    // Rides the session IVF tower + the document profile cache; new work
+    // is two equi-joins and a label-sized rollup. Cosines are 6dp-rounded
+    // per row and every moment accumulates as DECIMAL (exact,
+    // order-free); the correlation is assembled in double from the exact
+    // moments.
+    "q209_length_bias" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, cent) = ivfCells(s, dir)
+      val prof = DocProfiles.profiled(s, dir).select($"doc_id", $"n_chars")
+      val vecs = cells.join(broadcast(cent), $"cell" === $"cl")
+        .select($"vec_id",
+          round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6)
+            .cast("decimal(18,6)").as("y"))
+        .join(Tables.embeddings(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
+      prof.join(vecs, $"doc_id" === $"vec_id")
+        .select($"label", $"n_chars".cast("long").as("x"),
+          $"y", $"n_chars".cast("decimal(18,6)").as("xd"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"),
+          sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"),
+          sum(($"y" * $"y").cast("decimal(38,12)")).as("syy"),
+          sum(($"y" * $"xd").cast("decimal(38,12)")).as("sxy"))
+        .select($"label", $"n",
+          round(($"n" * $"sxy".cast("double") - $"sx" * $"sy".cast("double")) /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"n" * $"syy".cast("double") -
+                $"sy".cast("double") * $"sy".cast("double"))), 6)
+            .as("len_norm_corr"))
+        .orderBy($"label")
+    }),
+
     // Embedding HEALTH audit — the data-quality check every ANN build
     // runs first: per label, vector count, non-finite vectors (NaN/Inf
     // components — a failed encoder batch), zero-norm vectors (cosine
@@ -1707,6 +1779,46 @@ object SimilarityQueries {
            |        LEFT JOIN sl ON pd.doc_id = sl.doc_id
            |WHERE pd.pct >= 0.9
            |ORDER BY test_id""".stripMargin,
+
+      // q208: the same tower, labels re-joined, entropy from exact
+      // integer counts (6dp-rounded c·ln c terms, DECIMAL sum).
+      "q208_cluster_label_mix" ->
+        s"""WITH $ivfCtesSql,
+           |lab AS (SELECT vec_id, label FROM e),
+           |ct AS (SELECT c.cell, l.label, count(*) AS c
+           |       FROM cells c JOIN lab l USING (vec_id) GROUP BY 1, 2)
+           |SELECT cell, CAST(sum(c) AS BIGINT) AS n_vectors,
+           |  count(*) AS n_labels,
+           |  round(max(c) * 1.0 / sum(c), 6) AS purity,
+           |  round(ln(sum(c)) -
+           |    CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(28,6))) AS DOUBLE)
+           |      / sum(c), 6) AS label_entropy
+           |FROM ct GROUP BY cell ORDER BY cell""".stripMargin,
+
+      // q209: Pearson from exact DECIMAL moments (centroid cosine
+      // 6dp-rounded per row), assembled in double — the same spelling as
+      // the Spark side, over the same unrolled tower.
+      "q209_length_bias" ->
+        s"""WITH $ivfCtesSql,
+           |v AS (SELECT cells.vec_id, e.label,
+           |    CAST(round(${cosSql("cells.v", "c.cv")}, 6) AS DECIMAL(18,6)) AS y
+           |  FROM cells JOIN c$KMeansIters c ON cells.cell = c.cl
+           |       JOIN e ON cells.vec_id = e.vec_id),
+           |j AS (SELECT v.label, d.n_chars AS x, v.y,
+           |        CAST(d.n_chars AS DECIMAL(18,6)) AS xd
+           |      FROM documents d JOIN v ON d.doc_id = v.vec_id),
+           |m AS (SELECT label, count(*) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+           |        CAST(sum(x * x) AS BIGINT) AS sxx,
+           |        sum(CAST(y * y AS DECIMAL(38,12))) AS syy,
+           |        sum(CAST(y * xd AS DECIMAL(38,12))) AS sxy
+           |      FROM j GROUP BY label)
+           |SELECT label, n,
+           |  round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)) /
+           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+           |      (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           |    AS len_norm_corr
+           |FROM m ORDER BY label""".stripMargin,
 
       "q159_hard_negatives" ->
         s"""WITH $ivfCtesSql,

@@ -792,6 +792,97 @@ object StreamingGateQueries {
           res.count()
           res
         }
+      }),
+
+    // EXACTLY-ONCE SINK GATE — IdempotentParquetSink graduated from
+    // spec-only to driver-gated: a bounded slice of the event log streams
+    // through the replay-safe foreachBatch writer (one file per
+    // micro-batch), then the ENTIRE source replays from a FRESH
+    // checkpoint — the worst-case recovery where every batch id is
+    // re-delivered. The committed table must hold each event exactly
+    // once: the staged-rename commit point skips already-committed batch
+    // dirs, so the replay is a pure no-op. The law a double-write or a
+    // half-write cannot leave intact: per event_type, row count ==
+    // distinct event_ids == the source slice, and the exact id sum
+    // matches. Oracle = the source slice aggregated directly; any
+    // at-least-once duplication doubles n_events away from n_distinct.
+    // At 100 TB the shape is unchanged: one existence check + one rename
+    // per micro-batch, data jobs are ordinary distributed parquet writes.
+    "q206_idempotent_sink_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"idsink:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q206") { base =>
+          val (src, out) = (s"$base/src", s"$base/out")
+          Tables.events(s, dir).where($"event_id" % 23 === 0)
+            .select($"event_id", $"event_type", $"user_id", $"value")
+            .repartition(4).write.mode("overwrite").parquet(src)
+          def drainOnce(ckpt: String): Unit =
+            drain(s.readStream.schema(s.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1).parquet(src),
+              ckpt, "append")(graft.streaming.IdempotentParquetSink.writer(out))
+          drainOnce(s"$base/ckpt1")
+          // lost-checkpoint recovery: same files, fresh offsets — every
+          // batch id replays against the already-committed table
+          drainOnce(s"$base/ckpt2")
+          // materialized to driver rows BEFORE the scratch dir dies (the
+          // aggregate is one row per event type)
+          graft.streaming.IdempotentParquetSink.read(s, out)
+            .groupBy($"event_type")
+            .agg(count(lit(1)).as("n_events"),
+              countDistinct($"event_id").as("n_distinct"),
+              sum($"event_id").as("sum_ids"))
+            .as[(String, Long, Long, Long)].collect().toSeq.sorted
+            .toDF("event_type", "n_events", "n_distinct", "sum_ids")
+            .orderBy($"event_type")
+        }
+      }),
+
+    // IDEMPOTENT BACKFILL GATE — operators.Backfill graduated from
+    // spec-only to driver-gated: the daily (day, type) rollup is first
+    // written CORRUPTED — counts doubled across the middle third of the
+    // day span, plus a fabricated in-range partition no recompute would
+    // produce — then Backfill.replaceRange heals exactly that range from
+    // the source log. The returned table is the healed rollup end to end,
+    // and the oracle is the straight rollup law, so every failure mode
+    // breaks the hash from a different direction: unhealed days keep
+    // their doubled counts, a transform leak clobbers the out-of-range
+    // days (which only the CORRUPTED write produced correctly), and a
+    // skipped stale-sweep leaves the fabricated partition's rows in the
+    // scan. At 100 TB: the source scan prunes to the range, the rewrite
+    // touches only in-range partition dirs, the sweep is a metadata
+    // listing.
+    "q207_backfill_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"backfill:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q207") { base =>
+          val tbl = s"$base/daily"
+          val ev = Tables.events(s, dir)
+          def rollup(src: DataFrame): DataFrame = src
+            .groupBy(to_date($"ts").cast("string").as("day"), $"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast("decimal(18,2)")).as("total"))
+          val days = ev.select(to_date($"ts").cast("string").as("day"))
+            .distinct().orderBy($"day").as[String].collect()
+          val (from, to) = (days(days.length / 3), days(2 * days.length / 3))
+          val fake = s"${from}_phantom" // lexically in [from, to], never recomputed
+          rollup(ev)
+            .withColumn("n",
+              when($"day" >= from && $"day" <= to, $"n" * 2).otherwise($"n"))
+            .unionByName(Seq((fake, "phantom", 1L, "0.00"))
+              .toDF("day", "event_type", "n", "total")
+              .withColumn("total", $"total".cast("decimal(28,2)")))
+            .write.partitionBy("day").mode("overwrite").parquet(tbl)
+          graft.operators.Backfill.replaceRange(s, ev, tbl, "day", from, to)(rollup)
+          // materialized to driver rows BEFORE the scratch dir dies (one
+          // row per (day, type) — group-count-sized, kilobytes)
+          s.read.parquet(tbl)
+            .select($"day".cast("string").as("day"), $"event_type", $"n",
+              round($"total".cast("double"), 2).as("total_value"))
+            .as[(String, String, Long, Double)].collect().toSeq
+            .sortBy(r => (r._1, r._2))
+            .toDF("day", "event_type", "n", "total_value")
+            .orderBy($"day", $"event_type")
+        }
       }))
 
   def oracles: Map[String, String] = Map(
@@ -1015,6 +1106,27 @@ object StreamingGateQueries {
         |FROM t LEFT JOIN f USING (event_type)
         |GROUP BY t.event_type
         |ORDER BY t.event_type""".stripMargin,
+
+    // The exactly-once law: the committed table must equal the source
+    // slice aggregated directly — at-least-once duplication separates
+    // n_events from n_distinct, a dropped batch shrinks both and the sum.
+    "q206_idempotent_sink_gate" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events WHERE event_id % 23 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The straight rollup law — the healed table must be exactly what a
+    // from-scratch recompute produces: doubled in-range days, clobbered
+    // out-of-range days, and surviving phantom partitions all diverge.
+    "q207_backfill_gate" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // q22's gaps-and-islands law VERBATIM: Spark's session ranges merge
     // when they touch (exact-gap pair = one session, pinned by

@@ -320,6 +320,31 @@ object DedupQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // LSH banding CALIBRATION profile — the empirical S-curve evidence
+    // behind the (b=8, r=1) parameter choice: candidate pairs bucketed
+    // by exact Jaccard (0.1-wide), with the mean band-agreement count
+    // and the precision of the >= 0.8 verify threshold per bucket. The
+    // tuning table a dedup deployment reads before changing b/r or the
+    // threshold: low-Jaccard buckets carrying many candidates mean the
+    // banding is too permissive (wasted verify joins); high-Jaccard
+    // buckets with low band agreement mean it is too strict (missed
+    // dups — at r=1 any shared minhash is a hit, so agreement tracks
+    // similarity). Pure rollup of the cached scored-candidate set —
+    // zero new joins; jac is a ratio of exact integers, so bucket
+    // boundaries are bit-identical across engines.
+    "q213_lsh_precision_profile" -> ((s, dir) => {
+      import s.implicits._
+      scoredCandidates(s, dir)
+        .select((floor($"jac" * 10) / 10).as("jac_bucket"), $"n_match", $"jac")
+        .groupBy($"jac_bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"n_match") * lit(1.0) / count(lit(1)), 6).as("avg_bands"),
+          sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("n_verified"))
+        .withColumn("precision_at_08",
+          round($"n_verified" * lit(1.0) / $"n_pairs", 6))
+        .orderBy($"jac_bucket")
+    }),
+
     // Transitive near-dup closure: VERIFIED near-dup pairs (q33's exact
     // Jaccard >= 0.8, not raw LSH candidates — closing over loose
     // candidates chains unrelated docs together, the classic dedup
@@ -959,6 +984,27 @@ object DedupQueries {
            |JOIN card cb ON cb.doc_id = i.b_id
            |WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8
            |ORDER BY a_id, b_id""".stripMargin,
+
+      // q213: the same candidate chain with the band-agreement count
+      // retained, rolled up by 0.1-wide exact-Jaccard bucket.
+      "q213_lsh_precision_profile" ->
+        s"""WITH $candidateCtes,
+           |cand2 AS (SELECT a.doc_id a_id, b.doc_id b_id, CAST(count(*) AS BIGINT) nm
+           |          FROM sig a JOIN sig b
+           |            ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2 HAVING count(*) >= 2),
+           |j AS (SELECT c2.nm, i.i * 1.0 / (ca.c + cb.c - i.i) AS jac
+           |      FROM inter i
+           |      JOIN card ca ON ca.doc_id = i.a_id
+           |      JOIN card cb ON cb.doc_id = i.b_id
+           |      JOIN cand2 c2 ON c2.a_id = i.a_id AND c2.b_id = i.b_id)
+           |SELECT floor(jac * 10) / 10 AS jac_bucket,
+           |  count(*) AS n_pairs,
+           |  round(sum(nm) * 1.0 / count(*), 6) AS avg_bands,
+           |  CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+           |  round(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           |    AS precision_at_08
+           |FROM j GROUP BY 1 ORDER BY jac_bucket""".stripMargin,
       "q81_containment_pairs" ->
         s"""WITH $candidateCtes
            |SELECT i.a_id, i.b_id,

@@ -955,6 +955,57 @@ object SimilarityQueries {
       out
     }),
 
+    // FILTERED vector search — the vector-DB staple the plain ANN family
+    // skips: top-k restricted to a metadata predicate (here label >= 5,
+    // half the corpus), evaluated PRE-filter inside the probed IVF cells
+    // (the filter rides the candidate scan; post-filtering top-k instead
+    // would silently return < k). The known failure mode is recall decay:
+    // a selective filter can empty the probed cells even when matches
+    // exist elsewhere, which is why deployments raise nprobe with filter
+    // selectivity — so the gate measures recall@3 against the FILTERED
+    // brute-force truth at nprobe=2 (q116's law under the predicate).
+    // Rides the session tower; new work is one label equi-join and the
+    // cell-bounded candidate scan.
+    "q212_filtered_ann" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+        s"annrecall:filtered:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val (cells, cent) = ivfCells(s, dir)
+      val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+      val fcells = cells.join(lab, Seq("vec_id")).where($"label" >= 5)
+      val e = normalized(s, dir)
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val wProbe = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"cl".asc)
+      val probes = q.crossJoin(broadcast(cent))
+        .select($"q_id", $"qv", $"qnrm", $"cl",
+          (dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("pcos"))
+        .withColumn("pr", row_number().over(wProbe))
+        .where($"pr" <= NProbe)
+        .select($"q_id", $"qv", $"qnrm", $"cl".as("qc"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      def top3(pairs: DataFrame): DataFrame = pairs
+        .withColumn("rk", row_number().over(w)).where($"rk" <= 3)
+        .select($"q_id", $"vec_id".as("nn_id"))
+      val ann = top3(fcells
+        .join(broadcast(probes), $"cell" === $"qc" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos")))
+      val truth = top3(e.where($"label" >= 5)
+        .join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos")))
+      val hits = truth.join(ann, Seq("q_id", "nn_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+      val out = cached(truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id", $"k", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)) * lit(1.0) / $"k", 6).as("recall"))
+        .orderBy($"q_id"))
+      out.count()
+      out
+    }),
+
     // IVF ANN, nprobe=1 — quantizer + plan shape documented on [[ivf]].
     "q44_ann_ivf" -> ((s, dir) => ivf(s, dir, nprobe = 1)),
 
@@ -1794,6 +1845,38 @@ object SimilarityQueries {
            |    CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(28,6))) AS DOUBLE)
            |      / sum(c), 6) AS label_entropy
            |FROM ct GROUP BY cell ORDER BY cell""".stripMargin,
+
+      // q212: q116's recall law with the label >= 5 predicate applied to
+      // BOTH the probed cells and the brute truth, over the same tower.
+      "q212_filtered_ann" ->
+        s"""WITH $ivfCtesSql,
+           |fc AS (SELECT c.vec_id, c.v, c.cell FROM cells c
+           |       JOIN e ON c.vec_id = e.vec_id WHERE e.label >= 5),
+           |q AS (SELECT vec_id q_id, v qv FROM cells WHERE vec_id < $NQueries),
+           |pr AS (SELECT q_id, qv, cl AS qc FROM (
+           |    SELECT q.q_id, q.qv, c.cl,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cl ASC) pn
+           |    FROM q CROSS JOIN c$KMeansIters c) WHERE pn <= $NProbe),
+           |p AS (SELECT pr.q_id, c.vec_id nn_id, ${cosSql("pr.qv", "c.v")} cos
+           |      FROM fc c JOIN pr ON c.cell = pr.qc AND c.vec_id <> pr.q_id),
+           |ann AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+           |    FROM p) WHERE rk <= 3),
+           |tp AS (SELECT b.q_id, a.vec_id nn_id, ${cosSql("b.qv", "a.v")} cos
+           |       FROM fc a JOIN q b ON a.vec_id <> b.q_id),
+           |truth AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+           |    FROM tp) WHERE rk <= 3),
+           |h AS (SELECT t.q_id, count(*) AS n
+           |      FROM truth t JOIN ann a ON t.q_id = a.q_id AND t.nn_id = a.nn_id
+           |      GROUP BY 1),
+           |k AS (SELECT q_id, count(*) AS k FROM truth GROUP BY 1)
+           |SELECT k.q_id, k.k, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           |  round(coalesce(h.n, 0) * 1.0 / k.k, 6) AS recall
+           |FROM k LEFT JOIN h ON k.q_id = h.q_id ORDER BY k.q_id""".stripMargin,
 
       // q209: Pearson from exact DECIMAL moments (centroid cosine
       // 6dp-rounded per row), assembled in double — the same spelling as

@@ -883,6 +883,56 @@ object StreamingGateQueries {
             .toDF("day", "event_type", "n", "total_value")
             .orderBy($"day", $"event_type")
         }
+      }),
+
+    // STREAM-STATIC ENRICH GATE — the broadcast dimension join run as a
+    // live streaming query: the event log streams through
+    // StreamCorrelator.enrich against the customer dimension (static
+    // side re-read and BROADCAST per micro-batch — no state, no
+    // shuffle of the stream). Two micro-batches (maxFilesPerTrigger=1)
+    // force the static side to serve repeated batches; per-batch
+    // rollups fold driver-side into exact totals, which is lawful
+    // because the enrich is stateless — count and DECIMAL sum
+    // distribute over any batching. Oracle = the plain batch join law;
+    // a dropped batch, a double-served dimension row, or a stale
+    // static read all move the counts/sums. At 100 TB the static side
+    // stays dimension-sized (broadcast) while the stream never
+    // repartitions.
+    "q211_stream_enrich_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"senrich:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q211") { base =>
+          val src = s"$base/src"
+          Tables.events(s, dir)
+            .select($"user_id", $"event_type", $"value")
+            .repartition(2).write.mode("overwrite").parquet(src)
+          val dim = Tables.customer(s, dir)
+            .select($"c_custkey", $"c_mktsegment")
+          val agg = scala.collection.mutable.Map
+            .empty[(String, String), (Long, BigDecimal)]
+          val stream = s.readStream.schema(s.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          drain(graft.streaming.StreamCorrelator.enrich(
+              stream, dim, "user_id", "c_custkey"),
+            s"$base/ckpt", "append") { (b, _) =>
+            val rows = b.groupBy($"c_mktsegment", $"event_type")
+              .agg(count(lit(1)).as("n"),
+                sum($"value".cast("decimal(18,2)")).as("t"))
+              .as[(String, String, Long, BigDecimal)].collect()
+            agg.synchronized {
+              rows.foreach { case (seg, et, n, t) =>
+                val (pn, pt) = agg.getOrElse((seg, et), (0L, BigDecimal(0)))
+                agg((seg, et)) = (pn + n, pt + t)
+              }
+            }
+          }
+          agg.toSeq.sortBy(_._1)
+            .map { case ((seg, et), (n, t)) => (seg, et, n, t) }
+            .toDF("segment", "event_type", "n_events", "t")
+            .select($"segment", $"event_type", $"n_events",
+              round($"t".cast("double"), 2).as("total_value"))
+            .orderBy($"segment", $"event_type")
+        }
       }))
 
   def oracles: Map[String, String] = Map(
@@ -1127,6 +1177,15 @@ object StreamingGateQueries {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // The batch join law: stream-static enrich must equal the plain
+    // equi-join aggregated directly.
+    "q211_stream_enrich_gate" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
 
     // q22's gaps-and-islands law VERBATIM: Spark's session ranges merge
     // when they touch (exact-gap pair = one session, pinned by

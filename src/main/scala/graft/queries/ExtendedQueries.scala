@@ -1322,6 +1322,38 @@ object ExtendedQueries {
         .orderBy($"z_block")
     }),
 
+    // Neyman sampling allocation — the survey-design arithmetic behind
+    // every budgeted stratified draw (q76 samples; this PLANS): given a
+    // total budget B=1000, allocate n_h ∝ N_h·S_h so the estimator
+    // variance is minimal — high-variance strata earn more than their
+    // population share, the refinement proportional allocation misses.
+    // Population sd comes from exact DECIMAL moments (Σx, Σx² over
+    // value's 2dp grid); each stratum weight is 6dp-rounded then summed
+    // as DECIMAL so the normalizing total is order-free; the allocation
+    // is assembled in double. One group-count-sized agg + a broadcast
+    // 1-row total at any corpus size.
+    "q214_neyman_allocation" -> ((s, dir) => {
+      import s.implicits._
+      val m = Tables.events(s, dir)
+        .select($"event_type", $"value".cast("decimal(18,2)").as("x"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_stratum"),
+          sum($"x").as("sx"),
+          sum(($"x" * $"x").cast("decimal(38,4)")).as("sxx"))
+        .select($"event_type", $"n_stratum",
+          round(sqrt($"n_stratum" * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")) / $"n_stratum", 6)
+            .as("sd"))
+        .withColumn("w",
+          round($"n_stratum" * $"sd", 6).cast("decimal(28,6)"))
+      val tot = m.agg(sum($"w").as("tw"))
+      m.crossJoin(broadcast(tot))
+        .select($"event_type", $"n_stratum", $"sd",
+          round(lit(1000.0) * $"w".cast("double") / $"tw".cast("double"), 6)
+            .as("alloc_n"))
+        .orderBy($"event_type")
+    }),
+
     // Robust ingest-anomaly detection — q90's z-score family re-based on
     // MEDIAN / MAD, the estimator that survives what it measures: one
     // outage day inflates a mean/stddev enough to hide a second outage
@@ -1354,6 +1386,27 @@ object ExtendedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // The Neyman law from the same exact DECIMAL moments; per-stratum
+    // weights 6dp-rounded then DECIMAL-summed so the total is order-free.
+    "q214_neyman_allocation" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n_stratum,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(38,4))) AS sxx
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT event_type, n_stratum,
+        |        round(sqrt(n_stratum * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n_stratum, 6) AS sd
+        |      FROM m),
+        |w AS (SELECT event_type, n_stratum, sd,
+        |        CAST(round(n_stratum * sd, 6) AS DECIMAL(28,6)) AS w
+        |      FROM s),
+        |t AS (SELECT sum(w) AS tw FROM w)
+        |SELECT event_type, n_stratum, sd,
+        |  round(1000.0 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS alloc_n
+        |FROM w CROSS JOIN t ORDER BY event_type""".stripMargin,
+
     // The MAD fence law — same 4.4478 multiplier verbatim; quantile_cont
     // over integer counts matches Spark's exact interpolated percentile.
     "q210_mad_anomaly" ->

@@ -1701,6 +1701,30 @@ object TextQueries {
         .cache())
       out.count()
       out
+    }),
+
+    // PREFIX-template detection — q110's boilerplate hunt anchored at the
+    // document START: per source, the 3 most repeated first-5-token
+    // prefixes with document count and share. Position matters:
+    // navigation bars, license headers, and scraper banners live at
+    // offset 0, so a prefix-anchored profile separates "this FEED stamps
+    // a template on every page" (fix at ingest, per source) from q110's
+    // position-free corpus-wide grams (fix by line-dedup). One narrow
+    // projection off the shared profile cache — the prefix is a single
+    // slice+join per doc, never an explode — then a (source, prefix)
+    // count and a rank-3 WindowGroupLimit.
+    "q215_prefix_templates" -> ((s, dir) => {
+      import s.implicits._
+      val p = DocProfiles.profiled(s, dir).where($"n_tok" >= 5)
+        .select($"source", concat_ws(" ", slice($"toks", 1, 5)).as("prefix"))
+      val counts = p.groupBy($"source", $"prefix").agg(count(lit(1)).as("n_docs"))
+      val tot = p.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val w = Window.partitionBy($"source").orderBy($"n_docs".desc, $"prefix".asc)
+      counts.withColumn("rk", row_number().over(w)).where($"rk" <= 3)
+        .join(broadcast(tot), Seq("source"))
+        .select($"source", $"rk", $"prefix", $"n_docs",
+          round($"n_docs" * lit(1.0) / $"n_src", 6).as("share"))
+        .orderBy($"source", $"rk")
     })
   )
 
@@ -1709,6 +1733,24 @@ object TextQueries {
     def sc(lang: String) =
       s"len(list_filter(toks, t -> t IN (${inList(stop(lang))})))"
     Map(
+      // q215: same tokenization law as the profile cache; DuckDB's
+      // 1-based inclusive slice toks[1:5] is Spark's slice(toks, 1, 5).
+      "q215_prefix_templates" ->
+        """WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') toks
+          |           FROM documents),
+          |p AS (SELECT source, array_to_string(toks[1:5], ' ') AS prefix
+          |      FROM t WHERE len(toks) >= 5),
+          |c AS (SELECT source, prefix, count(*) AS n_docs FROM p GROUP BY 1, 2),
+          |tt AS (SELECT source, count(*) AS n_src FROM p GROUP BY 1),
+          |r AS (SELECT source, prefix, n_docs,
+          |        CAST(row_number() OVER (PARTITION BY source
+          |          ORDER BY n_docs DESC, prefix ASC) AS INT) AS rk
+          |      FROM c)
+          |SELECT r.source, r.rk, r.prefix, r.n_docs,
+          |  round(r.n_docs * 1.0 / tt.n_src, 6) AS share
+          |FROM r JOIN tt USING (source) WHERE rk <= 3
+          |ORDER BY source, rk""".stripMargin,
+
       "q142_bpe_pair_merges" ->
         """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
           |            FROM documents),

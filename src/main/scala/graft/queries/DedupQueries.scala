@@ -345,6 +345,33 @@ object DedupQueries {
         .orderBy($"jac_bucket")
     }),
 
+    // Duplication × QUALITY interaction — the curation cross-signal: per
+    // language, document count and mean quality score (q55's law,
+    // 6dp-rounded per doc, DECIMAL-summed) split by verified-dup-group
+    // membership. The question it answers is which dedup posture to
+    // take: if duplicates skew low-quality, the quality gate already
+    // removes most of them and dedup is cleanup; if they skew HIGH
+    // (mirrored reference pages, syndicated articles), dedup is the only
+    // thing standing between the corpus and memorization. Rides the
+    // memoized component table + the profile cache; one anti-joinable
+    // membership probe and a 10-group rollup.
+    "q216_dup_quality_interaction" -> ((s, dir) => {
+      import s.implicits._
+      val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+        lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+      val dup = docComponents(s, dir).select($"id".as("doc_id"))
+      DocProfiles.profiled(s, dir)
+        .select($"doc_id", $"lang", round(quality, 6).as("q6"))
+        .join(dup.withColumn("d", lit(true)), Seq("doc_id"), "left")
+        .select($"lang", coalesce($"d", lit(false)).as("is_dup"), $"q6")
+        .groupBy($"lang", $"is_dup")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"q6".cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_quality"))
+        .orderBy($"lang", $"is_dup")
+    }),
+
     // Transitive near-dup closure: VERIFIED near-dup pairs (q33's exact
     // Jaccard >= 0.8, not raw LSH candidates — closing over loose
     // candidates chains unrelated docs together, the classic dedup
@@ -984,6 +1011,29 @@ object DedupQueries {
            |JOIN card cb ON cb.doc_id = i.b_id
            |WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8
            |ORDER BY a_id, b_id""".stripMargin,
+
+      // q216: the component closure joined against q55's quality law
+      // (6dp per-doc scores, DECIMAL sum — order-free mean).
+      "q216_dup_quality_interaction" ->
+        s"""WITH RECURSIVE $componentCtes,
+           |tq AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') toks
+           |       FROM documents),
+           |bq AS (SELECT doc_id, lang, len(toks) n_tok,
+           |         list_sum(list_transform(toks, x -> len(x))) sum_len,
+           |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) n_stop
+           |       FROM tq),
+           |q AS (SELECT doc_id, lang,
+           |        round(0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+           |            + 0.3 * (n_stop * 1.0 / n_tok)
+           |            + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0), 6) AS q6
+           |      FROM bq),
+           |dd AS (SELECT DISTINCT doc_id FROM comp)
+           |SELECT q.lang, dd.doc_id IS NOT NULL AS is_dup,
+           |  count(*) AS n_docs,
+           |  round(CAST(sum(CAST(q6 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           |    AS avg_quality
+           |FROM q LEFT JOIN dd ON q.doc_id = dd.doc_id
+           |GROUP BY 1, 2 ORDER BY lang, is_dup""".stripMargin,
 
       // q213: the same candidate chain with the band-agreement count
       // retained, rolled up by 0.1-wide exact-Jaccard bucket.

@@ -646,7 +646,13 @@ object SimilarityQueries {
     // is an existing session cache (gram index, trainGrams, IVF tower) —
     // the ensemble itself adds two bounded semi-join legs and a 3-way
     // left join on the test-sized table.
-    "q205_contamination_ensemble" -> ((s, dir) => {
+    // Memoized per batch (the q110/q36 report treatment): the ensemble
+    // verdict ledger is the stored decontamination manifest — both
+    // semi-join legs are real work per evaluation (the caches cover
+    // their INPUTS, not the composed result), and repeat readers get
+    // the test-split-sized table.
+    "q205_contamination_ensemble" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"contamens:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val docsTest = DocProfiles.profiled(s, dir).where($"pct" >= 0.9)
         .select($"doc_id")
@@ -665,14 +671,16 @@ object SimilarityQueries {
         .groupBy($"q_id").agg(max($"cos").as("mc"))
         .where($"mc" >= SemDedupTau.toDouble)
         .select($"q_id".as("doc_id"))
-      docsTest
+      val out = cached(docsTest
         .join(gramHits.withColumn("g", lit(true)), Seq("doc_id"), "left")
         .join(semHits.withColumn("sm", lit(true)), Seq("doc_id"), "left")
         .select($"doc_id".as("test_id"),
           coalesce($"g", lit(false)).as("gram_leaked"),
           coalesce($"sm", lit(false)).as("sem_leaked"))
         .withColumn("leaked", $"gram_leaked" || $"sem_leaked")
-        .orderBy($"test_id")
+        .orderBy($"test_id"))
+      out.count()
+      out
     }),
 
     // Cluster COMPOSITION audit — per IVF cell: population, distinct
@@ -1004,6 +1012,55 @@ object SimilarityQueries {
         .orderBy($"q_id"))
       out.count()
       out
+    }),
+
+    // Split STRATIFICATION audit — per label, how the md5-percentile
+    // split (q56's law on the vec_id key space) lands: train/val/test
+    // counts and the test fraction. The check every eval pipeline runs
+    // before trusting its metrics: a hash split is only label-balanced
+    // in expectation, and a rare label can draw a test slice too small
+    // to measure (or empty — the q194 left-join case). One scan of the
+    // embedding table, label-sized output, no joins.
+    "q217_split_balance" -> ((s, dir) => {
+      import s.implicits._
+      val pct = conv(substring(md5(concat(lit(""), $"vec_id".cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+      Tables.embeddings(s, dir).select($"vec_id", $"label")
+        .withColumn("pct", pct)
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"pct" < 0.8, 1L).otherwise(0L)).as("n_train"),
+          sum(when($"pct" >= 0.8 && $"pct" < 0.9, 1L).otherwise(0L)).as("n_val"),
+          sum(when($"pct" >= 0.9, 1L).otherwise(0L)).as("n_test"))
+        .withColumn("test_frac", round($"n_test" * lit(1.0) / $"n", 6))
+        .orderBy($"label")
+    }),
+
+    // Quantizer MARGIN audit — per cell: each vector's top-1 vs top-2
+    // centroid cosine gap (min/max, order-free like q85) and the count
+    // under 0.05. Boundary vectors are where IVF recall dies (their true
+    // neighbors sit in the runner-up cell) and exactly what multiprobe
+    // (q79) exists to recover — this table says how much boundary mass
+    // each cell carries, i.e. what nprobe the workload actually needs.
+    // One corpus × broadcast-centroid pass (the same shape as a Lloyd
+    // assign step) + a rank-2 window — scale-safe at any corpus size.
+    "q218_quantizer_margin" -> ((s, dir) => {
+      import s.implicits._
+      val (cells, cent) = ivfCells(s, dir)
+      val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
+      val ranked = cells.crossJoin(broadcast(cent))
+        .select($"vec_id", $"cell", $"cl",
+          (dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("ccos"))
+        .withColumn("rn", row_number().over(w)).where($"rn" <= 2)
+      ranked.groupBy($"vec_id", $"cell")
+        .agg((max(when($"rn" === 1, $"ccos")) -
+          max(when($"rn" === 2, $"ccos"))).as("margin"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min($"margin"), 6).as("min_margin"),
+          round(max($"margin"), 6).as("max_margin"),
+          sum(when($"margin" < 0.05, 1L).otherwise(0L)).as("n_boundary"))
+        .orderBy($"cell")
     }),
 
     // IVF ANN, nprobe=1 — quantizer + plan shape documented on [[ivf]].
@@ -1845,6 +1902,39 @@ object SimilarityQueries {
            |    CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(28,6))) AS DOUBLE)
            |      / sum(c), 6) AS label_entropy
            |FROM ct GROUP BY cell ORDER BY cell""".stripMargin,
+
+      // q217: the md5-percentile split law over the vec_id key space.
+      "q217_split_balance" ->
+        s"""WITH p AS (SELECT label,
+           |    CAST(('0x' || substr(md5('' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT)
+           |      / 65536.0 AS pct
+           |  FROM embeddings)
+           |SELECT label, count(*) AS n,
+           |  CAST(sum(CASE WHEN pct < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |  CAST(sum(CASE WHEN pct >= 0.8 AND pct < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |  CAST(sum(CASE WHEN pct >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           |  round(sum(CASE WHEN pct >= 0.9 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           |    AS test_frac
+           |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+      // q218: rank-2 centroid cosines over the same tower; margin
+      // assembled from the two ranked rows, min/max order-free.
+      "q218_quantizer_margin" ->
+        s"""WITH $ivfCtesSql,
+           |r AS (SELECT f.vec_id, f.cell, c.cl, ${cosSql("f.v", "c.cv")} ccos,
+           |        row_number() OVER (PARTITION BY f.vec_id
+           |          ORDER BY ${cosSql("f.v", "c.cv")} DESC, c.cl ASC) rn
+           |      FROM cells f CROSS JOIN c$KMeansIters c),
+           |m AS (SELECT vec_id, cell,
+           |        max(CASE WHEN rn = 1 THEN ccos END)
+           |          - max(CASE WHEN rn = 2 THEN ccos END) AS margin
+           |      FROM r WHERE rn <= 2 GROUP BY 1, 2)
+           |SELECT cell, count(*) AS n_vecs,
+           |  round(min(margin), 6) AS min_margin,
+           |  round(max(margin), 6) AS max_margin,
+           |  CAST(sum(CASE WHEN margin < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_boundary
+           |FROM m GROUP BY cell ORDER BY cell""".stripMargin,
 
       // q212: q116's recall law with the label >= 5 predicate applied to
       // BOTH the probed cells and the brute truth, over the same tower.

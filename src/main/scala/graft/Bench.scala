@@ -77,14 +77,6 @@ object Bench {
       // the same setting a 100 TB cluster would run.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      // Spark 4 lets AQE re-plan CACHED plans, which makes every
-      // InMemoryTableScan report unknown partitioning/ordering — the
-      // session cache hubs (EventStats.byUser, ivfCells, DocProfiles)
-      // exist precisely so downstream windows/joins can reuse their
-      // layout, so pin the cached output partitioning (one AQE-less
-      // cache build buys exchange-and-sort-free reads for the whole
-      // window family; measured r8, q22-family plans lose Exchange+Sort)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

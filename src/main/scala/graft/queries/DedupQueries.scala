@@ -172,6 +172,74 @@ object DedupQueries {
     }
   }
 
+  /** EXACT set-similarity self-join at Jaccard >= 0.8 via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): unlike the LSH path this has NO false negatives, making it
+    * both a production alternative (when contractual dedup must be
+    * complete) and the ground truth that q222 measures LSH recall against.
+    *
+    * Why it scales: under a global rarest-first token order (document
+    * frequency asc, gram asc), two sets with jac >= t must share a token
+    * within their first |X| - ceil(t*|X|) + 1 tokens, so only that ~20%
+    * prefix is exploded and self-joined — and prefix tokens are by
+    * construction the RAREST of each doc, so join buckets stay small
+    * without any cap (no cap is admissible here: dropping a bucket would
+    * break exactness). The length filter t*|A| <= |B| <= |A|/t prunes
+    * candidates before verification; verification is the same per-pair
+    * array intersection as [[scoredCandidates]]. Worst case remains a
+    * corpus of near-identical docs (where the TRUE answer is quadratic);
+    * for that shape the LSH+cap path is the right tool — which is exactly
+    * the trade q222 quantifies.
+    */
+  /** (shingle sets, prefix rows): the cached PPJoin index. `pre` holds
+    * (doc_id, c, g) — one row per PREFIX token of each doc under the
+    * rarest-first global order (document frequency asc, gram asc), prefix
+    * length |X| - ceil(0.8|X|) + 1. Shared by the self-join (q219) and
+    * the incremental arrival-vs-corpus join (q223).
+    */
+  private def ppjoinIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
+    val tok = sets.select($"doc_id", explode($"sh").as("g"))
+    val dfreq = tok.groupBy($"g").agg(count(lit(1)).as("df"))
+    // rarest-first order per doc, then keep only the prefix slice
+    val pre = graft.operators.CacheRegistry.track(tok.join(dfreq, "g")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"g"))).as("os"))
+      .select($"doc_id", transform($"os", x => x("g")).as("og"), size($"os").as("c"))
+      .select($"doc_id", $"c", explode(slice($"og", lit(1),
+        $"c" - ceil($"c" * lit(0.8)).cast("int") + lit(1))).as("g"))
+      .cache())
+    (sets, pre)
+  }
+
+  /** Candidates (a_id, b_id) verified to exact Jaccard >= 0.8 against the
+    * cached shingle sets — the shared tail of both PPJoin variants.
+    */
+  private def ppjoinVerify(s: SparkSession, sets: DataFrame, cand: DataFrame): DataFrame = {
+    import s.implicits._
+    cand
+      .join(sets.as("da"), $"a_id" === $"da.doc_id")
+      .join(sets.as("db"), $"b_id" === $"db.doc_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"da.sh", $"db.sh")).as("i"),
+        size($"da.sh").as("ca"), size($"db.sh").as("cb"))
+      .withColumn("jac", ($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i"))
+      .where($"jac" >= 0.8)
+  }
+
+  private def exactPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (sets, pre) = ppjoinIndex(s, dir)
+    val cand = pre.as("a").join(pre.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
+          $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+    graft.operators.CacheRegistry.track(
+      ppjoinVerify(s, sets, cand).cache())
+  }
+
   /** (doc_id, simhash): `bits`-bit SimHash per document (bits <= 32 — one
     * hex digit of the digest per bit). ONE md5 per token (hashed inside
     * the Generate, so no projection for CollapseProject to duplicate); bit
@@ -372,6 +440,70 @@ object DedupQueries {
         .orderBy($"lang", $"is_dup")
     }),
 
+    // PPJoin — the complete (zero-false-negative) near-dup pair set at
+    // Jaccard >= 0.8, via rarest-first prefix filtering ([[exactPairs]]).
+    // Columns mirror q33 so the two pair laws are directly comparable;
+    // unlike q33, the oracle here is the TRUE all-pairs law (inverted
+    // shared-gram join), so a prefix-filter bug that dropped any
+    // qualifying pair would hash-fail.
+    "q219_ppjoin_exact" -> ((s, dir) => {
+      import s.implicits._
+      exactPairs(s, dir)
+        .select($"a_id", $"b_id", round($"jac", 6).as("jac"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // Incremental PPJoin — the ingest-time shape of q219: an arriving
+    // batch (q56's md5-split law, pct >= 0.9) checked EXACTLY against the
+    // standing corpus as an A×B prefix join, NOT a self-join over the
+    // union. Both sides' prefixes come from the same cached index (df
+    // order over the full population — in production the standing
+    // corpus's stored df index, which dominates the union), so a batch of
+    // b docs costs O(b · prefix · bucket) regardless of corpus size —
+    // never a corpus re-scan, and zero false negatives for the same
+    // prefix-theorem reason as q219 (the theorem is pairwise; it never
+    // needed the two sides to be the same relation).
+    "q223_ppjoin_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val (sets, pre) = ppjoinIndex(s, dir)
+      def isNew(c: Column): Column =
+        (conv(substring(md5(concat(lit(""), c.cast("string")).cast("binary")),
+          1, 4), 16, 10).cast("double") / 65536.0) >= 0.9
+      val arr = pre.where(isNew($"doc_id"))
+      val corp = pre.where(!isNew($"doc_id"))
+      val cand = arr.as("a").join(corp.as("b"),
+          $"a.g" === $"b.g" &&
+            $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
+            $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+      ppjoinVerify(s, sets, cand)
+        .select($"a_id".as("arrival_id"), $"b_id".as("corpus_id"),
+          round($"jac", 6).as("jac"))
+        .orderBy($"arrival_id", $"corpus_id")
+    }),
+
+    // LSH RECALL audit — the exact pair law (q219) left-joined with the
+    // production LSH-verified pairs (q33), rolled up by 0.05-wide Jaccard
+    // bucket. This is the number every MinHash deployment needs and
+    // almost none measures: what fraction of true near-dups the banding
+    // actually surfaces, and how recall decays toward the threshold
+    // boundary (pairs just above 0.8 agree on fewer bands). Both sides
+    // are cached artifacts; the audit itself is one pair-sized join.
+    "q222_lsh_recall_audit" -> ((s, dir) => {
+      import s.implicits._
+      val lsh = verifiedPairs(s, dir)
+        .select($"a_id", $"b_id").withColumn("f", lit(true))
+      exactPairs(s, dir)
+        .join(lsh, Seq("a_id", "b_id"), "left")
+        .select((floor($"jac" * 20) / 20).as("jac_bucket"),
+          coalesce($"f", lit(false)).as("found"))
+        .groupBy($"jac_bucket")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when($"found", 1L).otherwise(0L)).as("n_found"))
+        .withColumn("recall", round($"n_found" * lit(1.0) / $"n_exact", 6))
+        .orderBy($"jac_bucket")
+    }),
+
     // Transitive near-dup closure: VERIFIED near-dup pairs (q33's exact
     // Jaccard >= 0.8, not raw LSH candidates — closing over loose
     // candidates chains unrelated docs together, the classic dedup
@@ -480,6 +612,34 @@ object DedupQueries {
       comp.join(keepers, "comp")
         .where($"doc_id" =!= $"keeper_id")
         .select($"doc_id".as("removed_id"), $"keeper_id")
+        .orderBy($"removed_id")
+    }),
+
+    // Quality-aware dedup manifest — q139 with the production keeper
+    // POLICY: keep the highest-quality copy of each near-dup group (q55's
+    // 6dp quality law, ties to the smallest doc_id), not the smallest id.
+    // Mirrored/syndicated groups usually contain one clean original and
+    // N boilerplate-wrapped copies — "keep first by id" throws away the
+    // original whenever a copy sorts lower. Same component closure + one
+    // profile join + a group-sized rank-1 window.
+    "q224_dedup_keeper_policy" -> ((s, dir) => {
+      import s.implicits._
+      val quality = lit(0.5) * least($"n_tok" * lit(1.0) / 100.0, lit(1.0)) +
+        lit(0.3) * ($"n_stop" * lit(1.0) / $"n_tok") +
+        lit(0.2) * least(($"sum_len" * lit(1.0) / $"n_tok") / 6.0, lit(1.0))
+      val comp = docComponents(s, dir).select($"id".as("doc_id"), $"comp")
+      val scored = comp.join(
+        DocProfiles.profiled(s, dir)
+          .select($"doc_id", round(quality, 6).as("q6")), Seq("doc_id"))
+      val w = Window.partitionBy($"comp")
+        .orderBy($"q6".desc, $"doc_id".asc)
+      val keepers = scored.withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"comp", $"doc_id".as("keeper_id"), $"q6".as("keeper_q"))
+      scored.join(keepers, "comp")
+        .where($"doc_id" =!= $"keeper_id")
+        .select($"doc_id".as("removed_id"), $"keeper_id",
+          $"q6".as("removed_q"), $"keeper_q")
         .orderBy($"removed_id")
     }),
 
@@ -898,6 +1058,21 @@ object DedupQueries {
        |          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
        |          GROUP BY 1, 2)""".stripMargin
 
+  /** The TRUE all-pairs law appended to [[candidateCtes]]' `sh`/`card`:
+    * pairwise intersections via the inverted shared-gram join (every pair
+    * with jac >= 0.8 shares a gram, so the join misses nothing), then the
+    * exact threshold. q219 must reproduce this EXACTLY — it is the
+    * zero-false-negative oracle the prefix filter is graded against.
+    */
+  private def exactInterCtes: String =
+    s"""exin AS (SELECT sa.doc_id a_id, sb.doc_id b_id, count(*) i
+       |         FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+       |         GROUP BY 1, 2),
+       |ex AS (SELECT e.a_id, e.b_id, e.i * 1.0 / (ca.c + cb.c - e.i) AS jac
+       |       FROM exin e JOIN card ca ON ca.doc_id = e.a_id
+       |       JOIN card cb ON cb.doc_id = e.b_id
+       |       WHERE e.i * 1.0 / (ca.c + cb.c - e.i) >= 0.8)""".stripMargin
+
   /** [[candidateCtes]] extended to verified pairs and their transitive
     * closure (`comp(doc_id, comp)`) — the recursive-CTE mirror of
     * `ConnectedComponents`; q36 reads the labels, q84 the rollup.
@@ -1011,6 +1186,76 @@ object DedupQueries {
            |JOIN card cb ON cb.doc_id = i.b_id
            |WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8
            |ORDER BY a_id, b_id""".stripMargin,
+
+      // q219: the exact all-pairs law — the unfiltered inverted-index
+      // join, NOT the LSH chain (that's the whole point).
+      "q219_ppjoin_exact" ->
+        s"""WITH $candidateCtes,
+           |$exactInterCtes
+           |SELECT a_id, b_id, round(jac, 6) AS jac
+           |FROM ex ORDER BY a_id, b_id""".stripMargin,
+
+      // q223: the exact law restricted to split-crossing pairs, oriented
+      // (arrival, corpus) by the same md5-percentile flag.
+      "q223_ppjoin_incremental" ->
+        s"""WITH $candidateCtes,
+           |$exactInterCtes,
+           |p AS (SELECT doc_id,
+           |        CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+           |          / 65536.0 >= 0.9 AS is_new
+           |      FROM documents)
+           |SELECT CASE WHEN pa.is_new THEN e.a_id ELSE e.b_id END AS arrival_id,
+           |  CASE WHEN pa.is_new THEN e.b_id ELSE e.a_id END AS corpus_id,
+           |  round(e.jac, 6) AS jac
+           |FROM ex e
+           |JOIN p pa ON pa.doc_id = e.a_id
+           |JOIN p pb ON pb.doc_id = e.b_id
+           |WHERE pa.is_new <> pb.is_new
+           |ORDER BY arrival_id, corpus_id""".stripMargin,
+
+      // q222: exact law LEFT JOIN lsh-verified law, bucketed recall.
+      "q222_lsh_recall_audit" ->
+        s"""WITH $candidateCtes,
+           |$exactInterCtes,
+           |lsh AS (SELECT i.a_id, i.b_id
+           |        FROM inter i
+           |        JOIN card ca ON ca.doc_id = i.a_id
+           |        JOIN card cb ON cb.doc_id = i.b_id
+           |        WHERE i.i * 1.0 / (ca.c + cb.c - i.i) >= 0.8)
+           |SELECT floor(ex.jac * 20) / 20 AS jac_bucket,
+           |  count(*) AS n_exact,
+           |  CAST(sum(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_found,
+           |  round(sum(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+           |    / count(*), 6) AS recall
+           |FROM ex LEFT JOIN lsh l ON l.a_id = ex.a_id AND l.b_id = ex.b_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q224: q139's closure + q216's quality CTEs; keeper = rank-1 by
+      // (q6 DESC, doc_id ASC) per component.
+      "q224_dedup_keeper_policy" ->
+        s"""WITH RECURSIVE $componentCtes,
+           |tq AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks
+           |       FROM documents),
+           |bq AS (SELECT doc_id, len(toks) n_tok,
+           |         list_sum(list_transform(toks, x -> len(x))) sum_len,
+           |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) n_stop
+           |       FROM tq),
+           |q AS (SELECT doc_id,
+           |        round(0.5 * least(n_tok * 1.0 / 100.0, 1.0)
+           |            + 0.3 * (n_stop * 1.0 / n_tok)
+           |            + 0.2 * least((sum_len * 1.0 / n_tok) / 6.0, 1.0), 6) AS q6
+           |      FROM bq),
+           |sc AS (SELECT c.doc_id, c.comp, q.q6 FROM comp c JOIN q USING (doc_id)),
+           |k AS (SELECT comp, doc_id AS keeper_id, q6 AS keeper_q FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY comp
+           |          ORDER BY q6 DESC, doc_id ASC) rn FROM sc)
+           |      WHERE rn = 1)
+           |SELECT sc.doc_id AS removed_id, k.keeper_id,
+           |  sc.q6 AS removed_q, k.keeper_q
+           |FROM sc JOIN k USING (comp)
+           |WHERE sc.doc_id <> k.keeper_id
+           |ORDER BY removed_id""".stripMargin,
 
       // q216: the component closure joined against q55's quality law
       // (6dp per-doc scores, DECIMAL sum — order-free mean).

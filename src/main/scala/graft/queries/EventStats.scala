@@ -35,18 +35,42 @@ object EventStats {
     * redundant Exchange+Sort. Forcing the cache at build time — once per
     * (session, dir) via ResultMemo — makes every consumer's Window sit
     * DIRECTLY on the InMemoryTableScan (verified: q22's plan loses both
-    * nodes). Requires canChangeCachedPlanOutputPartitioning=false, set in
-    * every session builder.
+    * nodes). canChangeCachedPlanOutputPartitioning=false is required for
+    * the layout to survive the cache — but ONLY for these two hubs, so it
+    * is scoped to their builds via [[withPinnedCacheLayout]]: setting it
+    * session-wide (as r8 briefly did) turns off AQE partition coalescing
+    * for EVERY `.cache()` in the engine, leaving all cached intermediates
+    * at full shuffle-partition fan-out and costing a measured ~0.25 s of
+    * task-scheduling overhead per bench query.
     */
   def byUser(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.ResultMemo.getOrCompute(
         s"evstats-byuser:$dir:${graft.operators.SessionKey(s)}") {
-      val df = graft.operators.CacheRegistry.track(
-        Tables.events(s, dir).repartition($"user_id")
-          .sortWithinPartitions($"user_id", $"ts", $"event_id").cache())
-      df.count()
-      df
+      withPinnedCacheLayout(s) {
+        val df = graft.operators.CacheRegistry.track(
+          Tables.events(s, dir).repartition($"user_id")
+            .sortWithinPartitions($"user_id", $"ts", $"event_id").cache())
+        df.count()
+        df
+      }
+    }
+  }
+
+  /** Runs `body` (a cache build + its eager materialization) with AQE's
+    * cached-plan re-partitioning disabled, restoring the session's
+    * previous setting after. The conf is consulted when the cached plan
+    * is compiled, so scoping it to the build pins THIS cache's layout
+    * without forcing every other cache in the session to full fan-out.
+    */
+  private def withPinnedCacheLayout[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
     }
   }
 
@@ -59,13 +83,15 @@ object EventStats {
     import s.implicits._
     graft.operators.ResultMemo.getOrCompute(
         s"evstats-daily:$dir:${graft.operators.SessionKey(s)}") {
-      val df = graft.operators.CacheRegistry.track(Tables.events(s, dir)
-        .groupBy(to_date($"ts").as("day"), $"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,2)")).as("total_dec"))
-        .cache())
-      df.count()
-      df
+      withPinnedCacheLayout(s) {
+        val df = graft.operators.CacheRegistry.track(Tables.events(s, dir)
+          .groupBy(to_date($"ts").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,2)")).as("total_dec"))
+          .cache())
+        df.count()
+        df
+      }
     }
   }
 }

@@ -1382,12 +1382,175 @@ object ExtendedQueries {
           sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
             .as("n_anomalous"))
         .orderBy($"event_type")
+    }),
+
+    // Schema-driven single-pass profiler ([[graft.operators.TableProfiler]])
+    // over lineitem: per column, null count + type-normalized min/max —
+    // the ANALYZE-TABLE/Deequ summary every ingest job runs first. All
+    // 11 columns fold into ONE aggregate over one scan (nested agg
+    // structs, exploded after); no countDistinct by design (that is the
+    // HLL rollup's job — an N-way Expand has no place in a profiler).
+    "q220_table_profile" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TableProfiler.profile(Tables.lineitem(s, dir))
+        .orderBy($"column_name")
+    }),
+
+    // Profile DRIFT audit — [[graft.operators.TableProfiler]] run twice
+    // over a deterministic A/B split of the event log (even vs odd epoch
+    // day: a stationarity probe with no data-dependent constants) and
+    // joined per column: null-rate delta and min/max shifts. This is the
+    // snapshot-to-snapshot schema/stat drift check every scheduled ingest
+    // runs; the day-parity split makes it self-contained here. Two
+    // single-pass profiles + a 6-row join.
+    "q225_profile_drift" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      def prof(par: Int) = graft.operators.TableProfiler.profile(
+        ev.where(pmod(datediff(to_date($"ts"),
+          to_date(lit("1970-01-01"))), lit(2)) === par))
+      val a = prof(0).select($"column_name", $"n_rows".as("n_even"),
+        $"n_null".as("nn_a"), $"min_val".as("mn_a"), $"max_val".as("mx_a"))
+      val b = prof(1).select($"column_name", $"n_rows".as("n_odd"),
+        $"n_null".as("nn_b"), $"min_val".as("mn_b"), $"max_val".as("mx_b"))
+      a.join(b, "column_name")
+        .select($"column_name", $"n_even", $"n_odd",
+          round($"nn_a" * lit(1.0) / $"n_even" -
+            $"nn_b" * lit(1.0) / $"n_odd", 6).as("null_rate_delta"),
+          round($"mn_b" - $"mn_a", 6).as("min_shift"),
+          round($"mx_b" - $"mx_a", 6).as("max_shift"))
+        .orderBy($"column_name")
+    }),
+
+    // Declarative data-quality CHECK SUITE (the Deequ/Great-Expectations
+    // capability): referential integrity, key uniqueness, domain and
+    // range constraints, each emitted as (check, n_violations, passed).
+    // Scale shape: every check is a scan-rate aggregate or an anti-join
+    // on the key it checks; the FK anti-joins shuffle on the key (the
+    // Bloom prefilter of q138 is the 100 TB accelerant when violation
+    // rates are near zero). Checks on the same table share one pass via
+    // conditional sums rather than one scan per check.
+    "q221_constraint_checks" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val ev = Tables.events(s, dir)
+      def row(name: String, viol: DataFrame) = viol
+        .select(lit(name).as("check_name"), $"n_violations")
+      // single-pass conditional sums over lineitem: range + domain gates
+      val liChecks = li.agg(
+        sum(when(!($"l_quantity".between(1, 50)), 1L).otherwise(0L)).as("qty"),
+        sum(when(!($"l_discount".between(0.0, 0.1)), 1L).otherwise(0L)).as("disc"),
+        sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L)).as("flag"))
+      val fkLi = li.select($"l_orderkey")
+        .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val fkO = o.select($"o_custkey")
+        .join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val uniq = o.agg((count(lit(1)) - countDistinct($"o_orderkey"))
+        .as("n_violations"))
+      val evNull = ev.agg(sum(when($"value".isNull, 1L).otherwise(0L))
+        .as("n_violations"))
+      row("lineitem_orderkey_fk", fkLi)
+        .unionAll(row("orders_custkey_fk", fkO))
+        .unionAll(row("orders_orderkey_unique", uniq))
+        .unionAll(row("lineitem_quantity_range",
+          liChecks.select($"qty".as("n_violations"))))
+        .unionAll(row("lineitem_discount_range",
+          liChecks.select($"disc".as("n_violations"))))
+        .unionAll(row("lineitem_returnflag_domain",
+          liChecks.select($"flag".as("n_violations"))))
+        .unionAll(row("events_value_not_null", evNull))
+        .withColumn("passed", $"n_violations" === 0L)
+        .orderBy($"check_name")
     })
   )
 
   def oracles: Map[String, String] = Map(
     // The Neyman law from the same exact DECIMAL moments; per-stratum
     // weights 6dp-rounded then DECIMAL-summed so the total is order-free.
+    // q220: 11 per-column branches over ONE table, same type-to-double
+    // normalization (strings by length, timestamps via fractional-second
+    // epoch() = Spark's timestamp->double cast).
+    "q220_table_profile" -> {
+      val cols = Seq(
+        ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+        ("l_linenumber", "num"), ("l_quantity", "num"),
+        ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"))
+      val branches = cols.map { case (c, k) =>
+        val nv = k match {
+          case "num" => s"CAST($c AS DOUBLE)"
+          case "str" => s"CAST(len($c) AS DOUBLE)"
+          case "ts"  => s"epoch($c)"
+        }
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  round(min($nv), 6) AS min_val, round(max($nv), 6) AS max_val
+           |FROM lineitem""".stripMargin
+      }
+      branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
+    },
+
+    // q225: the q220 normalization per side of the day-parity split.
+    "q225_profile_drift" -> {
+      val cols = Seq(("event_id", "num"), ("ts", "ts"), ("user_id", "num"),
+        ("event_type", "str"), ("value", "num"), ("props", "str"))
+      def sideSql(par: Int) = cols.map { case (c, k) =>
+        val nv = k match {
+          case "num" => s"CAST($c AS DOUBLE)"
+          case "str" => s"CAST(len($c) AS DOUBLE)"
+          case "ts"  => s"epoch($c)"
+        }
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  round(min($nv), 6) AS min_val, round(max($nv), 6) AS max_val
+           |FROM events WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 = $par""".stripMargin
+      }.mkString("(\n", "\nUNION ALL\n", "\n)")
+      s"""WITH ea AS ${sideSql(0)}, eb AS ${sideSql(1)}
+         |SELECT a.column_name, a.n_rows AS n_even, b.n_rows AS n_odd,
+         |  round(a.n_null * 1.0 / a.n_rows - b.n_null * 1.0 / b.n_rows, 6)
+         |    AS null_rate_delta,
+         |  round(b.min_val - a.min_val, 6) AS min_shift,
+         |  round(b.max_val - a.max_val, 6) AS max_shift
+         |FROM ea a JOIN eb b USING (column_name)
+         |ORDER BY a.column_name""".stripMargin
+    },
+
+    // q221: each check as a UNION ALL branch; NULL-comparison semantics
+    // (NOT IN / NOT BETWEEN over NULL -> no violation) match Spark's.
+    "q221_constraint_checks" ->
+      """SELECT check_name, n_violations, n_violations = 0 AS passed FROM (
+        |SELECT 'lineitem_orderkey_fk' AS check_name,
+        |  CAST(count(*) AS BIGINT) AS n_violations FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'orders_orderkey_unique',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range',
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range',
+        |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_returnflag_domain',
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'events_value_not_null',
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |) ORDER BY check_name""".stripMargin,
+
     "q214_neyman_allocation" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n_stratum,

@@ -39,8 +39,29 @@ object Tables {
     if (spark.conf.getOption("spark.graft.cacheBaseTables").contains("true")) {
       cachedTables.computeIfAbsent(
         (graft.operators.SessionKey(spark), sfDir.stripSuffix("/"), name),
-        _ => raw(spark, sfDir, name).persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        _ => {
+          // The generator writes each table as ONE parquet file; under the
+          // 128 MB split default that is ONE scan partition, so every scan
+          // of a cached fact table would run single-threaded (measured:
+          // q01's 600k-row decimal agg at 0.76 s on one core). Spread
+          // non-tiny tables AT CACHE BUILD — one untimed shuffle buys
+          // parallel reads for the whole session. On a real cluster the
+          // fact tables arrive as many splits and this is a no-op by the
+          // partition-count guard.
+          val df = raw(spark, sfDir, name)
+          val bytes = new java.io.File(
+            s"${sfDir.stripSuffix("/")}/$name.parquet").length
+          // 8-way, not full-width: wide enough that no scan is a straggler,
+          // narrow enough that expand-heavy plans (q20's countDistinct)
+          // and full-table sorts don't pay 32-task scheduling per stage
+          val cores = math.min(spark.sparkContext.defaultParallelism, 8)
+          val spread =
+            if (bytes > (100L << 10) && cores > 1 &&
+                df.rdd.getNumPartitions < cores) df.repartition(cores)
+            else df
+          spread.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
     } else raw(spark, sfDir, name)
 
   /** Unpersist and forget every session-cached base table (batch-boundary

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-8 additions, asserted through the real
+  * builders/operators (DuckDB hash parity is the driver's t2 gate; these
+  * pin the laws the hashes alone can't localize):
+  *
+  *   - TableProfiler: exact profile of a hand-built frame covering every
+  *     normalization branch (numeric, string-length, timestamp epoch,
+  *     date epoch-days, unprofilable array), including an all-null column;
+  *   - q219 PPJoin: COMPLETENESS against brute-force all-pairs Jaccard on
+  *     the real sf0.001 corpus — the prefix filter must miss nothing and
+  *     invent nothing (zero false negatives is the operator's whole claim);
+  *   - q222: recall is exact-law-anchored — n_exact sums to q219's row
+  *     count and n_found never exceeds n_exact.
+  */
+class Round8LawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("TableProfiler: every normalization branch exact") {
+    val df = Seq(
+      (1L, "ab", Timestamp.valueOf("1970-01-01 00:00:01.5"),
+        Date.valueOf("1970-01-11"), Seq(1, 2)),
+      (5L, "abcd", Timestamp.valueOf("1970-01-02 00:00:00"),
+        Date.valueOf("1969-12-31"), Seq(3)))
+      .toDF("n", "s", "ts", "d", "arr")
+      .withColumn("allnull", lit(null).cast("double"))
+    val p = graft.operators.TableProfiler.profile(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(p("n") == ((2L, 0L, Some(1.0), Some(5.0))))
+    assert(p("s") == ((2L, 0L, Some(2.0), Some(4.0))))
+    assert(p("ts") == ((2L, 0L, Some(1.5), Some(86400.0))))
+    assert(p("d") == ((2L, 0L, Some(-1.0), Some(10.0))))
+    assert(p("arr") == ((2L, 0L, None, None)), "arrays profile null min/max")
+    assert(p("allnull") == ((2L, 2L, None, None)))
+  }
+
+  test("q219 PPJoin completeness: equals brute-force all-pairs on sf0.001") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.TextFunctions._
+    val sets = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(wordShingles(tokens($"text"), 3)).as("sh"))
+      .where(size($"sh") > 0)
+    val brute = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        (size(array_intersect($"a.sh", $"b.sh")) * lit(1.0) /
+          (size($"a.sh") + size($"b.sh") -
+            size(array_intersect($"a.sh", $"b.sh")))).as("jac"))
+      .where($"jac" >= 0.8)
+      .select($"a_id", $"b_id", round($"jac", 6).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = SparkEntry.queries("q219_ppjoin_exact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pp == brute,
+      s"missed=${(brute -- pp).take(5)} invented=${(pp -- brute).take(5)}")
+    assert(pp.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
+  test("GraftCatalog: full surface reachable from plain SQL") {
+    graft.sources.GraftCatalog.register(spark, dir, prefix = "cat_")
+    val joined = spark.sql(
+      """SELECT count(*) FROM cat_lineitem l
+        |JOIN cat_orders o ON o.o_orderkey = l.l_orderkey""".stripMargin)
+      .head().getLong(0)
+    assert(joined > 0)
+    val dot = spark.sql(
+      """SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                 CAST(embedding AS ARRAY<DOUBLE>))
+        |FROM cat_embeddings LIMIT 1""".stripMargin)
+      .head().getDouble(0)
+    assert(dot > 0.0)
+    val ev = spark.sql("SELECT count(*) FROM cat_events WHERE ts IS NOT NULL")
+      .head().getLong(0)
+    assert(ev > 0, "events view must carry the adapted timestamp column")
+  }
+
+  test("q223 incremental PPJoin: exactly the split-crossing exact pairs") {
+    val pairs = SparkEntry.queries("q219_ppjoin_exact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def isNew(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val pct = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) / 65536.0
+      pct >= 0.9
+    }
+    val expected = pairs.collect {
+      case (a, b) if isNew(a) && !isNew(b) => (a, b)
+      case (a, b) if !isNew(a) && isNew(b) => (b, a)
+    }
+    val inc = SparkEntry.queries("q223_ppjoin_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected,
+      s"missing=${(expected -- inc).take(5)} extra=${(inc -- expected).take(5)}")
+  }
+
+  test("q222 recall audit is anchored to the exact law") {
+    val audit = SparkEntry.queries("q222_lsh_recall_audit")(spark, dir).collect()
+    val nExact = SparkEntry.queries("q219_ppjoin_exact")(spark, dir).count()
+    assert(audit.map(_.getLong(1)).sum == nExact)
+    audit.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "found cannot exceed exact")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+}

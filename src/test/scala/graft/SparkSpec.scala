@@ -24,6 +24,5 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
     .getOrCreate()
 }

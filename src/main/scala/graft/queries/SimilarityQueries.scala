@@ -1368,29 +1368,55 @@ object SimilarityQueries {
     // by cell, a probe touches one cell's codes and never a raw vector.
     "q98_ivf_pq" -> ((s, dir) => {
       import s.implicits._
-      GraftFunctions.register(s)
-      val (codesPath, booksPath, qresidPath) = ivfPqIndex(s, dir)
-      val codes = s.read.parquet(codesPath)
-      val books = s.read.parquet(booksPath)
-      val qresid = s.read.parquet(qresidPath) // (q_id, cell, rv) of the query set
-      val qsub = qresid.select($"q_id", explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("m"), slice($"rv", m * PqSubDim + 1, PqSubDim).as("sv"))): _*))
-          .as("x"))
-        .select($"q_id", $"x.m".as("m"), $"x.sv".as("qsv"))
-      val lut = qsub.join(broadcast(books), "m")
-        .select($"q_id", $"m", $"cl", d2Col($"qsv", $"cv").as("pd"))
-      val qCell = qresid.select($"q_id", $"cell".as("qc"))
-      val w = Window.partitionBy($"q_id").orderBy($"adc".asc, $"nn_id".asc)
-      // probe = the query's cell only; each surviving (vector, query) row
-      // pays M map lookups against the broadcast LUT (the q95 packed law)
-      codes.join(broadcast(qCell), $"cell" === $"qc" && $"vec_id" =!= $"q_id")
-        .join(broadcast(pqQueryLuts(lut)), Seq("q_id"))
-        .select($"q_id", $"vec_id".as("nn_id"),
-          round(pqAdc($"luts"), 6).as("adc"))
-        .withColumn("rk", row_number().over(w))
-        .where($"rk" <= PqTopK)
+      pqAdcShortlist(s, dir)
         .select($"q_id", $"rk", $"nn_id", $"adc")
         .orderBy($"q_id", $"rk")
+    }),
+
+    // ADC shortlist → EXACT re-rank — the last rung of the IVF-PQ serving
+    // ladder (and how every production PQ index is actually queried): the
+    // quantized scan only SHORTLISTS (top-5 by ADC); the float vectors
+    // are fetched for those 5 rows alone and re-ranked by exact cosine to
+    // the final top-3. The ledger reports recall@3 of the ADC-only top-3
+    // vs the re-ranked top-3 against brute truth per query — the uplift
+    // that justifies storing the float vectors alongside the codes. At
+    // 100 TB the re-rank fetch is k·R random reads, not a scan.
+    "q226_pq_rerank_recall" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"annrecall:pqrr:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val sl = pqAdcShortlist(s, dir)
+      val e = normalized(s, dir)
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val wex = Window.partitionBy($"q_id").orderBy($"cos".desc, $"nn_id".asc)
+      val rr = sl.join(e.select($"vec_id", $"v", $"nrm"), $"nn_id" === $"vec_id")
+        .join(broadcast(q), Seq("q_id"))
+        .select($"q_id", $"nn_id",
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rrk", row_number().over(wex)).where($"rrk" <= 3)
+        .select($"q_id", $"nn_id")
+      val adc3 = sl.where($"rk" <= 3).select($"q_id", $"nn_id")
+      val wt = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val truth = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rk", row_number().over(wt)).where($"rk" <= 3)
+        .select($"q_id", $"vec_id".as("nn_id"))
+      def hits(ann: DataFrame) = truth
+        .join(ann, Seq("q_id", "nn_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n"))
+      val out = cached(truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
+        .join(hits(adc3).withColumnRenamed("n", "na"), Seq("q_id"), "left")
+        .join(hits(rr).withColumnRenamed("n", "nr"), Seq("q_id"), "left")
+        .select($"q_id", $"k",
+          coalesce($"na", lit(0L)).as("hits_adc"),
+          coalesce($"nr", lit(0L)).as("hits_rerank"),
+          round(coalesce($"na", lit(0L)) * lit(1.0) / $"k", 6).as("recall_adc"),
+          round(coalesce($"nr", lit(0L)) * lit(1.0) / $"k", 6).as("recall_rerank"))
+        .orderBy($"q_id"))
+      out.count()
+      out
     }),
 
     // Centroid silhouette — the clustering-quality score for the label
@@ -1463,6 +1489,30 @@ object SimilarityQueries {
   }
 
   /** ADC total in FIXED subspace order over `codes co ⨝ lut l` rows. */
+  /** The q98 oracle chain through the ranked ADC rows `r(q_id, nn_id,
+    * adc, rk)` — shared verbatim by the q226 re-rank oracle.
+    */
+  private def pqAdcOracleCtes: String =
+    s"""$ivfCtesSql,
+       |resid AS (SELECT cells.vec_id, cells.cell,
+       |    list_transform(range(len(cells.v)), i -> cells.v[i+1] - c.cv[i+1]) AS rv
+       |  FROM cells JOIN c$KMeansIters c ON cells.cell = c.cl),
+       |rsub AS (SELECT vec_id, ms.m, rv[ms.m * $PqSubDim + 1:(ms.m + 1) * $PqSubDim] AS sv
+       |  FROM resid, (SELECT unnest(range($PqM)) AS m) ms),
+       |${pqKmeansCtes("rsub", "rp")},
+       |codes AS (SELECT p.vec_id, p.m, p.cl, r.cell FROM rpfin p JOIN resid r USING (vec_id)),
+       |qs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM rsub WHERE vec_id < $NQueries),
+       |lut AS (SELECT q.q_id, c.m, c.cl, ${d2Sql("q.qsv", "c.cv")} AS pd
+       |        FROM qs q JOIN rpc$PqIters c ON q.m = c.m),
+       |qc AS (SELECT vec_id AS q_id, cell FROM resid WHERE vec_id < $NQueries),
+       |sc AS (SELECT qc.q_id, co.vec_id AS nn_id, round($adcSumSql, 6) AS adc
+       |       FROM codes co JOIN qc ON co.cell = qc.cell AND co.vec_id <> qc.q_id
+       |       JOIN lut l ON l.q_id = qc.q_id AND l.m = co.m AND l.cl = co.cl
+       |       GROUP BY 1, 2),
+       |r AS (SELECT q_id, nn_id, adc,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, nn_id ASC) AS INT) AS rk
+       |      FROM sc)""".stripMargin
+
   private val adcSumSql: String = (0 until PqM)
     .map(m => s"max(CASE WHEN co.m = $m THEN l.pd END)").mkString(" + ")
 
@@ -1535,6 +1585,35 @@ object SimilarityQueries {
         .write.mode("overwrite").parquet(paths._3)
       paths
     })
+
+  /** The IVF-PQ ADC shortlist shared by q98 (reports it) and q226
+    * (re-ranks it): (q_id, rk, nn_id, adc), rk <= [[PqTopK]], ADC ranked
+    * ascending on the 6dp-rounded LUT sum (round-before-rank law). Probe
+    * = the query's own cell; each surviving (vector, query) row pays M
+    * map lookups against the broadcast LUT (the q95 packed law).
+    */
+  private def pqAdcShortlist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val (codesPath, booksPath, qresidPath) = ivfPqIndex(s, dir)
+    val codes = s.read.parquet(codesPath)
+    val books = s.read.parquet(booksPath)
+    val qresid = s.read.parquet(qresidPath) // (q_id, cell, rv) of the query set
+    val qsub = qresid.select($"q_id", explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice($"rv", m * PqSubDim + 1, PqSubDim).as("sv"))): _*))
+        .as("x"))
+      .select($"q_id", $"x.m".as("m"), $"x.sv".as("qsv"))
+    val lut = qsub.join(broadcast(books), "m")
+      .select($"q_id", $"m", $"cl", d2Col($"qsv", $"cv").as("pd"))
+    val qCell = qresid.select($"q_id", $"cell".as("qc"))
+    val w = Window.partitionBy($"q_id").orderBy($"adc".asc, $"nn_id".asc)
+    codes.join(broadcast(qCell), $"cell" === $"qc" && $"vec_id" =!= $"q_id")
+      .join(broadcast(pqQueryLuts(lut)), Seq("q_id"))
+      .select($"q_id", $"vec_id".as("nn_id"),
+        round(pqAdc($"luts"), 6).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= PqTopK)
+  }
 
   /** The unrolled-k-means CTE chain shared by the IVF oracles — same
     * init / Lloyd steps / rounding as [[ivfCells]], generated from the
@@ -2155,27 +2234,41 @@ object SimilarityQueries {
            |SELECT q_id, rk, nn_id, adc FROM r WHERE rk <= $PqTopK
            |ORDER BY q_id, rk""".stripMargin,
       "q98_ivf_pq" ->
-        s"""WITH $ivfCtesSql,
-           |resid AS (SELECT cells.vec_id, cells.cell,
-           |    list_transform(range(len(cells.v)), i -> cells.v[i+1] - c.cv[i+1]) AS rv
-           |  FROM cells JOIN c$KMeansIters c ON cells.cell = c.cl),
-           |rsub AS (SELECT vec_id, ms.m, rv[ms.m * $PqSubDim + 1:(ms.m + 1) * $PqSubDim] AS sv
-           |  FROM resid, (SELECT unnest(range($PqM)) AS m) ms),
-           |${pqKmeansCtes("rsub", "rp")},
-           |codes AS (SELECT p.vec_id, p.m, p.cl, r.cell FROM rpfin p JOIN resid r USING (vec_id)),
-           |qs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM rsub WHERE vec_id < $NQueries),
-           |lut AS (SELECT q.q_id, c.m, c.cl, ${d2Sql("q.qsv", "c.cv")} AS pd
-           |        FROM qs q JOIN rpc$PqIters c ON q.m = c.m),
-           |qc AS (SELECT vec_id AS q_id, cell FROM resid WHERE vec_id < $NQueries),
-           |sc AS (SELECT qc.q_id, co.vec_id AS nn_id, round($adcSumSql, 6) AS adc
-           |       FROM codes co JOIN qc ON co.cell = qc.cell AND co.vec_id <> qc.q_id
-           |       JOIN lut l ON l.q_id = qc.q_id AND l.m = co.m AND l.cl = co.cl
-           |       GROUP BY 1, 2),
-           |r AS (SELECT q_id, nn_id, adc,
-           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, nn_id ASC) AS INT) AS rk
-           |      FROM sc)
+        s"""WITH $pqAdcOracleCtes
            |SELECT q_id, rk, nn_id, adc FROM r WHERE rk <= $PqTopK
            |ORDER BY q_id, rk""".stripMargin,
+
+      // q226: the q98 shortlist chain + exact-cosine re-rank of the top-5
+      // + brute truth; both recall ledgers from one chain.
+      "q226_pq_rerank_recall" ->
+        s"""WITH $pqAdcOracleCtes,
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM cells WHERE vec_id < $NQueries),
+           |sl AS (SELECT q_id, nn_id FROM r WHERE rk <= $PqTopK),
+           |rrp AS (SELECT s.q_id, s.nn_id, ${cosSql("b.qv", "a.v")} AS cos
+           |        FROM sl s JOIN cells a ON a.vec_id = s.nn_id
+           |        JOIN q b ON b.q_id = s.q_id),
+           |rr AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, nn_id ASC) rrk FROM rrp) WHERE rrk <= 3),
+           |adc3 AS (SELECT q_id, nn_id FROM r WHERE rk <= 3),
+           |tp AS (SELECT b.q_id, a.vec_id AS nn_id, ${cosSql("b.qv", "a.v")} AS cos
+           |       FROM cells a JOIN q b ON a.vec_id <> b.q_id),
+           |truth AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, nn_id ASC) rk FROM tp) WHERE rk <= 3),
+           |k AS (SELECT q_id, count(*) AS k FROM truth GROUP BY 1),
+           |ha AS (SELECT t.q_id, count(*) AS n FROM truth t
+           |       JOIN adc3 a ON a.q_id = t.q_id AND a.nn_id = t.nn_id GROUP BY 1),
+           |hr AS (SELECT t.q_id, count(*) AS n FROM truth t
+           |       JOIN rr ON rr.q_id = t.q_id AND rr.nn_id = t.nn_id GROUP BY 1)
+           |SELECT k.q_id, k.k,
+           |  CAST(coalesce(ha.n, 0) AS BIGINT) AS hits_adc,
+           |  CAST(coalesce(hr.n, 0) AS BIGINT) AS hits_rerank,
+           |  round(coalesce(ha.n, 0) * 1.0 / k.k, 6) AS recall_adc,
+           |  round(coalesce(hr.n, 0) * 1.0 / k.k, 6) AS recall_rerank
+           |FROM k LEFT JOIN ha ON k.q_id = ha.q_id
+           |LEFT JOIN hr ON k.q_id = hr.q_id
+           |ORDER BY k.q_id""".stripMargin,
       "q135_embedding_outliers" ->
         s"""WITH $ivfCtesSql,
            |sc AS (SELECT cells.cell, cells.vec_id, ${cosSql("cells.v", "c.cv")} cos

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
-
 /** Structural scale rules enforced over the ENTIRE query surface — not a
   * sampled pin but an audit of every SparkEntry query's plan, so a new
   * query cannot ship with one of the two classic scale-killers:
@@ -17,7 +15,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Wind
   *      (q107's two-pass rank, q93/q96's limit-then-rank, and the
   *      bounded-domain rollups all satisfy this by construction.)
   *
-  * Plans are built at sf0.001 — shape, not size, is under audit.
+  * Plans are built at sf0.001 — shape, not size, is under audit. The
+  * rules themselves live in [[graft.operators.PlanAudit]] (the user-facing
+  * plan linter); this spec sweeps them over the whole pack.
   */
 class GlobalPlanAuditSpec extends SparkSpec {
 
@@ -25,8 +25,8 @@ class GlobalPlanAuditSpec extends SparkSpec {
 
   test("no query plans a physical cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val phys = fn(spark, dir).queryExecution.executedPlan.toString
-      if (phys.contains("CartesianProduct")) Some(name) else None
+      if (graft.operators.PlanAudit.audit(fn(spark, dir)).cartesian) Some(name)
+      else None
     }
     graft.operators.CacheRegistry.releaseAll()
     assert(offenders.isEmpty, s"physical cartesian products in: $offenders")
@@ -34,15 +34,8 @@ class GlobalPlanAuditSpec extends SparkSpec {
 
   test("every unpartitioned window sits above an aggregate or a limit") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.optimizedPlan
-      plan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty =>
-          val bounded = w.child.collectFirst {
-            case _: GlobalLimit => true
-            case _: Aggregate => true
-          }.isDefined
-          if (bounded) None else Some(name)
-      }.flatten
+      if (graft.operators.PlanAudit.audit(fn(spark, dir)).globalWindow) Some(name)
+      else None
     }
     graft.operators.CacheRegistry.releaseAll()
     assert(offenders.isEmpty, s"data-sized unpartitioned windows in: $offenders")

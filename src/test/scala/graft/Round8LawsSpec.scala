@@ -100,6 +100,69 @@ class Round8LawsSpec extends SparkSpec {
       s"missing=${(expected -- inc).take(5)} extra=${(inc -- expected).take(5)}")
   }
 
+  test("q221 constraint suite: the synthetic corpus is clean") {
+    val checks = SparkEntry.queries("q221_constraint_checks")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+    assert(checks.length == 7)
+    checks.foreach { case (name, (n, passed)) =>
+      assert(n == 0L && passed, s"$name must hold on the generator's data")
+    }
+  }
+
+  test("q224 keeper policy: keeper quality dominates its group") {
+    val m = SparkEntry.queries("q224_dedup_keeper_policy")(spark, dir).collect()
+    assert(m.nonEmpty, "fixture has near-dup groups")
+    m.foreach { r =>
+      val (removedQ, keeperQ) = (r.getDouble(2), r.getDouble(3))
+      assert(keeperQ >= removedQ ||
+        (keeperQ == removedQ && r.getLong(1) < r.getLong(0)),
+        s"keeper must win on (quality, id): $r")
+    }
+  }
+
+  test("q225 profile drift: both split sides populated, all columns present") {
+    val d = SparkEntry.queries("q225_profile_drift")(spark, dir).collect()
+    assert(d.map(_.getString(0)).sorted.toSeq ==
+      Seq("event_id", "event_type", "props", "ts", "user_id", "value"))
+    d.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0, "day parity splits events")
+    }
+  }
+
+  test("q226: re-rank never loses to ADC-only on any query") {
+    // theorem: a true hit in the ADC top-3 is in the shortlist and is
+    // beaten by at most 2 vectors GLOBALLY on the exact key, so at most 2
+    // within the shortlist — it re-ranks into the top-3 (ties broken by
+    // nn_id in both rankings)
+    SparkEntry.queries("q226_pq_rerank_recall")(spark, dir).collect()
+      .foreach { r =>
+        assert(r.getLong(3) >= r.getLong(2),
+          s"rerank hits must dominate ADC hits: $r")
+      }
+  }
+
+  test("PlanAudit flags the two scale-killers and passes healthy plans") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{row_number, sum => fsum}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val a = spark.range(10).toDF("x")
+      val b = spark.range(10).toDF("y")
+      assert(graft.operators.PlanAudit.audit(a.crossJoin(b)).cartesian)
+      val rawWin = a.withColumn("rn",
+        row_number().over(W.orderBy($"x")))
+      assert(graft.operators.PlanAudit.audit(rawWin).globalWindow)
+      val boundedWin = a.groupBy($"x").agg(fsum($"x").as("s"))
+        .withColumn("rn", row_number().over(W.orderBy($"s")))
+      val rep = graft.operators.PlanAudit.audit(boundedWin)
+      assert(!rep.globalWindow && !rep.cartesian && rep.ok)
+      assert(graft.operators.PlanAudit
+        .audit(a.join(b, $"x" === $"y")).exchanges >= 1)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q222 recall audit is anchored to the exact law") {
     val audit = SparkEntry.queries("q222_lsh_recall_audit")(spark, dir).collect()
     val nExact = SparkEntry.queries("q219_ppjoin_exact")(spark, dir).count()

@@ -1725,6 +1725,94 @@ object TextQueries {
         .select($"source", $"rk", $"prefix", $"n_docs",
           round($"n_docs" * lit(1.0) / $"n_src", 6).as("share"))
         .orderBy($"source", $"rk")
+    }),
+
+    // Distilled quality classifier — the CCNet/fastText move: an
+    // expensive gate (here the q52-family stopword-density rule, the
+    // stand-in for an LLM judge) labels the TRAIN split only; a
+    // Naive-Bayes token model — per-term log-odds with Laplace
+    // smoothing over a min-count-capped vocabulary — is fit to those
+    // labels and then scores the HELD-OUT split, where agreement with
+    // the gate is measured as AUC. The ledger is the distillation
+    // report a curation team ships: vocabulary size, class balance,
+    // mean score per class, and the held-out AUC.
+    //
+    // 100 TB shape: the model is the min-count-capped vocab (term,
+    // log_odds) table — joined on term, never broadcast by hint (AQE
+    // may choose to); doc scoring is one term-keyed join + one doc
+    // agg over the cached term-frequency index. The AUC is NOT a
+    // global rank-sum (that is a corpus-sized single-task sort): the
+    // ROC is folded over <=401 score bins (floor(score*50) clamped),
+    // so the trapezoid runs over a bounded, Aggregate-backed frame —
+    // the same binned-search discipline as q196's budget threshold.
+    // The 1-row ledger is memoized per session+dir (the q205/q226
+    // report treatment): the model/score caches above make a rebuild
+    // cheap, but the five assembly legs still cost several small jobs,
+    // and repeat readers want the stored report, not a re-assembly.
+    "q227_nb_distill" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"nbdistill:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val p = DocProfiles.profiled(s, dir).select($"doc_id", $"pct",
+        ($"n_stop".cast("double") / $"n_tok" >= 0.06).as("pos"))
+      val tfc = DocProfiles.termFreqs(s, dir)
+      val tr = tfc.join(p.where($"pct" < 0.5), Seq("doc_id"))
+      // the MODEL (vocab log-odds) and the held-out SCORES are both
+      // session-cached: the ledger below reads each from five tiny
+      // aggregate legs, and without the pin every leg would replay the
+      // term-keyed shuffles. The model cache is also exactly the stored
+      // artifact a deployment ships to its scorer fleet.
+      val voc = graft.operators.CacheRegistry.track(
+        tr.groupBy($"term").agg(
+            sum(when($"pos", $"tf").otherwise(0L)).as("cp"),
+            sum(when(!$"pos", $"tf").otherwise(0L)).as("cn"))
+          .where($"cp" + $"cn" >= 5).cache())
+      val tot = voc.agg(sum($"cp").as("tp"), sum($"cn").as("tn"),
+        count(lit(1)).as("v"))
+      val lo = voc.crossJoin(broadcast(tot)).select($"term",
+        (log(($"cp" + lit(1.0)) / ($"tp" + $"v")) -
+          log(($"cn" + lit(1.0)) / ($"tn" + $"v"))).as("lo"))
+      val te = graft.operators.CacheRegistry.track(
+        tfc.join(p.where($"pct" >= 0.5), Seq("doc_id"))
+          .join(lo, Seq("term"), "left")
+          .groupBy($"doc_id", $"pos")
+          .agg((sum($"tf" * coalesce($"lo", lit(0.0))) / sum($"tf"))
+            .as("score")).cache())
+      val b = te.groupBy(
+          least(greatest(floor($"score" * 50.0), lit(-200.0)), lit(200.0))
+            .cast("int").as("bin"))
+        .agg(sum(when($"pos", 1L).otherwise(0L)).as("np"),
+          sum(when(!$"pos", 1L).otherwise(0L)).as("nn"))
+      val w = Window.orderBy($"bin".desc)
+      val c2 = b
+        .withColumn("ccp", sum($"np").over(w))
+        .withColumn("ccn", sum($"nn").over(w))
+        .withColumn("pcp", coalesce(lag($"ccp", 1).over(w), lit(0L)))
+        .withColumn("pcn", coalesce(lag($"ccn", 1).over(w), lit(0L)))
+      val tt = b.agg(sum($"np").as("pp"), sum($"nn").as("nnn"))
+      val auc = c2.crossJoin(broadcast(tt))
+        .agg(round(sum(($"ccn" - $"pcn").cast("double") / $"nnn" *
+          ($"ccp" + $"pcp") / 2.0 / $"pp"), 6).as("auc"))
+      val nTrain = p.where($"pct" < 0.5).agg(count(lit(1)).as("n_train"))
+      val teAgg = te.agg(count(lit(1)).as("n_test"),
+        round(avg(when($"pos", $"score")), 6).as("mean_score_pos"),
+        round(avg(when(!$"pos", $"score")), 6).as("mean_score_neg"))
+      val vSize = tot.select($"v".as("vocab_size"))
+      val nPos = tt.select($"pp".as("n_pos_test"))
+      // the ledger is collected ONCE per batch and served as a 1-row
+      // literal (the q121/q170 treatment): a big five-branch assembly
+      // plan re-pays ~200 ms of analysis per action if left lazy, while
+      // a LocalRelation plans in microseconds.
+      val r = nTrain.crossJoin(broadcast(teAgg)).crossJoin(broadcast(vSize))
+        .crossJoin(broadcast(nPos)).crossJoin(broadcast(auc))
+        .select($"n_train", $"n_test", $"vocab_size", $"n_pos_test",
+          $"auc", $"mean_score_pos", $"mean_score_neg")
+        .collect().head
+      def d(i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          d(4), d(5), d(6)))
+        .toDF("n_train", "n_test", "vocab_size", "n_pos_test",
+          "auc", "mean_score_pos", "mean_score_neg")
     })
   )
 
@@ -1750,6 +1838,57 @@ object TextQueries {
           |  round(r.n_docs * 1.0 / tt.n_src, 6) AS share
           |FROM r JOIN tt USING (source) WHERE rk <= 3
           |ORDER BY source, rk""".stripMargin,
+      // q227: the gate label (6-stopword density >= 0.06), the md5-prefix
+      // split hash, Laplace-smoothed log-odds over the min-count-5
+      // vocabulary, and the 401-bin ROC fold — all spelled identically
+      // to the Spark plan so the ledger is bit-comparable.
+      "q227_nb_distill" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,
+          |    string_split_regex(trim(text), '\s+') toks
+          |  FROM documents),
+          |lab AS (SELECT doc_id, pct,
+          |          (len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) * 1.0
+          |             / len(toks) >= 0.06) pos
+          |        FROM p),
+          |tf AS (SELECT doc_id, unnest(toks) term FROM p),
+          |tfc AS (SELECT doc_id, term, count(*) tf FROM tf GROUP BY 1, 2),
+          |tr AS (SELECT t.term, t.tf, l.pos FROM tfc t JOIN lab l USING (doc_id)
+          |       WHERE l.pct < 0.5),
+          |voc AS (SELECT term,
+          |          CAST(sum(CASE WHEN pos THEN tf ELSE 0 END) AS BIGINT) cp,
+          |          CAST(sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS BIGINT) cn
+          |        FROM tr GROUP BY 1 HAVING sum(tf) >= 5),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) tp, CAST(sum(cn) AS BIGINT) tn,
+          |          count(*) v FROM voc),
+          |lo AS (SELECT term, ln((cp + 1.0) / (tp + v)) - ln((cn + 1.0) / (tn + v)) AS lo
+          |       FROM voc CROSS JOIN tot),
+          |te AS (SELECT t.doc_id, l.pos,
+          |         sum(t.tf * coalesce(lo.lo, 0.0)) / sum(t.tf) score
+          |       FROM tfc t JOIN lab l USING (doc_id) LEFT JOIN lo ON t.term = lo.term
+          |       WHERE l.pct >= 0.5 GROUP BY 1, 2),
+          |b AS (SELECT CAST(least(greatest(floor(score * 50.0), -200), 200) AS INT) bin,
+          |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) np,
+          |        CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) nn
+          |      FROM te GROUP BY 1),
+          |c AS (SELECT bin, np, nn,
+          |        sum(np) OVER (ORDER BY bin DESC) ccp,
+          |        sum(nn) OVER (ORDER BY bin DESC) ccn FROM b),
+          |c2 AS (SELECT bin, ccp, ccn,
+          |         coalesce(lag(ccp) OVER (ORDER BY bin DESC), 0) pcp,
+          |         coalesce(lag(ccn) OVER (ORDER BY bin DESC), 0) pcn FROM c),
+          |tt AS (SELECT sum(np) pp, sum(nn) nnn FROM b),
+          |auc AS (SELECT round(sum((c2.ccn - c2.pcn) * 1.0 / tt.nnn
+          |          * (c2.ccp + c2.pcp) / 2.0 / tt.pp), 6) auc
+          |        FROM c2 CROSS JOIN tt)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM lab WHERE pct < 0.5) n_train,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM te) n_test,
+          |       (SELECT CAST(v AS BIGINT) FROM tot) vocab_size,
+          |       (SELECT CAST(pp AS BIGINT) FROM tt) n_pos_test,
+          |       (SELECT auc FROM auc) auc,
+          |       (SELECT round(avg(score), 6) FROM te WHERE pos) mean_score_pos,
+          |       (SELECT round(avg(score), 6) FROM te WHERE NOT pos) mean_score_neg""".stripMargin,
 
       "q142_bpe_pair_merges" ->
         """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

@@ -172,4 +172,28 @@ class Round8LawsSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("q227 distillation laws: splits partition, AUC bounded and real") {
+    val r = SparkEntry.queries("q227_nb_distill")(spark, dir).collect().head
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    // train + test partition the corpus (the pct hash assigns every doc)
+    assert(r.getLong(0) + r.getLong(1) == nDocs)
+    assert(r.getLong(3) <= r.getLong(1), "positives are test docs")
+    val auc = r.getDouble(4)
+    assert(auc >= 0.0 && auc <= 1.0)
+    // the classifier must actually have distilled the gate: well above
+    // chance on held-out docs, and the class means must be ordered the
+    // way the log-odds sign convention promises (pos class scores higher)
+    assert(auc > 0.7, s"held-out AUC $auc should beat chance decisively")
+    assert(r.getDouble(5) > r.getDouble(6),
+      "mean score of gate-positive docs must exceed gate-negative")
+    // model capacity law: the vocabulary is min-count capped, so it can
+    // never exceed the corpus vocabulary of the train split
+    assert(r.getLong(2) > 0 && r.getLong(2) <= 64)
+    // plan discipline: no cartesian, no data-sized global window (the
+    // ROC fold's window sits above the 401-bin aggregate)
+    val rep = graft.operators.PlanAudit.audit(
+      SparkEntry.queries("q227_nb_distill")(spark, dir))
+    assert(rep.ok, s"plan audit: $rep")
+  }
 }

@@ -1032,6 +1032,64 @@ object DedupQueries {
         .groupBy($"n".as("group_size"))
         .agg(count(lit(1)).as("n_groups"))
         .orderBy($"group_size")
+    }),
+
+    // FULL winnowing (Schleimer/Wilkerson/Aiken, MOSS): per document,
+    // the set of window-local minima over the ordered 5-gram hash
+    // sequence (window w=4). Unlike q53's single global-min fingerprint
+    // (one per doc — a 1-perm MinHash) and unlike q31's MinHash-LSH
+    // (similarity ESTIMATE), winnowing carries a GUARANTEE: any shared
+    // contiguous run of >= w+4 tokens shares at least one fingerprint,
+    // so sufficiently long verbatim spans cannot escape. The report is
+    // the top-20 doc pairs by shared-fingerprint count with the overlap
+    // coefficient (shared / min(|fp_a|, |fp_b|)).
+    //
+    // 100 TB shape: fingerprint density is winnowing's 2/(w+1) bound, so
+    // the exploded table is a constant fraction of the gram count; the
+    // pair space is a fingerprint-bucketed self-join with the same df<=32
+    // boilerplate cap as the media near-dup family — a fingerprint shared
+    // by half the corpus (a template) is provenance, not plagiarism, and
+    // is excluded before the join. Nothing all-pairs anywhere.
+    // The report is memoized per batch as a 20-row literal (the
+    // q109/q121 index-build-report treatment): winnowing overlap is
+    // measured when the fingerprint index is built, then READ.
+    "q228_winnowing_overlap" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"winnow:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val ghs = transform(wordShingles($"toks", 5), x => md5(x.cast("binary")))
+      // the exploded (doc_id, fp) index is the artifact every leg reads
+      // (df-cap, both self-join sides) — session-cached so the gram
+      // hashing + winnowing fold runs once
+      val fp = graft.operators.CacheRegistry.track(
+        DocProfiles.profiled(s, dir)
+          .select($"doc_id", ghs.as("ghs"))
+          .select($"doc_id", when(size($"ghs") >= 4,
+              array_distinct(transform(sequence(lit(0), size($"ghs") - 4),
+                j => array_min(slice($"ghs", j + 1, lit(4))))))
+            .otherwise(array().cast("array<string>")).as("fps"))
+          .where(size($"fps") > 0)
+          .select($"doc_id", size($"fps").cast("long").as("n_fp"),
+            explode($"fps").as("fp"))
+          .cache())
+      val nf = fp.groupBy($"doc_id").agg(first($"n_fp").as("n_fp"))
+      val keep = fp.groupBy($"fp").agg(count(lit(1)).as("nd"))
+        .where($"nd" >= 2 && $"nd" <= 32)
+        .select($"fp")
+      val shared = fp.join(keep, Seq("fp"))
+        .as("a").join(fp.as("b"),
+          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val top = shared
+        .join(nf.select($"doc_id".as("doc_a"), $"n_fp".as("na")), Seq("doc_a"))
+        .join(nf.select($"doc_id".as("doc_b"), $"n_fp".as("nb")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"n_shared",
+          round($"n_shared" * lit(1.0) / least($"na", $"nb"), 6).as("overlap"))
+        .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
+        .limit(20)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      top.toDF("doc_a", "doc_b", "n_shared", "overlap")
+        .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
     })
   )
 
@@ -1574,7 +1632,34 @@ object DedupQueries {
       "q35_content_hash_groups" ->
         """SELECT n AS group_size, count(*) AS n_groups
           |FROM (SELECT md5(text) h, count(*) n FROM documents GROUP BY 1)
-          |GROUP BY 1 ORDER BY group_size""".stripMargin
+          |GROUP BY 1 ORDER BY group_size""".stripMargin,
+      // q228: the same ordered 5-gram hash sequence (q110's ' '-joined
+      // spelling), window-4 local minima, per-doc distinct, df-capped
+      // fingerprint self-join. DuckDB's 1-based inclusive ghs[j+1:j+4]
+      // is Spark's slice(ghs, j+1, 4).
+      "q228_winnowing_overlap" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+          |g AS (SELECT doc_id,
+          |        list_transform(range(greatest(len(toks)-4, 0)),
+          |          j -> md5(toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3] || ' ' || toks[j+4] || ' ' || toks[j+5])) ghs
+          |      FROM t),
+          |fpl AS (SELECT doc_id,
+          |          list_distinct(list_transform(range(greatest(len(ghs)-3, 0)),
+          |            j -> list_min(ghs[j+1:j+4]))) fps
+          |        FROM g),
+          |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) n_fp FROM fpl WHERE len(fps) > 0),
+          |fp AS (SELECT doc_id, unnest(fps) fp FROM fpl),
+          |keep AS (SELECT fp FROM fp GROUP BY 1
+          |         HAVING count(*) >= 2 AND count(*) <= 32),
+          |sh AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared
+          |       FROM fp a JOIN keep USING (fp)
+          |       JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2)
+          |SELECT sh.doc_a, sh.doc_b, CAST(sh.n_shared AS BIGINT) n_shared,
+          |  round(sh.n_shared * 1.0 / least(na.n_fp, nb.n_fp), 6) overlap
+          |FROM sh JOIN nf na ON sh.doc_a = na.doc_id
+          |JOIN nf nb ON sh.doc_b = nb.doc_id
+          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin
     )
   }
 }

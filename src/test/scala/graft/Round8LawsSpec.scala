@@ -196,4 +196,37 @@ class Round8LawsSpec extends SparkSpec {
       SparkEntry.queries("q227_nb_distill")(spark, dir))
     assert(rep.ok, s"plan audit: $rep")
   }
+
+  test("q228 winnowing guarantee: a shared >=8-token run shares a fingerprint") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.TextFunctions._
+    // w=4 windows over 5-gram hashes: any shared contiguous run of
+    // >= w+4 = 8 tokens yields >= 1 shared window, hence >= 1 shared
+    // window-min. Plant a 12-token run inside different contexts.
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "completely different words with no common span at all here"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select($"doc_id",
+        transform(wordShingles(tokens($"text"), 5),
+          x => md5(x.cast("binary"))).as("ghs"))
+      .select($"doc_id", when(size($"ghs") >= 4,
+          array_distinct(transform(sequence(lit(0), size($"ghs") - 4),
+            j => array_min(slice($"ghs", j + 1, lit(4))))))
+        .otherwise(array().cast("array<string>")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "guarantee: shared run must collide")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs share nothing")
+    // corpus-level laws on the real fixture
+    val out = SparkEntry.queries("q228_winnowing_overlap")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs are ordered doc_a < doc_b")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }

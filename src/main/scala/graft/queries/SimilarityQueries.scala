@@ -1450,6 +1450,58 @@ object SimilarityQueries {
         .select($"label", $"n", $"a", $"b",
           round(($"b" - $"a") / greatest($"a", $"b"), 6).as("sil"))
         .orderBy($"label")
+    }),
+
+    // MATRYOSHKA audit (Kusupati et al., arXiv:2205.13147): is this
+    // embedding family truncation-safe? For each prefix length d in
+    // {64, 32, 16, 8}, re-rank the q109 truth queries by PREFIX-cosine
+    // (slice, renormalize) and measure recall@3 vs the full-dim truth,
+    // alongside the mean kept-energy |v[1:d]|²/|v|² that explains the
+    // curve. MRL-trained embeddings hold recall at d/4; isotropic ones
+    // (this synthetic family) collapse — the report is the evidence a
+    // platform needs BEFORE serving truncated vectors as a cheap tier.
+    //
+    // 100 TB shape: each level is the brute broadcast scan over the
+    // SAMPLED query set (the q109 eval law — truth is always measured
+    // on a sample), the energy term is one narrow pass over the cached
+    // corpus, and the 4-row report is memoized per batch like every
+    // index-build-time eval in this family.
+    "q229_matryoshka_recall" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"annrecall:mrl:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val levels = Seq(64, 32, 16, 8)
+      val e = cached(normalized(s, dir).select($"vec_id", $"v", $"nrm"))
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      def top3(pairs: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"nn_id".asc)
+        pairs.withColumn("rk", row_number().over(w)).where($"rk" <= 3)
+          .select($"q_id", $"nn_id")
+      }
+      val truth = cached(top3(e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("nn_id"),
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))))
+      val nTruth = truth.count().toDouble
+      // one narrow corpus pass for all four energy terms
+      val enCols = levels.map(d => avg(
+          dot(slice($"v", 1, d), slice($"v", 1, d)) / ($"nrm" * $"nrm"))
+        .as(s"en_$d"))
+      val en = e.agg(enCols.head, enCols.tail: _*).collect().head
+      val rows = levels.zipWithIndex.map { case (d, i) =>
+        val tq = q.select($"q_id", slice($"qv", 1, d).as("qv"))
+          .select($"q_id", $"qv", sqrt(dot($"qv", $"qv")).as("qnrm"))
+        val tc = top3(e.join(broadcast(tq), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id".as("nn_id"), slice($"v", 1, d).as("tv"),
+            $"qv", $"qnrm")
+          .select($"q_id", $"nn_id",
+            (dot($"qv", $"tv") / ($"qnrm" * sqrt(dot($"tv", $"tv")))).as("cos")))
+        val hits = truth.join(tc, Seq("q_id", "nn_id"), "left_semi").count()
+        (d, BigDecimal(hits / nTruth).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(en.getDouble(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      rows.toDF("dim_keep", "recall", "mean_energy")
+        .orderBy($"dim_keep".desc)
     })
   )
 
@@ -2345,7 +2397,36 @@ object SimilarityQueries {
            |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) rn
            |      FROM p)
            |SELECT a_id AS vec_id, b_id AS nn_id, round(cos, 6) AS cosine FROM r WHERE rn = 1
-           |ORDER BY vec_id""".stripMargin
+           |ORDER BY vec_id""".stripMargin,
+      // q229: DuckDB's 1-based inclusive v[1:d] is Spark's slice(v,1,d);
+      // recall is the micro-average sum(hits)/sum(k) over the q109 truth
+      // (k=3 for every query, so micro == macro).
+      "q229_matryoshka_recall" -> {
+        def lvl(dk: Int) = {
+          val tc = s"list_dot_product(a.v[1:$dk], b.v[1:$dk]) / " +
+            s"(sqrt(list_dot_product(a.v[1:$dk], a.v[1:$dk])) * sqrt(list_dot_product(b.v[1:$dk], b.v[1:$dk])))"
+          s"""SELECT $dk AS dim_keep,
+             |  round((SELECT coalesce(sum(n), 0) FROM (
+             |     SELECT t.q_id, count(*) n FROM truth t JOIN (
+             |       SELECT q_id, nn_id FROM (
+             |         SELECT b.vec_id q_id, a.vec_id nn_id,
+             |           row_number() OVER (PARTITION BY b.vec_id ORDER BY $tc DESC, a.vec_id ASC) rk
+             |         FROM e a JOIN qs b ON a.vec_id <> b.vec_id) WHERE rk <= 3) x
+             |       ON t.q_id = x.q_id AND t.nn_id = x.nn_id GROUP BY 1))
+             |    * 1.0 / (SELECT count(*) FROM truth), 6) AS recall,
+             |  (SELECT round(avg(list_dot_product(v[1:$dk], v[1:$dk]) / list_dot_product(v, v)), 6)
+             |   FROM e) AS mean_energy""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+           |tp AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos
+           |       FROM e a JOIN qs b ON a.vec_id <> b.vec_id),
+           |truth AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+           |    FROM tp) WHERE rk <= 3)
+           |SELECT * FROM (${lvl(64)} UNION ALL ${lvl(32)} UNION ALL ${lvl(16)} UNION ALL ${lvl(8)})
+           |ORDER BY dim_keep DESC""".stripMargin
+      }
     )
   }
 }

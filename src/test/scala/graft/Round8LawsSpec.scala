@@ -229,4 +229,22 @@ class Round8LawsSpec extends SparkSpec {
       assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("q229 matryoshka laws: identity at full dim, energy monotone") {
+    val rows = SparkEntry.queries("q229_matryoshka_recall")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(64, 32, 16, 8))
+    // prefix-cosine at the full dimension IS the truth ranking
+    val full = rows.head
+    assert(full._2 == 1.0, s"recall@64 must be exactly 1.0, got ${full._2}")
+    assert(full._3 == 1.0, s"kept energy@64 must be exactly 1.0, got ${full._3}")
+    rows.foreach { case (_, rec, en) =>
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(en > 0.0 && en <= 1.0)
+    }
+    // energy can only shrink as dimensions are dropped
+    rows.sliding(2).foreach { case Array((_, _, hi), (_, _, lo)) =>
+      assert(lo <= hi, "kept energy must be monotone in prefix length")
+    }
+  }
 }

@@ -1502,6 +1502,69 @@ object SimilarityQueries {
       }
       rows.toDF("dim_keep", "recall", "mean_energy")
         .orderBy($"dim_keep".desc)
+    }),
+
+    // BINARY quantization — the cheapest rung of the serving ladder
+    // (int8 q95, PQ q98/q226 are the middle): one sign bit per
+    // dimension, packed into two 32-bit halves of a BIGINT pair, with
+    // candidate generation by Hamming distance (bit_count of XOR — a
+    // 64x compression and a popcount-speed scan) and the q226 re-rank
+    // law on the top-32 shortlist. The ledger shows WHY the rung is a
+    // shortlist tier, not a ranking tier: Hamming-only recall@3
+    // collapses while re-ranked recall recovers most of it.
+    //
+    // 100 TB shape: the signature table is 16 bytes/vector (the whole
+    // corpus's signatures fit where 0.4% of the floats would); the
+    // Hamming pass broadcasts the sampled query signatures against it,
+    // and the exact re-rank touches k·R full vectors per query —
+    // random reads, never a corpus scan. 10-row report, memoized.
+    "q230_binary_quantization" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"annrecall:bq:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      GraftFunctions.register(s)
+      def half(off: Int) = expr(
+        s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(v, i + $off + 1) > 0D, shiftleft(1L, i), 0L))")
+      val e = cached(normalized(s, dir)
+        .select($"vec_id", $"v", $"nrm", half(0).as("lo"), half(32).as("hi")))
+      val q = e.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"lo".as("qlo"), $"hi".as("qhi"))
+      val truth = cached(
+        e.join(broadcast(q.select($"q_id", $"qv", $"qnrm")), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id".as("nn_id"),
+            (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cos".desc, $"nn_id".asc)))
+          .where($"rk" <= 3).select($"q_id", $"nn_id"))
+      val short = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("nn_id"), $"v", $"nrm", $"qv", $"qnrm",
+          (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)")).as("ham"))
+        .withColumn("hrk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"ham".asc, $"nn_id".asc)))
+        .where($"hrk" <= 32)
+      val ham3 = short.where($"hrk" <= 3).select($"q_id", $"nn_id")
+      val rr = short
+        .select($"q_id", $"nn_id",
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"nn_id".asc)))
+        .where($"rk" <= 3).select($"q_id", $"nn_id")
+      def hits(x: DataFrame) = truth.join(x, Seq("q_id", "nn_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n"))
+      val k = truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
+      val rows = k
+        .join(hits(ham3).withColumnRenamed("n", "nh"), Seq("q_id"), "left")
+        .join(hits(rr).withColumnRenamed("n", "nr"), Seq("q_id"), "left")
+        .select($"q_id", $"k",
+          coalesce($"nh", lit(0L)).as("n_hits_ham"),
+          round(coalesce($"nh", lit(0L)) * lit(1.0) / $"k", 6).as("recall_ham"),
+          coalesce($"nr", lit(0L)).as("n_hits_rr"),
+          round(coalesce($"nr", lit(0L)) * lit(1.0) / $"k", 6).as("recall_rr"))
+        .orderBy($"q_id")
+        .as[(Long, Long, Long, Double, Long, Double)].collect().toSeq
+      rows.toDF("q_id", "k", "n_hits_ham", "recall_ham", "n_hits_rr", "recall_rr")
+        .orderBy($"q_id")
     })
   )
 
@@ -2426,7 +2489,41 @@ object SimilarityQueries {
            |    FROM tp) WHERE rk <= 3)
            |SELECT * FROM (${lvl(64)} UNION ALL ${lvl(32)} UNION ALL ${lvl(16)} UNION ALL ${lvl(8)})
            |ORDER BY dim_keep DESC""".stripMargin
-      }
+      },
+      // q230: sign-bit signatures packed as two 32-bit halves (DuckDB's
+      // 1::BIGINT << i is Spark's shiftleft(1L, i)); Hamming =
+      // bit_count(xor) summed over halves; shortlist R=32, re-rank law
+      // as q226.
+      "q230_binary_quantization" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |sg AS (SELECT vec_id, v,
+           |         list_sum(list_transform(range(32), i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) lo,
+           |         list_sum(list_transform(range(32), i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) hi
+           |       FROM e),
+           |qs AS (SELECT vec_id q_id, v qv, lo qlo, hi qhi FROM sg WHERE vec_id < $NQueries),
+           |tp AS (SELECT b.vec_id q_id, a.vec_id nn_id, $cos cos
+           |       FROM e a JOIN (SELECT * FROM e WHERE vec_id < $NQueries) b ON a.vec_id <> b.vec_id),
+           |truth AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk FROM tp) WHERE rk <= 3),
+           |hp AS (SELECT q.q_id, a.vec_id nn_id, a.v, q.qv,
+           |         bit_count(xor(a.lo, q.qlo)) + bit_count(xor(a.hi, q.qhi)) ham
+           |       FROM sg a JOIN qs q ON a.vec_id <> q.q_id),
+           |short AS (SELECT q_id, nn_id, v, qv, ham,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, nn_id ASC) hrk
+           |          FROM hp),
+           |ham3 AS (SELECT q_id, nn_id FROM short WHERE hrk <= 3),
+           |rr AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY
+           |        list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, nn_id ASC) rk
+           |    FROM short WHERE hrk <= 32) WHERE rk <= 3),
+           |hh AS (SELECT t.q_id, count(*) n FROM truth t JOIN ham3 x ON t.q_id = x.q_id AND t.nn_id = x.nn_id GROUP BY 1),
+           |hr AS (SELECT t.q_id, count(*) n FROM truth t JOIN rr x ON t.q_id = x.q_id AND t.nn_id = x.nn_id GROUP BY 1),
+           |k AS (SELECT q_id, count(*) k FROM truth GROUP BY 1)
+           |SELECT k.q_id, CAST(k.k AS BIGINT) k,
+           |  CAST(coalesce(hh.n, 0) AS BIGINT) n_hits_ham, round(coalesce(hh.n, 0) * 1.0 / k.k, 6) recall_ham,
+           |  CAST(coalesce(hr.n, 0) AS BIGINT) n_hits_rr, round(coalesce(hr.n, 0) * 1.0 / k.k, 6) recall_rr
+           |FROM k LEFT JOIN hh ON k.q_id = hh.q_id LEFT JOIN hr ON k.q_id = hr.q_id ORDER BY k.q_id""".stripMargin
     )
   }
 }

@@ -247,4 +247,21 @@ class Round8LawsSpec extends SparkSpec {
       assert(lo <= hi, "kept energy must be monotone in prefix length")
     }
   }
+
+  test("q230 re-rank dominance: exact re-rank never loses to Hamming-only") {
+    val rows = SparkEntry.queries("q230_binary_quantization")(spark, dir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L, "k is always 3 on a >=4-vector corpus")
+      // THEOREM: ham3 is a subset of the re-rank shortlist, and any
+      // truth member inside the shortlist must survive an exact-cosine
+      // re-rank to top-3 (at most 2 other vectors beat it globally) —
+      // so per-query re-ranked hits >= Hamming-only hits, always.
+      assert(r.getLong(4) >= r.getLong(2),
+        s"re-rank dominance violated for q_id ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

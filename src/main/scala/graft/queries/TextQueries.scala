@@ -150,6 +150,48 @@ object TextQueries {
   private val CmsWidth = 512
   private val CmsTop = 15
 
+  /** q227/q231's shared NB-distillation artifacts. The MODEL (min-count-
+    * capped vocab log-odds) and the held-out SCORES are session-cached:
+    * q227's ledger reads them from five tiny aggregate legs and q231's
+    * uncertainty sampler re-reads the same score table — without the
+    * pins every leg would replay the term-keyed shuffles. The vocab
+    * cache is also exactly the stored artifact a deployment ships to
+    * its scorer fleet.
+    */
+  private def nbLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DocProfiles.profiled(s, dir).select($"doc_id", $"pct",
+      ($"n_stop".cast("double") / $"n_tok" >= 0.06).as("pos"))
+  }
+
+  private def nbVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tr = DocProfiles.termFreqs(s, dir)
+      .join(nbLabels(s, dir).where($"pct" < 0.5), Seq("doc_id"))
+    graft.operators.CacheRegistry.track(
+      tr.groupBy($"term").agg(
+          sum(when($"pos", $"tf").otherwise(0L)).as("cp"),
+          sum(when(!$"pos", $"tf").otherwise(0L)).as("cn"))
+        .where($"cp" + $"cn" >= 5).cache())
+  }
+
+  private def nbTestScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val voc = nbVocab(s, dir)
+    val tot = voc.agg(sum($"cp").as("tp"), sum($"cn").as("tn"),
+      count(lit(1)).as("v"))
+    val lo = voc.crossJoin(broadcast(tot)).select($"term",
+      (log(($"cp" + lit(1.0)) / ($"tp" + $"v")) -
+        log(($"cn" + lit(1.0)) / ($"tn" + $"v"))).as("lo"))
+    graft.operators.CacheRegistry.track(
+      DocProfiles.termFreqs(s, dir)
+        .join(nbLabels(s, dir).where($"pct" >= 0.5), Seq("doc_id"))
+        .join(lo, Seq("term"), "left")
+        .groupBy($"doc_id", $"pos")
+        .agg((sum($"tf" * coalesce($"lo", lit(0.0))) / sum($"tf"))
+          .as("score")).cache())
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Portable count-min sketch — the mergeable FREQUENCY sketch
     // completing the portable family (q117 cardinality, q119 quantiles):
@@ -1752,31 +1794,11 @@ object TextQueries {
     "q227_nb_distill" -> ((s, dir) => graft.operators.ResultMemo
         .getOrCompute(s"nbdistill:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
-      val p = DocProfiles.profiled(s, dir).select($"doc_id", $"pct",
-        ($"n_stop".cast("double") / $"n_tok" >= 0.06).as("pos"))
-      val tfc = DocProfiles.termFreqs(s, dir)
-      val tr = tfc.join(p.where($"pct" < 0.5), Seq("doc_id"))
-      // the MODEL (vocab log-odds) and the held-out SCORES are both
-      // session-cached: the ledger below reads each from five tiny
-      // aggregate legs, and without the pin every leg would replay the
-      // term-keyed shuffles. The model cache is also exactly the stored
-      // artifact a deployment ships to its scorer fleet.
-      val voc = graft.operators.CacheRegistry.track(
-        tr.groupBy($"term").agg(
-            sum(when($"pos", $"tf").otherwise(0L)).as("cp"),
-            sum(when(!$"pos", $"tf").otherwise(0L)).as("cn"))
-          .where($"cp" + $"cn" >= 5).cache())
+      val p = nbLabels(s, dir)
+      val voc = nbVocab(s, dir)
       val tot = voc.agg(sum($"cp").as("tp"), sum($"cn").as("tn"),
         count(lit(1)).as("v"))
-      val lo = voc.crossJoin(broadcast(tot)).select($"term",
-        (log(($"cp" + lit(1.0)) / ($"tp" + $"v")) -
-          log(($"cn" + lit(1.0)) / ($"tn" + $"v"))).as("lo"))
-      val te = graft.operators.CacheRegistry.track(
-        tfc.join(p.where($"pct" >= 0.5), Seq("doc_id"))
-          .join(lo, Seq("term"), "left")
-          .groupBy($"doc_id", $"pos")
-          .agg((sum($"tf" * coalesce($"lo", lit(0.0))) / sum($"tf"))
-            .as("score")).cache())
+      val te = nbTestScores(s, dir)
       val b = te.groupBy(
           least(greatest(floor($"score" * 50.0), lit(-200.0)), lit(200.0))
             .cast("int").as("bin"))
@@ -1813,6 +1835,51 @@ object TextQueries {
           d(4), d(5), d(6)))
         .toDF("n_train", "n_test", "vocab_size", "n_pos_test",
           "auc", "mean_score_pos", "mean_score_neg")
+    }),
+
+    // UNCERTAINTY sampling — the active-learning selection step that
+    // closes q227's distillation loop: held-out docs whose |NB score|
+    // falls inside the indecision band (<0.01) are the ones the gate
+    // and the classifier disagree-ably straddle, so they are the docs
+    // worth a human (or LLM-judge) label next. Per source, the review
+    // budget is capped at the 5 MOST uncertain docs (|score| asc, the
+    // rank-k WindowGroupLimit shape) — a per-feed quota, the way real
+    // annotation queues are fed. The ledger: scored/uncertain counts,
+    // uncertainty rate, selected count, and the mean |score| of the
+    // selected batch per source.
+    //
+    // 100 TB shape: rides the session-cached score table (one term
+    // join + doc agg, already paid by q227); the selection window is
+    // partitioned by source; the report is source-count-sized.
+    "q231_uncertainty_sampling" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"nbuncert:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val sc = nbTestScores(s, dir)
+        .join(DocProfiles.profiled(s, dir).select($"doc_id", $"source"),
+          Seq("doc_id"))
+        .select($"doc_id", $"source", abs($"score").as("a"))
+        .withColumn("uncertain", $"a" < 0.01)
+      val w = Window.partitionBy($"source").orderBy($"a".asc, $"doc_id".asc)
+      val sel = sc.where($"uncertain")
+        .withColumn("rk", row_number().over(w)).where($"rk" <= 5)
+      val per = sc.groupBy($"source").agg(
+        count(lit(1)).as("n_scored"),
+        sum(when($"uncertain", 1L).otherwise(0L)).as("n_uncertain"))
+      val selAgg = sel.groupBy($"source").agg(
+        count(lit(1)).as("n_selected"),
+        round(avg($"a"), 6).as("mean_abs_selected"))
+      val rows = per.join(selAgg, Seq("source"), "left")
+        .select($"source", $"n_scored", $"n_uncertain",
+          round($"n_uncertain" * lit(1.0) / $"n_scored", 6)
+            .as("frac_uncertain"),
+          coalesce($"n_selected", lit(0L)).as("n_selected"),
+          $"mean_abs_selected")
+        .orderBy($"source")
+        .as[(String, Long, Long, Double, Long, Option[Double])]
+        .collect().toSeq
+      rows.toDF("source", "n_scored", "n_uncertain", "frac_uncertain",
+          "n_selected", "mean_abs_selected")
+        .orderBy($"source")
     })
   )
 
@@ -1889,6 +1956,51 @@ object TextQueries {
           |       (SELECT auc FROM auc) auc,
           |       (SELECT round(avg(score), 6) FROM te WHERE pos) mean_score_pos,
           |       (SELECT round(avg(score), 6) FROM te WHERE NOT pos) mean_score_neg""".stripMargin,
+      // q231: the q227 chain re-spelled through the doc→source map, the
+      // |score|<0.01 indecision band, and a per-source rank-5 quota.
+      "q231_uncertainty_sampling" ->
+        """WITH p AS (
+          |  SELECT doc_id, source,
+          |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,
+          |    string_split_regex(trim(text), '\s+') toks
+          |  FROM documents),
+          |lab AS (SELECT doc_id, pct,
+          |          (len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) * 1.0
+          |             / len(toks) >= 0.06) pos
+          |        FROM p),
+          |tf AS (SELECT doc_id, unnest(toks) term FROM p),
+          |tfc AS (SELECT doc_id, term, count(*) tf FROM tf GROUP BY 1, 2),
+          |tr AS (SELECT t.term, t.tf, l.pos FROM tfc t JOIN lab l USING (doc_id)
+          |       WHERE l.pct < 0.5),
+          |voc AS (SELECT term,
+          |          CAST(sum(CASE WHEN pos THEN tf ELSE 0 END) AS BIGINT) cp,
+          |          CAST(sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS BIGINT) cn
+          |        FROM tr GROUP BY 1 HAVING sum(tf) >= 5),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) tp, CAST(sum(cn) AS BIGINT) tn,
+          |          count(*) v FROM voc),
+          |lo AS (SELECT term, ln((cp + 1.0) / (tp + v)) - ln((cn + 1.0) / (tn + v)) AS lo
+          |       FROM voc CROSS JOIN tot),
+          |te AS (SELECT t.doc_id,
+          |         sum(t.tf * coalesce(lo.lo, 0.0)) / sum(t.tf) score
+          |       FROM tfc t JOIN lab l USING (doc_id) LEFT JOIN lo ON t.term = lo.term
+          |       WHERE l.pct >= 0.5 GROUP BY 1),
+          |sc AS (SELECT te.doc_id, p.source, abs(te.score) a,
+          |         (abs(te.score) < 0.01) uncertain
+          |       FROM te JOIN p ON te.doc_id = p.doc_id),
+          |sel AS (SELECT source, a FROM (
+          |    SELECT source, a, row_number() OVER (PARTITION BY source
+          |      ORDER BY a ASC, doc_id ASC) rk
+          |    FROM sc WHERE uncertain) WHERE rk <= 5),
+          |per AS (SELECT source, CAST(count(*) AS BIGINT) n_scored,
+          |          CAST(sum(CASE WHEN uncertain THEN 1 ELSE 0 END) AS BIGINT) n_uncertain
+          |        FROM sc GROUP BY 1),
+          |sa AS (SELECT source, CAST(count(*) AS BIGINT) n_selected,
+          |         round(avg(a), 6) mean_abs_selected
+          |       FROM sel GROUP BY 1)
+          |SELECT per.source, per.n_scored, per.n_uncertain,
+          |  round(per.n_uncertain * 1.0 / per.n_scored, 6) frac_uncertain,
+          |  coalesce(sa.n_selected, 0) n_selected, sa.mean_abs_selected
+          |FROM per LEFT JOIN sa USING (source) ORDER BY per.source""".stripMargin,
 
       "q142_bpe_pair_merges" ->
         """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

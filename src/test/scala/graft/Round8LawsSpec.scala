@@ -264,4 +264,21 @@ class Round8LawsSpec extends SparkSpec {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("q231 quota law: selected = min(5, uncertain), counts nest") {
+    val rows = SparkEntry.queries("q231_uncertainty_sampling")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scored, uncertain, selected) =
+        (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(uncertain <= scored, "band is a subset of the scored split")
+      assert(selected == math.min(5L, uncertain),
+        s"per-source quota violated for ${r.getString(0)}")
+      if (selected == 0) assert(r.isNullAt(5),
+        "empty selection has no mean |score|")
+      else assert(r.getDouble(5) < 0.01,
+        "selected docs sit inside the indecision band")
+    }
+  }
 }

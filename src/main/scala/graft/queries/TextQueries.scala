@@ -192,6 +192,21 @@ object TextQueries {
           .as("score")).cache())
   }
 
+  /** q227/q232's shared 401-bin score table: held-out docs bucketed by
+    * floor(score·50) clamped to ±200, with per-bin positive/negative
+    * counts. Bounded by construction — every downstream fold (ROC,
+    * gains, threshold picks) runs over ≤401 Aggregate-backed rows, never
+    * a corpus-sized sort.
+    */
+  private def nbScoreBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nbTestScores(s, dir).groupBy(
+        least(greatest(floor($"score" * 50.0), lit(-200.0)), lit(200.0))
+          .cast("int").as("bin"))
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("np"),
+        sum(when(!$"pos", 1L).otherwise(0L)).as("nn"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Portable count-min sketch — the mergeable FREQUENCY sketch
     // completing the portable family (q117 cardinality, q119 quantiles):
@@ -1799,11 +1814,7 @@ object TextQueries {
       val tot = voc.agg(sum($"cp").as("tp"), sum($"cn").as("tn"),
         count(lit(1)).as("v"))
       val te = nbTestScores(s, dir)
-      val b = te.groupBy(
-          least(greatest(floor($"score" * 50.0), lit(-200.0)), lit(200.0))
-            .cast("int").as("bin"))
-        .agg(sum(when($"pos", 1L).otherwise(0L)).as("np"),
-          sum(when(!$"pos", 1L).otherwise(0L)).as("nn"))
+      val b = nbScoreBins(s, dir)
       val w = Window.orderBy($"bin".desc)
       val c2 = b
         .withColumn("ccp", sum($"np").over(w))
@@ -1880,6 +1891,37 @@ object TextQueries {
       rows.toDF("source", "n_scored", "n_uncertain", "frac_uncertain",
           "n_selected", "mean_abs_selected")
         .orderBy($"source")
+    }),
+
+    // OPERATING-POINT table — how a deployment actually picks the q227
+    // classifier's gate threshold: per occupied score bin (descending),
+    // the bin's doc count and observed gate-positive rate, plus the
+    // cumulative precision and recall IF the threshold were set at this
+    // bin's floor. The knee of (cum_precision, cum_recall) is the
+    // threshold decision; publishing the whole curve (not one point)
+    // is what lets consumers with different precision needs share one
+    // trained artifact. Same bounded-bin discipline as the q227 ROC:
+    // every fold runs over <=401 Aggregate-backed rows.
+    "q232_score_gains" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"nbgains:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val b = nbScoreBins(s, dir)
+      val tt = b.agg(sum($"np").as("pp"))
+      val w = Window.orderBy($"bin".desc)
+      val rows = b
+        .withColumn("n", $"np" + $"nn")
+        .withColumn("cum_n", sum($"n").over(w))
+        .withColumn("cum_pos", sum($"np").over(w))
+        .crossJoin(broadcast(tt))
+        .select($"bin", $"n", $"np".as("n_pos"),
+          round($"np" * lit(1.0) / $"n", 6).as("pos_rate"),
+          round($"cum_pos" * lit(1.0) / $"cum_n", 6).as("cum_precision"),
+          round($"cum_pos" * lit(1.0) / $"pp", 6).as("cum_recall"))
+        .orderBy($"bin".desc)
+        .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+      rows.toDF("bin", "n", "n_pos", "pos_rate", "cum_precision",
+          "cum_recall")
+        .orderBy($"bin".desc)
     })
   )
 
@@ -2001,6 +2043,48 @@ object TextQueries {
           |  round(per.n_uncertain * 1.0 / per.n_scored, 6) frac_uncertain,
           |  coalesce(sa.n_selected, 0) n_selected, sa.mean_abs_selected
           |FROM per LEFT JOIN sa USING (source) ORDER BY per.source""".stripMargin,
+      // q232: the q227 chain folded to the 401-bin table, then
+      // threshold-sweep cumulatives over bins descending.
+      "q232_score_gains" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS pct,
+          |    string_split_regex(trim(text), '\s+') toks
+          |  FROM documents),
+          |lab AS (SELECT doc_id, pct,
+          |          (len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) * 1.0
+          |             / len(toks) >= 0.06) pos
+          |        FROM p),
+          |tf AS (SELECT doc_id, unnest(toks) term FROM p),
+          |tfc AS (SELECT doc_id, term, count(*) tf FROM tf GROUP BY 1, 2),
+          |tr AS (SELECT t.term, t.tf, l.pos FROM tfc t JOIN lab l USING (doc_id)
+          |       WHERE l.pct < 0.5),
+          |voc AS (SELECT term,
+          |          CAST(sum(CASE WHEN pos THEN tf ELSE 0 END) AS BIGINT) cp,
+          |          CAST(sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS BIGINT) cn
+          |        FROM tr GROUP BY 1 HAVING sum(tf) >= 5),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) tp, CAST(sum(cn) AS BIGINT) tn,
+          |          count(*) v FROM voc),
+          |lo AS (SELECT term, ln((cp + 1.0) / (tp + v)) - ln((cn + 1.0) / (tn + v)) AS lo
+          |       FROM voc CROSS JOIN tot),
+          |te AS (SELECT t.doc_id, l.pos,
+          |         sum(t.tf * coalesce(lo.lo, 0.0)) / sum(t.tf) score
+          |       FROM tfc t JOIN lab l USING (doc_id) LEFT JOIN lo ON t.term = lo.term
+          |       WHERE l.pct >= 0.5 GROUP BY 1, 2),
+          |b AS (SELECT CAST(least(greatest(floor(score * 50.0), -200), 200) AS INT) bin,
+          |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) np,
+          |        CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) nn
+          |      FROM te GROUP BY 1),
+          |tt AS (SELECT CAST(sum(np) AS BIGINT) pp FROM b),
+          |g AS (SELECT bin, np + nn n, np,
+          |        sum(np + nn) OVER (ORDER BY bin DESC) cum_n,
+          |        sum(np) OVER (ORDER BY bin DESC) cum_pos
+          |      FROM b)
+          |SELECT g.bin, CAST(g.n AS BIGINT) n, g.np AS n_pos,
+          |  round(g.np * 1.0 / g.n, 6) pos_rate,
+          |  round(g.cum_pos * 1.0 / g.cum_n, 6) cum_precision,
+          |  round(g.cum_pos * 1.0 / tt.pp, 6) cum_recall
+          |FROM g CROSS JOIN tt ORDER BY g.bin DESC""".stripMargin,
 
       "q142_bpe_pair_merges" ->
         """WITH w0 AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

@@ -281,4 +281,19 @@ class Round8LawsSpec extends SparkSpec {
         "selected docs sit inside the indecision band")
     }
   }
+
+  test("q232 threshold sweep: recall monotone to 1.0, counts nest") {
+    val rows = SparkEntry.queries("q232_score_gains")(spark, dir).collect()
+    assert(rows.length >= 2)
+    // rows are bin-descending = loosening the threshold monotonically
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_pos <= n per bin")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val recalls = rows.map(_.getDouble(5))
+    recalls.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "cum_recall can only grow as the threshold loosens")
+    }
+    assert(recalls.last == 1.0, "the loosest threshold admits every positive")
+  }
 }

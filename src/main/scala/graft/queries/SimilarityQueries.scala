@@ -1565,6 +1565,72 @@ object SimilarityQueries {
         .as[(Long, Long, Long, Double, Long, Double)].collect().toSeq
       rows.toDF("q_id", "k", "n_hits_ham", "recall_ham", "n_hits_rr", "recall_rr")
         .orderBy($"q_id")
+    }),
+
+    // TOMBSTONES — the index-lifecycle stage q170 (append/staleness/
+    // retrain) leaves out: DELETES. A vector store never rewrites its
+    // posting lists per delete; it keeps a tombstone set and filters
+    // candidates at serve time until the next retrain compacts. Here
+    // the md5 'del:' law marks ~10% of the corpus deleted; the q79
+    // multiprobe path serves AGAINST the standing (stale) cell table
+    // with tombstoned candidates filtered, and recall@3 is graded vs
+    // brute truth over SURVIVORS — the only correct truth, since a
+    // deleted vector must never be returned. n_skipped counts the
+    // tombstoned candidates each query's probes had to discard: the
+    // serve-time cost of deferring compaction.
+    //
+    // 100 TB shape: the tombstone set is id-only (delete-rate-sized)
+    // and joins the candidate stream on vec_id; cells stay immutable —
+    // no index rewrite, the same reason real engines tombstone.
+    "q233_ivf_tombstones" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"annrecall:tomb:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val (cells, cent) = ivfCells(s, dir)
+      val delPct = conv(substring(md5(concat(lit("del:"),
+        $"vec_id".cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("double") / 65536.0
+      val cellsD = cells.withColumn("dead",
+        $"vec_id" >= NQueries && delPct < 0.1)
+      val wProbe = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"cl".asc)
+      val probes = cells.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+        .crossJoin(broadcast(cent))
+        .select($"q_id", $"qv", $"qnrm", $"cl",
+          (dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("pcos"))
+        .withColumn("pr", row_number().over(wProbe))
+        .where($"pr" <= NProbe)
+        .select($"q_id", $"qv", $"qnrm", $"cl".as("qc"))
+      val p0 = cellsD.join(broadcast(probes),
+          $"cell" === $"qc" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("nn_id"),
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"), $"dead")
+      val skipped = p0.where($"dead")
+        .groupBy($"q_id").agg(count(lit(1)).as("ns"))
+      def top3(pairs: DataFrame): DataFrame = pairs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"nn_id".asc)))
+        .where($"rk" <= 3).select($"q_id", $"nn_id")
+      val ann = top3(p0.where(!$"dead"))
+      val q = cells.where($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val truth = top3(cellsD.where(!$"dead")
+        .join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("nn_id"),
+          (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos")))
+      val h = truth.join(ann, Seq("q_id", "nn_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n"))
+      val k = truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
+      val rows = k
+        .join(h, Seq("q_id"), "left")
+        .join(skipped, Seq("q_id"), "left")
+        .select($"q_id", $"k", coalesce($"n", lit(0L)).as("n_hits"),
+          round(coalesce($"n", lit(0L)) * lit(1.0) / $"k", 6).as("recall"),
+          coalesce($"ns", lit(0L)).as("n_skipped"))
+        .orderBy($"q_id")
+        .as[(Long, Long, Long, Double, Long)].collect().toSeq
+      rows.toDF("q_id", "k", "n_hits", "recall", "n_skipped")
+        .orderBy($"q_id")
     })
   )
 
@@ -2523,7 +2589,43 @@ object SimilarityQueries {
            |SELECT k.q_id, CAST(k.k AS BIGINT) k,
            |  CAST(coalesce(hh.n, 0) AS BIGINT) n_hits_ham, round(coalesce(hh.n, 0) * 1.0 / k.k, 6) recall_ham,
            |  CAST(coalesce(hr.n, 0) AS BIGINT) n_hits_rr, round(coalesce(hr.n, 0) * 1.0 / k.k, 6) recall_rr
-           |FROM k LEFT JOIN hh ON k.q_id = hh.q_id LEFT JOIN hr ON k.q_id = hr.q_id ORDER BY k.q_id""".stripMargin
+           |FROM k LEFT JOIN hh ON k.q_id = hh.q_id LEFT JOIN hr ON k.q_id = hr.q_id ORDER BY k.q_id""".stripMargin,
+      // q233: the q116 recall law under the md5 'del:' tombstone set —
+      // ann filters dead candidates, truth ranks survivors only.
+      "q233_ivf_tombstones" ->
+        s"""WITH $ivfCtesSql,
+           |cd AS (SELECT cells.*,
+           |         (vec_id >= $NQueries AND
+           |          CAST(('0x' || substr(md5('del:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.1) dead
+           |       FROM cells),
+           |q AS (SELECT vec_id q_id, v qv FROM cells WHERE vec_id < $NQueries),
+           |pr AS (SELECT q_id, qv, cl AS qc FROM (
+           |    SELECT q.q_id, q.qv, c.cl,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cl ASC) pn
+           |    FROM q CROSS JOIN c$KMeansIters c) WHERE pn <= $NProbe),
+           |p0 AS (SELECT pr.q_id, c.vec_id nn_id, ${cosSql("pr.qv", "c.v")} cos, c.dead
+           |       FROM cd c JOIN pr ON c.cell = pr.qc AND c.vec_id <> pr.q_id),
+           |sk AS (SELECT q_id, CAST(count(*) AS BIGINT) ns FROM p0 WHERE dead GROUP BY 1),
+           |ann AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+           |    FROM p0 WHERE NOT dead) WHERE rk <= 3),
+           |tp AS (SELECT b.q_id, a.vec_id nn_id, ${cosSql("b.qv", "a.v")} cos
+           |       FROM cd a JOIN q b ON a.vec_id <> b.q_id WHERE NOT a.dead),
+           |truth AS (SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id ASC) rk
+           |    FROM tp) WHERE rk <= 3),
+           |h AS (SELECT t.q_id, count(*) AS n
+           |      FROM truth t JOIN ann a ON t.q_id = a.q_id AND t.nn_id = a.nn_id
+           |      GROUP BY 1),
+           |k AS (SELECT q_id, count(*) AS k FROM truth GROUP BY 1)
+           |SELECT k.q_id, CAST(k.k AS BIGINT) k, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           |  round(coalesce(h.n, 0) * 1.0 / k.k, 6) AS recall,
+           |  CAST(coalesce(sk.ns, 0) AS BIGINT) AS n_skipped
+           |FROM k LEFT JOIN h ON k.q_id = h.q_id LEFT JOIN sk ON k.q_id = sk.q_id
+           |ORDER BY k.q_id""".stripMargin
     )
   }
 }

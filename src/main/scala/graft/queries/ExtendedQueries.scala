@@ -1465,6 +1465,147 @@ object ExtendedQueries {
         .unionAll(row("events_value_not_null", evNull))
         .withColumn("passed", $"n_violations" === 0L)
         .orderBy($"check_name")
+    }),
+
+    // INTERVAL-OVERLAP SELF-JOIN via BUCKET DECOMPOSITION — the generic
+    // interval join (IP ranges, ad impressions × campaigns, genomics) the
+    // built-in operators only offer as a range nested-loop. Pairs of
+    // CONCURRENT sessions across different users: each session (q22's gap
+    // law, built on the byUser clustered cache) explodes to the calendar
+    // days it spans, pairs equi-join ON THE DAY BUCKET (a shuffle join at
+    // any scale — never BroadcastNestedLoop, which is the 100 TB killer
+    // for interval predicates), and the bucket where the LATER session
+    // starts claims the pair (to_date(greatest(starts)) = day), so a pair
+    // spanning k shared buckets is emitted exactly once without a
+    // distinct. Per-bucket cost is |sessions alive that day|² — inherent
+    // to the output law; bucket granularity is the skew knob. Overlap
+    // seconds are summed as exact integer micros, divided once at the end
+    // (no float sum-order sensitivity).
+    "q237_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val sess = EventStats.byUser(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"ts").as("st"), max($"ts").as("en"))
+      val days = sess.select($"user_id", $"session_id", $"st", $"en",
+        explode(sequence(to_date($"st"), to_date($"en"))).as("day"))
+      val a = days.as("a")
+      val b = days.as("b")
+      a.join(b,
+          col("a.day") === col("b.day") &&
+            col("a.user_id") < col("b.user_id") &&
+            col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&
+            to_date(greatest(col("a.st"), col("b.st"))) === col("a.day"))
+        .select(col("a.day").as("day"),
+          (unix_micros(least(col("a.en"), col("b.en"))) -
+            unix_micros(greatest(col("a.st"), col("b.st")))).as("ov_us"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"ov_us") / (count(lit(1)) * lit(1000000.0)), 6)
+            .as("avg_overlap_sec"))
+        .orderBy($"day")
+    }),
+
+    // SCD TYPE-2 HISTORY BUILD — the warehouse dimension-history operator:
+    // collapse an event stream into validity intervals (effective_from /
+    // effective_to / is_current), one row per ATTRIBUTE CHANGE rather than
+    // per event. Change points are rows whose event_type differs from the
+    // user's previous event ((ts, event_id)-ordered — the O1 tie law);
+    // effective_to = the next change's timestamp (half-open intervals, the
+    // standard SCD2 convention: [from, to)), null marks the current row.
+    // Scale shape: two window passes over the SAME (user_id)-partitioned
+    // (ts, event_id)-ordered layout — both ride the byUser clustered cache
+    // with no exchange and no sort, so the build costs one scan at any log
+    // size. The user_id < 10 projection bounds the gated ledger; the
+    // operator itself is the unfiltered plan.
+    "q234_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      EventStats.byUser(s, dir)
+        .where($"user_id" < 10)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .where($"prev".isNull || $"prev" =!= $"event_type")
+        .withColumn("version", row_number().over(w))
+        .withColumn("effective_to", lead($"ts", 1).over(w))
+        .select($"user_id", $"version", $"event_type".as("attr_value"),
+          $"ts".as("effective_from"), $"effective_to",
+          $"effective_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    }),
+
+    // HIERARCHICAL TARGET ENCODING — the CatBoost/feature-store mean
+    // encoder: each (event_type, hour-of-day) cell's mean value shrunk
+    // toward its type's mean (m1 = 50 pseudo-counts), which is itself
+    // shrunk toward the global mean (m2 = 200) — rare cells inherit the
+    // parent level, dense cells keep their own signal. Determinism
+    // contract: all three levels aggregate value as DECIMAL (exact,
+    // regroup-safe — the EventStats treatment), and the smoothing
+    // arithmetic is a fixed dag of double divisions, so both engines
+    // produce bit-identical encodings before the 6 dp rounding.
+    // Scale shape: one shuffle on the cell key; the type and global
+    // levels regroup the cell table (cells-sized, not data-sized) and
+    // join back as broadcasts.
+    "q238_target_encoding" -> ((s, dir) => {
+      import s.implicits._
+      val m1 = lit(50.0)
+      val m2 = lit(200.0)
+      val cells = Tables.events(s, dir)
+        .groupBy($"event_type", hour($"ts").cast("int").as("hod"))
+        .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,6)")).as("sv"))
+      val types = cells.groupBy($"event_type")
+        .agg(sum($"n").as("nt"), sum($"sv").as("svt"))
+      val g = types.agg(sum($"nt").as("ng"), sum($"svt").as("svg"))
+      cells.join(broadcast(types), Seq("event_type"))
+        .crossJoin(broadcast(g))
+        .withColumn("mean_g", $"svg".cast("double") / $"ng")
+        .withColumn("mean_t",
+          ($"svt".cast("double") + m2 * $"mean_g") / ($"nt" + m2))
+        .select($"event_type", $"hod", $"n",
+          round($"sv".cast("double") / $"n", 6).as("raw_mean"),
+          round(($"sv".cast("double") + m1 * $"mean_t") / ($"n" + m1), 6)
+            .as("enc"))
+        .orderBy($"event_type", $"hod")
+    }),
+
+    // EXPONENTIAL-SMOOTHING FORECAST BACKTEST — simple exponential
+    // smoothing (S_t = α·x_t + (1−α)·S_{t−1}, S_1 = x_1) over each type's
+    // observed-day count series, evaluated one-step-ahead (forecast for
+    // day t is S_{t−1}); ledger = per-type MAE plus the standing forecast
+    // (the final level). The recursion is spelled CLOSED-FORM as window
+    // arithmetic — g_t = x_t·2^t, S_t = α·2^{−t}·(Σg − g_1) + 2^{−(t−1)}·x_1
+    // — so one cumulative-sum window replaces a sequential fold; with
+    // α = 1/2 every power is a dyadic scale and the whole computation is
+    // EXACT in binary floating point (no pow() libm divergence between
+    // engines, no sum-order sensitivity: all intermediates are dyadic
+    // rationals well inside 2^53). Scale shape: rides the dailyTypeAgg
+    // rollup's (day,type) grain — window over a group-count-sized table,
+    // never the raw log.
+    "q239_ses_forecast" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"day".asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = EventStats.dailyTypeAgg(s, dir)
+        .select($"event_type", $"day", $"n".cast("double").as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("gcum", sum($"x" * pow(lit(2.0), $"rn")).over(cum))
+        .withColumn("x1", first($"x").over(cum))
+      val level = lit(0.5) * pow(lit(0.5), $"rn") * ($"gcum" - $"x1" * lit(2.0)) +
+        pow(lit(0.5), $"rn" - 1) * $"x1"
+      d.withColumn("s_lvl", level)
+        .withColumn("err", $"x" - lag($"s_lvl", 1).over(w))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs($"err")), 6).as("mae"),
+          round(max_by($"s_lvl", $"rn"), 6).as("next_forecast"))
+        .orderBy($"event_type")
     })
   )
 
@@ -2237,6 +2378,96 @@ object ExtendedQueries {
         |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
         |  count(DISTINCT user_id) AS users,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_v
-        |FROM slice GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+        |FROM slice GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // q237 = the same pair law spelled as a direct theta self-join (the
+    // oracle checks the LAW; the bucket decomposition is the Spark-side
+    // physical strategy): inclusive overlap, u1 < u2, pair attributed to
+    // the later start's day, overlap micros summed exactly.
+    "q237_interval_overlap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), se AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |sess AS (SELECT user_id, session_id, min(ts) st, max(ts) en
+        |         FROM se GROUP BY 1, 2),
+        |p AS (SELECT CAST(greatest(a.st, b.st) AS DATE) AS day,
+        |        epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st)) AS ov_us
+        |      FROM sess a JOIN sess b
+        |        ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en)
+        |SELECT day, count(*) AS n_pairs,
+        |  round(CAST(sum(ov_us) AS DOUBLE) / (count(*) * 1000000.0), 6)
+        |    AS avg_overlap_sec
+        |FROM p GROUP BY day ORDER BY day""".stripMargin,
+    // q234 = the SCD2 law in SQL: change rows under the (ts, event_id)
+    // order, versioned and interval-closed by the next change.
+    "q234_scd2_history" ->
+      """WITH f AS (SELECT user_id, event_type, ts, event_id FROM events
+        |           WHERE user_id < 10),
+        |o AS (SELECT user_id, event_type, ts, event_id,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts ASC, event_id ASC) AS prev
+        |      FROM f),
+        |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts,
+        |        CAST(row_number() OVER w AS INT) AS version,
+        |        lead(ts) OVER w AS effective_to
+        |      FROM ch
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, version, event_type AS attr_value,
+        |  ts AS effective_from, effective_to,
+        |  effective_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    // q238 = the same three-level shrinkage dag: exact DECIMAL sums per
+    // level, double divisions in the identical order.
+    "q238_target_encoding" ->
+      """WITH cells AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+        |    count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt, sum(sv) AS svt
+        |      FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(nt) AS BIGINT) AS ng, sum(svt) AS svg FROM t)
+        |SELECT c.event_type, c.hod, c.n,
+        |  round(CAST(c.sv AS DOUBLE) / c.n, 6) AS raw_mean,
+        |  round((CAST(c.sv AS DOUBLE) + 50.0 *
+        |      ((CAST(t.svt AS DOUBLE) + 200.0 * (CAST(g.svg AS DOUBLE) / g.ng))
+        |        / (t.nt + 200.0)))
+        |    / (c.n + 50.0), 6) AS enc
+        |FROM cells c JOIN t USING (event_type) CROSS JOIN g
+        |ORDER BY event_type, hod""".stripMargin,
+    // q239 = the dyadic closed form verbatim: g_t = x·2^t cumulated, the
+    // α=1/2 level recovered by exact power-of-two scaling.
+    "q239_ses_forecast" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, x,
+        |        CAST(row_number() OVER w AS INT) AS rn
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |c AS (SELECT event_type, day, x, rn,
+        |        sum(x * pow(2.0, rn)) OVER cum AS gcum,
+        |        first_value(x) OVER cum AS x1
+        |      FROM r
+        |      WINDOW cum AS (PARTITION BY event_type ORDER BY day ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, day, x, rn,
+        |        0.5 * pow(0.5, rn) * (gcum - x1 * 2.0)
+        |          + pow(0.5, rn - 1) * x1 AS s_lvl
+        |      FROM c),
+        |e AS (SELECT event_type, x, rn, s_lvl,
+        |        x - lag(s_lvl) OVER (PARTITION BY event_type
+        |          ORDER BY day ASC) AS err
+        |      FROM s)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(avg(abs(err)), 6) AS mae,
+        |  round(max_by(s_lvl, rn), 6) AS next_forecast
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -133,6 +133,66 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_nodes"),
           min($"out_w").as("min_w"), max($"out_w").as("max_w"))
         .orderBy($"out_deg")
+    }),
+
+    // TRIANGLE COUNT + local clustering coefficient via DEGREE-ORDERED
+    // ORIENTATION (the Schank–Wagner / Cohen MapReduce algorithm): each
+    // undirected edge is directed from its lower-(degree, id) endpoint to
+    // the higher, so every triangle is counted EXACTLY ONCE (its unique
+    // cyclic orientation apex) and — the scale property — each node's
+    // out-list is bounded by O(√m) on any graph, which caps the wedge
+    // join's per-key fan-out regardless of hub skew: the orientation is
+    // what makes distributed triangle counting survive power-law degree
+    // distributions (a raw wedge join explodes on the max-degree hub).
+    // Graph = the nation trade graph undirected (both directions summed),
+    // sparsified to edges at/above the p75 pair weight — the same
+    // interpolated-percentile law both engines share. The wedge join
+    // (e1.y=e2.x) then the closing edge check (left-semi shape spelled as
+    // an inner join on both endpoints) are plain equi-joins: at 100 TB the
+    // edge list shuffles on its join keys and no stage ever materializes
+    // a wedge set larger than Σ out_deg² ≤ m·√m.
+    "q236_triangle_count" -> ((s, dir) => {
+      import s.implicits._
+      val und = tradeEdges(s, dir)
+        .where($"src" =!= $"dst")
+        .select(least($"src", $"dst").as("a"),
+          greatest($"src", $"dst").as("b"), $"w")
+        .groupBy($"a", $"b").agg(sum($"w").as("wuv"))
+      val thr = und.agg(expr("percentile(wuv, 0.75D)").as("thr"))
+      val e = CacheRegistry.track(
+        und.crossJoin(broadcast(thr)).where($"wuv" >= $"thr")
+          .select($"a", $"b").cache())
+      val deg = CacheRegistry.track(
+        e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg")).cache())
+      // orient low (deg, id) → high (deg, id)
+      val o = e
+        .join(broadcast(deg).select($"v".as("a"), $"deg".as("da")), Seq("a"))
+        .join(broadcast(deg).select($"v".as("b"), $"deg".as("db")), Seq("b"))
+        .select(
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"a")
+            .otherwise($"b").as("u"),
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"b")
+            .otherwise($"a").as("v"))
+      val tri = o.as("e1")
+        .join(o.as("e2"), col("e1.v") === col("e2.u"))
+        .join(o.as("e3"),
+          col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+      val perNode = tri
+        .select(explode(array($"ta", $"tb", $"tc")).as("tv"))
+        .groupBy($"tv").agg(count(lit(1)).as("ntri"))
+      Tables.nation(s, dir)
+        .select($"n_nationkey".as("nation_key"), $"n_name")
+        .join(deg, $"nation_key" === $"v", "left")
+        .join(perNode, $"nation_key" === $"tv", "left")
+        .select($"nation_key", $"n_name",
+          coalesce($"deg", lit(0L)).as("degree"),
+          coalesce($"ntri", lit(0L)).as("n_tri"),
+          when(coalesce($"deg", lit(0L)) >= 2,
+            round(lit(2.0) * coalesce($"ntri", lit(0L)) /
+              ($"deg" * ($"deg" - 1)), 6)).otherwise(lit(0.0)).as("lcc"))
+        .orderBy($"nation_key")
     }))
 
   def oracles: Map[String, String] = {
@@ -170,6 +230,43 @@ object GraphQueries {
         s"""WITH e AS ($tradeEdgesSql),
            |d AS (SELECT src, count(*) AS out_deg, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1)
            |SELECT out_deg, count(*) AS n_nodes, min(out_w) AS min_w, max(out_w) AS max_w
-           |FROM d GROUP BY 1 ORDER BY out_deg""".stripMargin)
+           |FROM d GROUP BY 1 ORDER BY out_deg""".stripMargin,
+      // q236 = the same orientation law in SQL: undirect, p75-sparsify
+      // (quantile_cont = Spark's interpolated exact percentile), orient by
+      // (degree, id), wedge join, close.
+      "q236_triangle_count" ->
+        // the small CTEs are MATERIALIZED: `o` is referenced three times
+        // by the wedge join and DuckDB otherwise INLINES the whole
+        // edge-derivation pyramid (te's fact join included) once per
+        // reference — ~30 copies of the lineitem join, tens of GB at
+        // sf0.1. Materializing pins each level to one evaluation.
+        s"""WITH te AS MATERIALIZED ($tradeEdgesSql),
+           |und AS MATERIALIZED (SELECT least(src, dst) a, greatest(src, dst) b,
+           |          CAST(sum(w) AS BIGINT) wuv
+           |        FROM te WHERE src <> dst GROUP BY 1, 2),
+           |th AS MATERIALIZED (SELECT quantile_cont(wuv, 0.75) thr FROM und),
+           |e AS MATERIALIZED (SELECT a, b FROM und, th WHERE wuv >= thr),
+           |deg AS MATERIALIZED (SELECT v, count(*) deg FROM (
+           |          SELECT a v FROM e UNION ALL SELECT b v FROM e) GROUP BY 1),
+           |o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg
+           |               OR (da.deg = db.deg AND e.a < e.b) THEN e.a ELSE e.b END u,
+           |             CASE WHEN da.deg < db.deg
+           |               OR (da.deg = db.deg AND e.a < e.b) THEN e.b ELSE e.a END v
+           |      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+           |tri AS (SELECT e1.u ta, e1.v tb, e2.v tc
+           |        FROM o e1 JOIN o e2 ON e1.v = e2.u
+           |        JOIN o e3 ON e1.u = e3.u AND e2.v = e3.v),
+           |pn AS (SELECT tv, count(*) ntri FROM (
+           |         SELECT ta tv FROM tri UNION ALL SELECT tb tv FROM tri
+           |         UNION ALL SELECT tc tv FROM tri) GROUP BY 1)
+           |SELECT n_nationkey AS nation_key, n_name,
+           |  coalesce(deg.deg, 0) AS degree, coalesce(pn.ntri, 0) AS n_tri,
+           |  CASE WHEN coalesce(deg.deg, 0) >= 2
+           |    THEN round(2.0 * coalesce(pn.ntri, 0) / (deg.deg * (deg.deg - 1)), 6)
+           |    ELSE 0.0 END AS lcc
+           |FROM nation
+           |LEFT JOIN deg ON n_nationkey = deg.v
+           |LEFT JOIN pn ON n_nationkey = pn.tv
+           |ORDER BY nation_key""".stripMargin)
   }
 }

@@ -1922,6 +1922,65 @@ object TextQueries {
       rows.toDF("bin", "n", "n_pos", "pos_rate", "cum_precision",
           "cum_recall")
         .orderBy($"bin".desc)
+    }),
+
+    // INTERPOLATED KNESER-NEY bigram perplexity — the smoothing rung above
+    // q96's add-1 LM (the production n-gram law: Chen & Goodman 1999;
+    // what KenLM ships). Same split and bigram spelling as q96; the model
+    // is KN with absolute discount D = 0.75:
+    //   pc(w2)      = (N1+(·w2) + 1) / (B + V + 1)      — continuation
+    //                 probability, additively floored so unseen words
+    //                 carry 1/(B+V+1) instead of zero mass
+    //   P(w2|w1)    = (max(c12−D, 0) + D·N1+(w1·)·pc(w2)) / c1(w1)
+    //   unseen w1   → pc(w2)
+    // (B = distinct train bigram types, V = distinct continuation types —
+    // q96's stored vocab artifact.) The per-lang ledger reports NLL and
+    // perplexity over the test split's bigrams. Scale shape: the LM IS
+    // the stored c12 artifact (bigramLmIndex, built once per corpus);
+    // heads/continuation tables are type-count-sized regroups of it, and
+    // the scoring pass joins the test explode against them on their keys
+    // — the KenLM query path as relational joins. Ledger memoized (the
+    // stored-eval-report treatment).
+    "q235_kneser_ney" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"kneserney:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      graft.functions.expressions.GraftFunctions.register(s)
+      val pct = md5Pct("", $"doc_id")
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text", pct.as("pct"))
+      def bigrams(d: DataFrame) = d
+        .select($"doc_id", $"lang", explode(wordShingles(tokens($"text"), 2)).as("bg"))
+        .select($"doc_id", $"lang",
+          split($"bg", " ")(0).as("w1"), split($"bg", " ")(1).as("w2"))
+      val (c12Path, _, vPath) =
+        bigramLmIndex(s, dir, () => bigrams(docs.where($"pct" < 0.8)))
+      val c12 = s.read.parquet(c12Path)
+      val heads = c12.groupBy($"w1")
+        .agg(sum($"n12").as("n1"), count(lit(1)).as("n1p"))
+      val cont = c12.groupBy($"w2").agg(count(lit(1)).as("cw"))
+      val bs = c12.agg(count(lit(1)).as("btypes"))
+        .crossJoin(s.read.parquet(vPath)) // (btypes, v)
+      val pcw = (coalesce($"cw", lit(0L)) + lit(1)).cast("double") /
+        ($"btypes" + $"v" + lit(1))
+      val p = when($"n1".isNotNull,
+        (greatest(coalesce($"n12", lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+          lit(0.75) * $"n1p" * pcw) / $"n1")
+        .otherwise(pcw)
+      val rows = bigrams(docs.where($"pct" >= 0.9))
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(heads, Seq("w1"), "left")
+        .join(cont, Seq("w2"), "left")
+        .crossJoin(broadcast(bs))
+        .select($"doc_id", $"lang", log(p).as("lp"))
+        .groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          round(-sum($"lp") / count(lit(1)), 6).as("nll"),
+          round(exp(-sum($"lp") / count(lit(1))), 6).as("ppl"))
+        .orderBy($"lang")
+        .as[(String, Long, Long, Double, Double)].collect().toSeq
+      rows.toDF("lang", "n_docs", "n_bigrams", "nll", "ppl")
+        .orderBy($"lang")
     })
   )
 
@@ -2315,6 +2374,39 @@ object TextQueries {
            |        CAST(row_number() OVER (ORDER BY nll DESC, doc_id ASC) AS INT) rnk
            |      FROM ag ORDER BY nll DESC, doc_id ASC LIMIT 15)
            |SELECT rnk, doc_id, lang, n_bigrams, nll FROM r ORDER BY rnk""".stripMargin,
+      // q235 = interpolated KN with D = 0.75 spelled identically: the
+      // additively-floored continuation probability, the discounted seen
+      // branch, pc backoff on unseen heads; ln() is natural log (DuckDB's
+      // log() is base-10 — the one spelling trap in this family).
+      "q235_kneser_ney" ->
+        s"""WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') toks,
+           |    ${md5PctSql("")} AS pct FROM documents),
+           |bg AS (SELECT doc_id, lang, pct, toks[j+1] w1, toks[j+2] w2
+           |       FROM d, unnest(range(greatest(len(toks)-1, 0))) AS u(j)),
+           |c12 AS (SELECT w1, w2, count(*) n12 FROM bg WHERE pct < 0.8 GROUP BY 1, 2),
+           |h AS (SELECT w1, CAST(sum(n12) AS BIGINT) n1, CAST(count(*) AS BIGINT) n1p
+           |      FROM c12 GROUP BY 1),
+           |ct AS (SELECT w2, CAST(count(*) AS BIGINT) cw FROM c12 GROUP BY 1),
+           |bs AS (SELECT CAST(count(*) AS BIGINT) btypes,
+           |         count(DISTINCT w2) v FROM c12),
+           |sc AS (SELECT t.doc_id, t.lang,
+           |         ln(CASE WHEN h.n1 IS NOT NULL THEN
+           |             (greatest(CAST(coalesce(c12.n12, 0) AS DOUBLE) - 0.75, 0.0)
+           |               + 0.75 * h.n1p *
+           |                 (CAST(coalesce(ct.cw, 0) + 1 AS DOUBLE)
+           |                   / (bs.btypes + bs.v + 1))) / h.n1
+           |           ELSE CAST(coalesce(ct.cw, 0) + 1 AS DOUBLE)
+           |                  / (bs.btypes + bs.v + 1) END) AS lp
+           |       FROM bg t
+           |       LEFT JOIN c12 ON t.w1 = c12.w1 AND t.w2 = c12.w2
+           |       LEFT JOIN h ON t.w1 = h.w1
+           |       LEFT JOIN ct ON t.w2 = ct.w2
+           |       CROSS JOIN bs
+           |       WHERE t.pct >= 0.9)
+           |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+           |  round(-sum(lp) / count(*), 6) AS nll,
+           |  round(exp(-sum(lp) / count(*)), 6) AS ppl
+           |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
       "q50_token_stats" ->
         """WITH d AS (SELECT lang,
           |    len(string_split_regex(trim(text), '\s+')) ws_toks,

@@ -296,4 +296,160 @@ class Round8LawsSpec extends SparkSpec {
     }
     assert(recalls.last == 1.0, "the loosest threshold admits every positive")
   }
+
+  test("q234 SCD2: versions tile, one current row, every event covered") {
+    import spark.implicits._
+    val scd = SparkEntry.queries("q234_scd2_history")(spark, dir)
+    val rows = scd.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"user $u versions must be dense from 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) == b.getTimestamp(3),
+            s"user $u: effective_to must equal the next effective_from")
+          assert(a.getString(2) != b.getString(2),
+            s"user $u: consecutive versions must change the attribute")
+        case _ =>
+      }
+      assert(sorted.count(_.getBoolean(5)) == 1, s"user $u: one current row")
+      assert(sorted.last.isNullAt(4), s"user $u: current row is open-ended")
+    }
+    // reconstruction: every event of the gated users resolves, through the
+    // half-open [from, to) interval covering its ts, to its own type
+    val ev = graft.sources.Tables.events(spark, dir).where($"user_id" < 10)
+    val mismatches = ev.as("e").join(scd.as("h"),
+        col("e.user_id") === col("h.user_id") &&
+          col("e.ts") >= col("h.effective_from") &&
+          (col("h.effective_to").isNull || col("e.ts") < col("h.effective_to")))
+      .where(col("e.event_type") =!= col("h.attr_value"))
+      .count()
+    assert(mismatches == 0L, "SCD2 history must reconstruct the stream")
+  }
+
+  test("q236: oriented wedge count equals brute-force triangle enumeration") {
+    import spark.implicits._
+    // rebuild the same sparsified undirected edge set independently
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val o = graft.sources.Tables.orders(spark, dir)
+    val c = graft.sources.Tables.customer(spark, dir)
+    val sup = graft.sources.Tables.supplier(spark, dir)
+    val te = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val und = te.where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"), $"w")
+      .groupBy($"a", $"b").agg(sum($"w").as("wuv"))
+    val thr = und.agg(expr("percentile(wuv, 0.75D)")).head().getDouble(0)
+    val edges = und.where($"wuv" >= thr).select($"a", $"b")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    // brute force: every a < b < c with all three edges present
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def has(x: Long, y: Long) = edges.contains((math.min(x, y), math.max(x, y)))
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      (a, b, cc) = (nodes(i), nodes(j), nodes(k))
+      if has(a, b) && has(b, cc) && has(a, cc)
+    } { perNode(a) += 1; perNode(b) += 1; perNode(cc) += 1 }
+    val got = SparkEntry.queries("q236_triangle_count")(spark, dir)
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(3)).toMap
+    nodes.foreach { n =>
+      assert(got.getOrElse(n, 0L) == perNode(n),
+        s"node $n: oriented count ${got.get(n)} vs brute ${perNode(n)}")
+    }
+    assert(perNode.values.sum > 0, "fixture graph must contain triangles")
+  }
+
+  test("q237 bucket decomposition equals the direct theta self-join") {
+    import spark.implicits._
+    val sess = SparkEntry.queries("q22_sessionize")(spark, dir)
+      .select($"user_id", $"session_start".as("st"), $"session_end".as("en"))
+    val theta = sess.as("a").join(sess.as("b"),
+        col("a.user_id") < col("b.user_id") &&
+          col("a.st") <= col("b.en") && col("b.st") <= col("a.en"))
+      .groupBy(to_date(greatest(col("a.st"), col("b.st"))).as("day"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q237_interval_overlap")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == theta, "day-bucketed pair counts must match the theta join")
+    assert(got.values.sum > 0, "fixture must contain concurrent sessions")
+  }
+
+  test("q239 closed form equals the sequential SES fold (exactly)") {
+    import spark.implicits._
+    val series = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"day")
+      .collect().map(r => (r.getString(0), r.getLong(2).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expected = series.map { case (t, xs) =>
+      val levels = xs.tail.scanLeft(xs.head)((s, x) => 0.5 * x + 0.5 * s)
+      // one-step-ahead: x_t is forecast by S_{t-1}
+      val errs = xs.drop(1).zip(levels.dropRight(1))
+        .map { case (x, prevS) => math.abs(x - prevS) }
+      // α = 1/2 keeps every intermediate dyadic, so equality is EXACT
+      (t, (xs.length.toLong,
+        BigDecimal(errs.sum / errs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(levels.last).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q239_ses_forecast")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("q235 Kneser-Ney: per-head probability mass conserves exactly") {
+    // THE smoothing correctness law: for a seen head w1, summing
+    // P(w2|w1) over the full continuation vocabulary must give exactly
+    //   1 − D·N1+(w1·) / (c1(w1)·(B+V+1))
+    // — the deficit is precisely the floor mass the model reserves for
+    // out-of-vocabulary continuations. A typo in the discount, the
+    // interpolation weight, or the floor breaks this identity.
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val pct = conv(substring(md5(concat(lit(""), $"doc_id".cast("string"))
+      .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0
+    val bg = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", pct.as("pct"),
+        explode(wordShingles(tokens($"text"), 2)).as("b"))
+      .select($"pct", split($"b", " ")(0).as("w1"), split($"b", " ")(1).as("w2"))
+    val c12 = bg.where($"pct" < 0.8)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n12")).cache()
+    val bTypes = c12.count()
+    val v = c12.select($"w2").distinct().count()
+    val cont = c12.groupBy($"w2").agg(count(lit(1)).as("cw"))
+    val heads = c12.groupBy($"w1")
+      .agg(sum($"n12").as("n1"), count(lit(1)).as("n1p"))
+      .orderBy($"n1".desc, $"w1".asc).limit(3).collect()
+    assert(heads.nonEmpty)
+    heads.foreach { h =>
+      val (w1, n1, n1p) = (h.getString(0), h.getLong(1), h.getLong(2))
+      val denom = (bTypes + v + 1).toDouble
+      val mass = cont
+        .join(c12.where($"w1" === w1).select($"w2", $"n12"), Seq("w2"), "left")
+        .select(sum(
+          when($"n12".isNotNull,
+            (($"n12" - lit(0.75)) + lit(0.75 * n1p) * (($"cw" + 1) / denom)) / n1)
+            .otherwise(lit(0.75 * n1p) * (($"cw" + 1) / denom) / n1))
+          .as("m")).head().getDouble(0)
+      val expectedDeficit = 0.75 * n1p / (n1 * denom)
+      assert(math.abs(mass - (1.0 - expectedDeficit)) < 1e-9,
+        s"head '$w1': mass $mass vs 1 - $expectedDeficit")
+    }
+    // and the shipped ledger stays finite through the continuation floor
+    SparkEntry.queries("q235_kneser_ney")(spark, dir).collect().foreach { r =>
+      val nll = r.getDouble(3)
+      assert(nll > 0.0 && !nll.isInfinite && !nll.isNaN)
+    }
+    c12.unpersist()
+  }
 }

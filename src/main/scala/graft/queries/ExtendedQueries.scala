@@ -1591,6 +1591,108 @@ object ExtendedQueries {
         .orderBy($"event_type", $"hod")
     }),
 
+    // MULTI-TOUCH ATTRIBUTION — the marketing-analytics operator: every
+    // 'purchase' conversion credits the user's preceding 7 days of
+    // non-purchase touches under four models at once — linear (1/k),
+    // first-touch, last-touch, U-shaped (40/40/20, degenerating to 100%
+    // at k=1 and 50/50 at k=2). Touch order is the (ts, event_id) law;
+    // "before" is strict. Scale shape: ONE shuffle on user_id joins
+    // conversions to candidate touches (both sides of the same
+    // user-clustered log — the join reuses byUser's partitioning), the
+    // 7-day predicate bounds per-conversion fan-out by the user's weekly
+    // activity, and the rank window partitions by conversion. The 5-row
+    // channel ledger is a stored report (memoized).
+    "q240_attribution" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"attrib:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val ev = EventStats.byUser(s, dir)
+      val conv = ev.where($"event_type" === "purchase")
+        .select($"user_id".as("cu"), $"event_id".as("conv_id"),
+          $"ts".as("cts"), $"value".as("cval"))
+      val touch = ev.where($"event_type" =!= "purchase")
+        .select($"user_id", $"event_type".as("channel"),
+          $"event_id".as("tid"), $"ts".as("tts"))
+      val joined = conv.join(touch,
+        $"cu" === $"user_id" && $"tts" < $"cts" &&
+          $"tts" >= $"cts" - expr("interval 7 days"))
+      val wAsc = Window.partitionBy($"conv_id").orderBy($"tts".asc, $"tid".asc)
+      val ranked = joined
+        .withColumn("rk", row_number().over(wAsc))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy($"conv_id")))
+      val u = when($"k" === 1, lit(1.0))
+        .when($"k" === 2, lit(0.5))
+        .when($"rk" === 1 || $"rk" === $"k", lit(0.4))
+        .otherwise(lit(0.2) / ($"k" - 2))
+      ranked
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum($"cval" / $"k"), 6).as("linear_credit"),
+          round(sum(when($"rk" === 1, $"cval").otherwise(lit(0.0))), 6)
+            .as("first_credit"),
+          round(sum(when($"rk" === $"k", $"cval").otherwise(lit(0.0))), 6)
+            .as("last_credit"),
+          round(sum($"cval" * u), 6).as("u_credit"))
+        .orderBy($"channel")
+        .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+        .toDF("channel", "n_touches", "linear_credit", "first_credit",
+          "last_credit", "u_credit")
+        .orderBy($"channel")
+    }),
+
+    // KAPLAN-MEIER SURVIVAL — time-to-conversion under RIGHT CENSORING
+    // (the law naive "avg days to purchase" analytics get wrong: users
+    // who never converted are information, not discards). Subject =
+    // user, origin = first event, event-of-interest = FIRST 'purchase';
+    // a user with no purchase is censored at the corpus horizon. At each
+    // conversion time t (days, floored):
+    //   n_risk(t) = subjects still unconverted and uncensored before t
+    //   S(t)      = Π_{t_i <= t} (1 − d_i / n_i)
+    // spelled as exp of the ordered cumulative sum of ln(1 − d/n) — the
+    // same deterministic ordered-window float treatment as q96. Scale
+    // shape: per-user (first, first-purchase) folds on the byUser
+    // clustered cache (no exchange), then all window work happens on the
+    // duration-grain table (≤ horizon-days rows). The survival curve is
+    // a published report (memoized local relation).
+    "q241_kaplan_meier" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"km:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val horizon = Tables.events(s, dir).agg(max($"ts").as("hmax"))
+      val life = EventStats.byUser(s, dir)
+        .groupBy($"user_id")
+        .agg(min($"ts").as("first_ts"),
+          min(when($"event_type" === "purchase", $"ts")).as("conv_ts"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          floor((unix_micros(coalesce($"conv_ts", $"hmax")) -
+            unix_micros($"first_ts")) / lit(86400000000L)).as("dur"),
+          $"conv_ts".isNull.as("censored"))
+      val byDur = life.groupBy($"dur")
+        .agg(sum(when(!$"censored", 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("total"))
+      val wAsc = Window.orderBy($"dur".asc)
+      val cumBefore = coalesce(
+        sum($"total").over(wAsc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))
+      val n = sum($"total").over(Window.partitionBy())
+      byDur
+        .withColumn("n_risk", n - cumBefore)
+        .where($"d" > 0)
+        // only the FINAL churn time can exhaust the risk set (d = n_risk);
+        // its factor is exactly 0 — taken outside the log-sum, because
+        // ln(0) is null in Spark and ±inf elsewhere (engine-divergent)
+        .withColumn("lnft", when($"d" < $"n_risk",
+          log(lit(1.0) - $"d".cast("double") / $"n_risk")))
+        .withColumn("survival", when($"d" === $"n_risk", lit(0.0)).otherwise(
+          exp(sum($"lnft").over(
+            wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))))
+        .select($"dur".as("t_days"), $"n_risk", $"d".as("n_events"),
+          round($"survival", 6).as("survival"))
+        .orderBy($"t_days")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .toDF("t_days", "n_risk", "n_events", "survival")
+        .orderBy($"t_days")
+    }),
+
     // EXPONENTIAL-SMOOTHING FORECAST BACKTEST — simple exponential
     // smoothing (S_t = α·x_t + (1−α)·S_{t−1}, S_1 = x_1) over each type's
     // observed-day count series, evaluated one-step-ahead (forecast for
@@ -2458,6 +2560,67 @@ object ExtendedQueries {
         |    / (c.n + 50.0), 6) AS enc
         |FROM cells c JOIN t USING (event_type) CROSS JOIN g
         |ORDER BY event_type, hod""".stripMargin,
+    // q240 = the same four credit models in one pass: strict-before
+    // 7-day window, (tts, tid) touch order, U-weights degenerating at
+    // k = 1 and k = 2.
+    "q240_attribution" ->
+      """WITH conv AS (SELECT user_id cu, event_id conv_id, ts cts, value cval
+        |              FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type channel, event_id tid, ts tts
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT conv.conv_id, conv.cval, t.channel, t.tid, t.tts
+        |      FROM conv JOIN t ON t.user_id = conv.cu
+        |        AND t.tts < conv.cts AND t.tts >= conv.cts - INTERVAL 7 DAY),
+        |r AS (SELECT channel, cval,
+        |        CAST(row_number() OVER (PARTITION BY conv_id
+        |          ORDER BY tts ASC, tid ASC) AS BIGINT) rk,
+        |        count(*) OVER (PARTITION BY conv_id) k
+        |      FROM j),
+        |c AS (SELECT channel, cval, rk, k,
+        |        CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+        |             WHEN rk = 1 OR rk = k THEN 0.4
+        |             ELSE 0.2 / (k - 2) END uw
+        |      FROM r)
+        |SELECT channel, count(*) AS n_touches,
+        |  round(sum(cval / k), 6) AS linear_credit,
+        |  round(sum(CASE WHEN rk = 1 THEN cval ELSE 0.0 END), 6) AS first_credit,
+        |  round(sum(CASE WHEN rk = k THEN cval ELSE 0.0 END), 6) AS last_credit,
+        |  round(sum(cval * uw), 6) AS u_credit
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
+    // q241 = the estimator law verbatim: risk set by duration, ordered
+    // log-sum product, the risk-exhausting final time taken outside the
+    // logs (ln(0) is engine-divergent).
+    "q241_kaplan_meier" ->
+      """WITH h AS (SELECT max(ts) hmax FROM events),
+        |life AS (SELECT
+        |           CAST(floor((epoch_us(coalesce(
+        |               min(CASE WHEN event_type = 'purchase' THEN ts END),
+        |               (SELECT hmax FROM h))) - epoch_us(min(ts)))
+        |             / 86400000000) AS BIGINT) dur,
+        |           (min(CASE WHEN event_type = 'purchase' THEN ts END) IS NULL)
+        |             censored
+        |         FROM events GROUP BY user_id),
+        |bd AS (SELECT dur,
+        |         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) d,
+        |         CAST(count(*) AS BIGINT) total
+        |       FROM life GROUP BY 1),
+        |w AS (SELECT dur, d, total,
+        |        CAST((SELECT sum(total) FROM bd)
+        |          - coalesce(sum(total) OVER (ORDER BY dur ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) n_risk
+        |      FROM bd),
+        |s AS (SELECT dur, n_risk, d,
+        |        CASE WHEN d = n_risk THEN 0.0 ELSE
+        |          exp(sum(CASE WHEN d < n_risk
+        |                THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+        |            OVER (ORDER BY dur ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        END survival
+        |      FROM w WHERE d > 0)
+        |SELECT dur AS t_days, n_risk, d AS n_events,
+        |  round(survival, 6) AS survival
+        |FROM s ORDER BY t_days""".stripMargin,
     // q239 = the dyadic closed form verbatim: g_t = x·2^t cumulated, the
     // α=1/2 level recovered by exact power-of-two scaling.
     "q239_ses_forecast" ->

@@ -406,6 +406,69 @@ class Round8LawsSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("q240 attribution: every model distributes exactly the converted value") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q240_attribution")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val (lin, fst, lst, u) = (rows.map(_.getDouble(2)).sum,
+      rows.map(_.getDouble(3)).sum, rows.map(_.getDouble(4)).sum,
+      rows.map(_.getDouble(5)).sum)
+    // conservation: each model's total credit = total value of conversions
+    // that HAD at least one touch in the 7-day window
+    val ev = graft.sources.Tables.events(spark, dir)
+    val conv = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("cu"), $"event_id".as("cid"), $"ts".as("cts"),
+        $"value".as("cval"))
+    val touched = conv.join(
+        ev.where($"event_type" =!= "purchase")
+          .select($"user_id", $"ts".as("tts")),
+        $"cu" === $"user_id" && $"tts" < $"cts" &&
+          $"tts" >= $"cts" - expr("interval 7 days"), "left_semi")
+      .agg(sum($"cval")).head().getDouble(0)
+    Seq("linear" -> lin, "first" -> fst, "last" -> lst, "u" -> u).foreach {
+      case (m, tot) => assert(math.abs(tot - touched) < 1e-4,
+        s"$m model must conserve value: $tot vs $touched")
+    }
+  }
+
+  test("q241 Kaplan-Meier equals an independent sequential estimator") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val hmax = ev.agg(max($"ts")).head().getTimestamp(0).getTime
+    val subj = ev.groupBy($"user_id")
+      .agg(min($"ts").as("f"),
+        min(when($"event_type" === "purchase", $"ts")).as("c"))
+      .collect().map { r =>
+        val f = r.getTimestamp(1).getTime
+        val cOpt = Option(r.getTimestamp(2)).map(_.getTime)
+        val dur = math.floor((cOpt.getOrElse(hmax) - f) / 86400000.0).toLong
+        (dur, cOpt.isEmpty) // (duration days, censored)
+      }
+    var atRisk = subj.length.toLong
+    var surv = 1.0
+    val expected = subj.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (t, grp) =>
+        val d = grp.count(!_._2).toLong
+        val out = if (d > 0) {
+          surv = if (d == atRisk) 0.0 else surv * (1.0 - d.toDouble / atRisk)
+          Some((t, atRisk, d,
+            BigDecimal(surv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        } else None
+        atRisk -= grp.length
+        out
+    }
+    val got = SparkEntry.queries("q241_kaplan_meier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // float tolerance: the query multiplies via exp∘Σln, the reference
+    // multiplies directly — identical to well past 6 dp on this data
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) <= 1e-6, s"survival at t=${g._1}: ${g._4} vs ${e._4}")
+    }
+    assert(got.nonEmpty && got.last._4 >= 0.0)
+  }
+
   test("q235 Kneser-Ney: per-head probability mass conserves exactly") {
     // THE smoothing correctness law: for a seen head w1, summing
     // P(w2|w1) over the full continuation vocabulary must give exactly

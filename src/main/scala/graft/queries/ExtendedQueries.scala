@@ -1591,6 +1591,48 @@ object ExtendedQueries {
         .orderBy($"event_type", $"hod")
     }),
 
+    // NEXT-EVENT BASELINE EVAL — the train/test discipline applied to the
+    // q86 Markov machinery: fit the argmax-next-type predictor on
+    // transitions whose TARGET lands before the time split (2024-01-25),
+    // grade it on the transitions at/after it. This is the "always
+    // predict the mode" baseline every sequence model must beat, and its
+    // per-context accuracy table is the go/no-go artifact. Ties in the
+    // argmax break on (count desc, type asc) — pinned. Scale shape: one
+    // lead() pass on the byUser clustered cache (no exchange), a
+    // |types|²-bounded model table joined back as a broadcast, and a
+    // types-grain ledger — a model-eval REPORT, memoized like its peers.
+    "q243_next_event_baseline" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"nextev:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val split = lit("2024-01-25").cast("timestamp")
+      val trans = EventStats.byUser(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .withColumn("next_ts", lead($"ts", 1).over(w))
+        .where($"next_type".isNotNull)
+      val wArg = Window.partitionBy($"event_type")
+        .orderBy($"n".desc, $"next_type".asc)
+      val model = trans.where($"next_ts" < split)
+        .groupBy($"event_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wArg))
+        .where($"rk" === 1)
+        .select($"event_type", $"next_type".as("predicted"))
+      trans.where($"next_ts" >= split)
+        .join(broadcast(model), Seq("event_type"), "left")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_test"),
+          max($"predicted").as("predicted"),
+          sum(when($"next_type" === $"predicted", 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy", round($"n_correct" * lit(1.0) / $"n_test", 6))
+        .orderBy($"event_type")
+        .as[(String, Long, String, Long, Double)].collect().toSeq
+        .toDF("event_type", "n_test", "predicted", "n_correct", "accuracy")
+        .orderBy($"event_type")
+    }),
+
     // MULTI-TOUCH ATTRIBUTION — the marketing-analytics operator: every
     // 'purchase' conversion credits the user's preceding 7 days of
     // non-purchase touches under four models at once — linear (1/k),
@@ -2560,6 +2602,30 @@ object ExtendedQueries {
         |    / (c.n + 50.0), 6) AS enc
         |FROM cells c JOIN t USING (event_type) CROSS JOIN g
         |ORDER BY event_type, hod""".stripMargin,
+    // q243 = same split/argmax/tie law: model from pre-split targets,
+    // graded on post-split transitions.
+    "q243_next_event_baseline" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w next_type,
+        |    lead(ts, 1) OVER w next_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |tr AS (SELECT * FROM t WHERE next_type IS NOT NULL),
+        |m AS (SELECT event_type, next_type predicted FROM (
+        |    SELECT event_type, next_type, count(*) n,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY count(*) DESC, next_type ASC) rk
+        |    FROM tr WHERE next_ts < TIMESTAMP '2024-01-25'
+        |    GROUP BY 1, 2) WHERE rk = 1),
+        |te AS (SELECT tr.event_type, tr.next_type, m.predicted
+        |       FROM tr LEFT JOIN m USING (event_type)
+        |       WHERE tr.next_ts >= TIMESTAMP '2024-01-25')
+        |SELECT event_type, count(*) AS n_test, max(predicted) AS predicted,
+        |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) * 1.0
+        |    / count(*), 6) AS accuracy
+        |FROM te GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q240 = the same four credit models in one pass: strict-before
     // 7-day window, (tts, tid) touch order, U-weights degenerating at
     // k = 1 and k = 2.

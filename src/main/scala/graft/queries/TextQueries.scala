@@ -1924,6 +1924,55 @@ object TextQueries {
         .orderBy($"bin".desc)
     }),
 
+    // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010) — the unsupervised
+    // keyphrase operator a curation/indexing pass runs: candidate phrases
+    // are maximal stopword-delimited token runs (capped at 4 tokens; the
+    // 6-stopword gate set is the delimiter law, same set as the profile
+    // cache's n_stop), word scores are degree/frequency over candidate
+    // occurrences (degree = Σ run length), and a phrase scores the sum of
+    // its words' scores. Scores round to 6 dp BEFORE ranking so float
+    // jitter between engines cannot flip ties; ties break on phrase asc.
+    // Scale shape: one posexplode over the shared profile cache, per-DOC
+    // windows (bounded by doc length), a vocabulary-sized word-stat table
+    // joined back on its key, and a top-15 ledger (memoized report).
+    "q242_rake_keyphrases" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"rake:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val stops = Seq("the", "a", "of", "and", "to", "is")
+      val pos = DocProfiles.profiled(s, dir)
+        .select($"doc_id", posexplode($"toks").as(Seq("pos", "w")))
+      val wRun = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      val marked = pos
+        .withColumn("stop", $"w".isin(stops: _*))
+        .withColumn("run_id",
+          sum(when($"stop", 1).otherwise(0)).over(wRun))
+        .where(!$"stop")
+        .select($"doc_id", $"run_id", $"pos", $"w")
+      val runs = marked.groupBy($"doc_id", $"run_id")
+        .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"w"))),
+          x => x("w")), " ").as("phrase"), count(lit(1)).as("len"))
+        .where($"len" <= 4)
+      val tok = marked.join(runs.select($"doc_id", $"run_id", $"len"),
+        Seq("doc_id", "run_id"))
+      val wstat = tok.groupBy($"w")
+        .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      val phScore = tok.join(wstat, Seq("w"))
+        .groupBy($"doc_id", $"run_id")
+        .agg(sum($"deg" * lit(1.0) / $"freq").as("sc"))
+      runs.join(phScore, Seq("doc_id", "run_id"))
+        .groupBy($"phrase")
+        .agg(count(lit(1)).as("n_occ"), round(max($"sc"), 6).as("score"))
+        .orderBy($"score".desc, $"phrase".asc)
+        .limit(15)
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"score".desc, $"phrase".asc)))
+        .select($"rk", $"phrase", $"n_occ", $"score")
+        .orderBy($"rk")
+        .as[(Int, String, Long, Double)].collect().toSeq
+        .toDF("rk", "phrase", "n_occ", "score")
+        .orderBy($"rk")
+    }),
+
     // INTERPOLATED KNESER-NEY bigram perplexity — the smoothing rung above
     // q96's add-1 LM (the production n-gram law: Chen & Goodman 1999;
     // what KenLM ships). Same split and bigram spelling as q96; the model
@@ -2374,6 +2423,39 @@ object TextQueries {
            |        CAST(row_number() OVER (ORDER BY nll DESC, doc_id ASC) AS INT) rnk
            |      FROM ag ORDER BY nll DESC, doc_id ASC LIMIT 15)
            |SELECT rnk, doc_id, lang, n_bigrams, nll FROM r ORDER BY rnk""".stripMargin,
+      // q242 = RAKE verbatim: stopword-cumsum run ids, ≤4-token runs,
+      // deg/freq word scores, 6 dp rounding BEFORE the rank.
+      "q242_rake_keyphrases" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks
+          |           FROM documents),
+          |p AS (SELECT doc_id, j + 1 pos, toks[j+1] w
+          |      FROM t, unnest(range(len(toks))) AS u(j)),
+          |r AS (SELECT doc_id, pos, w,
+          |        (w IN ('the','a','of','and','to','is')) stop,
+          |        sum(CASE WHEN w IN ('the','a','of','and','to','is')
+          |            THEN 1 ELSE 0 END)
+          |          OVER (PARTITION BY doc_id ORDER BY pos ASC) run_id
+          |      FROM p),
+          |tk AS (SELECT doc_id, run_id, pos, w FROM r WHERE NOT stop),
+          |runs AS (SELECT doc_id, run_id,
+          |           string_agg(w, ' ' ORDER BY pos) phrase,
+          |           CAST(count(*) AS BIGINT) len
+          |         FROM tk GROUP BY 1, 2 HAVING count(*) <= 4),
+          |tok AS (SELECT tk.doc_id, tk.run_id, tk.w, runs.len
+          |        FROM tk JOIN runs USING (doc_id, run_id)),
+          |ws AS (SELECT w, CAST(count(*) AS BIGINT) freq,
+          |         CAST(sum(len) AS BIGINT) deg
+          |       FROM tok GROUP BY 1),
+          |ps AS (SELECT doc_id, run_id, sum(deg * 1.0 / freq) sc
+          |       FROM tok JOIN ws USING (w) GROUP BY 1, 2),
+          |ph AS (SELECT phrase, CAST(count(*) AS BIGINT) n_occ,
+          |         round(max(sc), 6) score
+          |       FROM runs JOIN ps USING (doc_id, run_id) GROUP BY 1),
+          |top AS (SELECT phrase, n_occ, score FROM ph
+          |        ORDER BY score DESC, phrase ASC LIMIT 15)
+          |SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase ASC) AS INT)
+          |    rk, phrase, n_occ, score
+          |FROM top ORDER BY rk""".stripMargin,
       // q235 = interpolated KN with D = 0.75 spelled identically: the
       // additively-floored continuation probability, the discounted seen
       // branch, pc backoff on unseen heads; ln() is natural log (DuckDB's

@@ -469,6 +469,53 @@ class Round8LawsSpec extends SparkSpec {
     assert(got.nonEmpty && got.last._4 >= 0.0)
   }
 
+  test("q242 RAKE: phrases are stopword-free runs, scores bound below by length") {
+    val stops = Set("the", "a", "of", "and", "to", "is")
+    val rows = SparkEntry.queries("q242_rake_keyphrases")(spark, dir).collect()
+    assert(rows.length > 0 && rows.length <= 15)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (phrase, score) = (r.getString(1), r.getDouble(3))
+      val words = phrase.split(" ")
+      assert(words.length >= 1 && words.length <= 4, s"run cap: '$phrase'")
+      assert(words.forall(w => !stops.contains(w)), s"stopword leaked: '$phrase'")
+      // every word's deg/freq >= 1 (each occurrence contributes len >= 1),
+      // so a phrase's score is at least its word count
+      assert(score >= words.length - 1e-9, s"'$phrase' score $score < ${words.length}")
+      assert(score <= prev + 1e-9, "ledger must be score-descending")
+      prev = score
+    }
+  }
+
+  test("q243 equals a driver-side argmax baseline, transition for transition") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getString(3)))
+    val split = java.sql.Timestamp.valueOf("2024-01-25 00:00:00").getTime
+    val trans = ev.groupBy(_._1).values.flatMap { rs =>
+      rs.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4, b._2) // (type, next, next_ts)
+      }
+    }.toSeq
+    val model = trans.filter(_._3 < split).groupBy(_._1).map { case (t, g) =>
+      t -> g.groupBy(_._2).toSeq
+        .map { case (nt, o) => (nt, o.size) }
+        .minBy { case (nt, n) => (-n, nt) }._1
+    }
+    val expected = trans.filter(_._3 >= split).groupBy(_._1).map { case (t, g) =>
+      val correct = g.count(x => model.get(t).contains(x._2))
+      t -> (g.size.toLong, model.get(t).orNull, correct.toLong,
+        BigDecimal(correct.toDouble / g.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("q243_next_event_baseline")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("q235 Kneser-Ney: per-head probability mass conserves exactly") {
     // THE smoothing correctness law: for a seen head w1, summing
     // P(w2|w1) over the full continuation vocabulary must give exactly

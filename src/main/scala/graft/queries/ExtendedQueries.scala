@@ -1681,6 +1681,89 @@ object ExtendedQueries {
         .orderBy($"channel")
     }),
 
+    // MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven model above
+    // q240's heuristics (Anderl et al. 2014): user journeys become a
+    // first-order absorbing chain (START → channels → CONV/NULL; a
+    // purchase closes a journey, trailing events fall to NULL), each
+    // channel's removal effect is how much the START→CONV absorption
+    // probability drops when transitions INTO that channel are redirected
+    // to NULL, and converted value splits by normalized removal effects.
+    // Absorption probabilities run k = 80 fixed-point steps with
+    // per-step 12 dp rounding — the q89 treatment, mirrored verbatim by
+    // the oracle's recursive CTE, so both engines walk the same orbit.
+    // Scale shape: journey/transition extraction is two window passes on
+    // the byUser clustered cache; everything after the groupBy is
+    // |states|²-bounded metadata (collected like q121's literals), so the
+    // 80×5 iteration costs nothing at any corpus size.
+    "q244_markov_attribution" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"markov:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val ev = EventStats.byUser(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+        .withColumn("jid", coalesce(
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wj = Window.partitionBy($"user_id", $"jid")
+        .orderBy($"ts".asc, $"event_id".asc)
+      val wjDesc = Window.partitionBy($"user_id", $"jid")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val ch = ev.where($"event_type" =!= "purchase")
+        .withColumn("prev", lag($"event_type", 1).over(wj))
+        .withColumn("rnd", row_number().over(wjDesc))
+      val convj = ev.where($"event_type" === "purchase")
+        .select($"user_id", $"jid").distinct()
+      val lastCh = ch.where($"rnd" === 1)
+        .select($"user_id", $"jid", $"event_type".as("lastch"))
+      val t1 = ch.select(coalesce($"prev", lit("START")).as("src"),
+        $"event_type".as("dst"))
+      val t2 = lastCh
+        .join(convj.withColumn("has", lit(true)), Seq("user_id", "jid"), "left")
+        .select($"lastch".as("src"),
+          when($"has", "CONV").otherwise("NULL").as("dst"))
+      val t3 = convj.join(lastCh, Seq("user_id", "jid"), "left_anti")
+        .select(lit("START").as("src"), lit("CONV").as("dst"))
+      val m = t1.unionAll(t2).unionAll(t3)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          $"n" * lit(1.0) / sum($"n").over(Window.partitionBy($"src")))
+        .select($"src", $"dst", $"p")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      val totalValue = ev.where($"event_type" === "purchase")
+        .agg(sum($"value".cast("decimal(18,6)")).cast("double"))
+        .head().getDouble(0)
+      def r12(x: Double) =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val states = Seq("START", "click", "error", "signup", "view")
+      val bySrc = m.groupBy(_._1)
+      def absorb(removed: String): Double = {
+        var p = states.map(_ -> 0.0).toMap
+        for (_ <- 1 to 80) p = states.map { st =>
+          st -> r12(bySrc.getOrElse(st, Array.empty[(String, String, Double)])
+            .map { case (_, dst, pr) =>
+              if (dst == "CONV") pr
+              else if (dst == "NULL" || dst == removed) 0.0
+              else pr * p(dst)
+            }.sum)
+        }.toMap
+        p("START")
+      }
+      val base = absorb("none")
+      val res = Seq("click", "error", "signup", "view")
+        .map(c => (c, r6(1.0 - absorb(c) / base)))
+      val sumRe = res.map(_._2).sum
+      res.map { case (c, re) =>
+        val share = r6(re / sumRe)
+        (c, re, share,
+          BigDecimal(share * totalValue)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("channel", "removal_effect", "attribution_share",
+        "attributed_value")
+        .orderBy($"channel")
+    }),
+
     // KAPLAN-MEIER SURVIVAL — time-to-conversion under RIGHT CENSORING
     // (the law naive "avg days to purchase" analytics get wrong: users
     // who never converted are information, not discards). Subject =
@@ -1769,7 +1852,78 @@ object ExtendedQueries {
     })
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    // q244's recursive step for one state: Σ over the state's out-edges of
+    // p × (1 for CONV, 0 for NULL or the removed channel, else the
+    // previous iteration's value) — rounded 12 dp per step, exactly the
+    // Spark-side Scala fold.
+    def mstep(st: String): String =
+      s"""round(coalesce((SELECT sum(m.p * CASE
+         |      WHEN m.dst = 'CONV' THEN 1.0
+         |      WHEN m.dst = 'NULL' OR m.dst = rec.removed THEN 0.0
+         |      WHEN m.dst = 'click' THEN p_click
+         |      WHEN m.dst = 'error' THEN p_error
+         |      WHEN m.dst = 'signup' THEN p_signup
+         |      WHEN m.dst = 'view' THEN p_view END)
+         |    FROM m WHERE m.src = '$st'), 0.0), 12)""".stripMargin
+    Map(
+    // q244 = the same chain, the same 80-step orbit: journey ids from the
+    // exclusive purchase cumsum, transitions unioned, the recursive CTE
+    // carrying the full p-vector per removal.
+    "q244_markov_attribution" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT user_id, ts, event_id, event_type,
+         |        coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) jid
+         |      FROM events),
+         |ch AS (SELECT user_id, jid, event_type,
+         |         lag(event_type) OVER wj prev,
+         |         row_number() OVER (PARTITION BY user_id, jid
+         |           ORDER BY ts DESC, event_id DESC) rnd
+         |       FROM e WHERE event_type <> 'purchase'
+         |       WINDOW wj AS (PARTITION BY user_id, jid ORDER BY ts ASC, event_id ASC)),
+         |convj AS (SELECT DISTINCT user_id, jid FROM e WHERE event_type = 'purchase'),
+         |lastch AS (SELECT user_id, jid, event_type lastch FROM ch WHERE rnd = 1),
+         |tr AS (
+         |  SELECT coalesce(prev, 'START') src, event_type dst FROM ch
+         |  UNION ALL
+         |  SELECT l.lastch, CASE WHEN c.user_id IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+         |  FROM lastch l LEFT JOIN convj c ON l.user_id = c.user_id AND l.jid = c.jid
+         |  UNION ALL
+         |  SELECT 'START', 'CONV' FROM convj c
+         |  WHERE NOT EXISTS (SELECT 1 FROM lastch l
+         |                    WHERE l.user_id = c.user_id AND l.jid = c.jid)),
+         |m AS MATERIALIZED (
+         |  SELECT src, dst, count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY src) p
+         |  FROM tr GROUP BY src, dst),
+         |rec AS (
+         |  SELECT removed, 0 k, CAST(0.0 AS DOUBLE) p_start,
+         |         CAST(0.0 AS DOUBLE) p_click, CAST(0.0 AS DOUBLE) p_error,
+         |         CAST(0.0 AS DOUBLE) p_signup, CAST(0.0 AS DOUBLE) p_view
+         |  FROM (VALUES ('none'), ('click'), ('error'), ('signup'), ('view'))
+         |    rv(removed)
+         |  UNION ALL
+         |  SELECT removed, k + 1,
+         |    ${mstep("START")},
+         |    ${mstep("click")},
+         |    ${mstep("error")},
+         |    ${mstep("signup")},
+         |    ${mstep("view")}
+         |  FROM rec WHERE k < 80),
+         |fin AS (SELECT removed, p_start FROM rec WHERE k = 80),
+         |re AS (SELECT removed channel,
+         |         round(1.0 - p_start / (SELECT p_start FROM fin
+         |                                WHERE removed = 'none'), 6) re
+         |       FROM fin WHERE removed <> 'none'),
+         |tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) tv
+         |        FROM events WHERE event_type = 'purchase'),
+         |sre AS (SELECT sum(re) sr FROM re)
+         |SELECT channel, re AS removal_effect,
+         |  round(re / (SELECT sr FROM sre), 6) AS attribution_share,
+         |  round(round(re / (SELECT sr FROM sre), 6) * (SELECT tv FROM tot), 4)
+         |    AS attributed_value
+         |FROM re ORDER BY channel""".stripMargin,
     // The Neyman law from the same exact DECIMAL moments; per-stratum
     // weights 6dp-rounded then DECIMAL-summed so the total is order-free.
     // q220: 11 per-column branches over ONE table, same type-to-double
@@ -2714,5 +2868,6 @@ object ExtendedQueries {
         |  round(avg(abs(err)), 6) AS mae,
         |  round(max_by(s_lvl, rn), 6) AS next_forecast
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
-  )
+    )
+  }
 }

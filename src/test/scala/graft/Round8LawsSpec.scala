@@ -516,6 +516,69 @@ class Round8LawsSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("q244 Markov attribution: matches the exact linear solve; value conserves") {
+    import spark.implicits._
+    // independent journey/transition derivation, driver-side
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val trans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    ev.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var prev: Option[String] = None // last channel in the open journey
+      sorted.foreach { r =>
+        if (r._4 == "purchase") {
+          trans += ((prev.getOrElse("START"), "CONV"))
+          prev = None
+        } else {
+          trans += ((prev.getOrElse("START"), r._4))
+          prev = Some(r._4)
+        }
+      }
+      if (prev.isDefined) trans += ((prev.get, "NULL"))
+    }
+    val counts = trans.groupBy(_._1).flatMap { case (src, g) =>
+      val tot = g.size.toDouble
+      g.groupBy(_._2).map { case (dst, o) => (src, dst) -> (o.size / tot) }
+    }
+    val states = Seq("START", "click", "error", "signup", "view")
+    def solve(removed: String): Double = {
+      val n = states.length
+      val a = Array.tabulate(n, n)((i, j) =>
+        (if (i == j) 1.0 else 0.0) -
+          (if (states(j) == removed) 0.0
+           else counts.getOrElse((states(i), states(j)), 0.0)))
+      val b = Array.tabulate(n)(i => counts.getOrElse((states(i), "CONV"), 0.0))
+      for (col <- 0 until n) { // gaussian elimination, partial pivot
+        val piv = (col until n).maxBy(r => math.abs(a(r)(col)))
+        val (ta, tb) = (a(col), b(col)); a(col) = a(piv); b(col) = b(piv)
+        a(piv) = ta; b(piv) = tb
+        for (r <- 0 until n if r != col && a(r)(col) != 0.0) {
+          val f = a(r)(col) / a(col)(col)
+          for (c <- 0 until n) a(r)(c) -= f * a(col)(c)
+          b(r) -= f * b(col)
+        }
+      }
+      b(0) / a(0)(0) // START
+    }
+    val base = solve("none")
+    assert(base > 0.0 && base < 1.0)
+    val got = SparkEntry.queries("q244_markov_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq("click", "error", "signup", "view"))
+    got.foreach { case (c, re, _, _) =>
+      val exact = 1.0 - solve(c) / base
+      assert(math.abs(re - exact) < 1e-5,
+        s"$c: 80-step orbit $re vs exact solve $exact")
+    }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 2e-5, "shares sum to 1")
+    val totalValue = ev.filter(_._4 == "purchase").map(_._5).sum
+    assert(math.abs(got.map(_._4).sum - totalValue) < totalValue * 1e-4,
+      s"attributed ${got.map(_._4).sum} vs converted $totalValue")
+  }
+
   test("q235 Kneser-Ney: per-head probability mass conserves exactly") {
     // THE smoothing correctness law: for a seen head w1, summing
     // P(w2|w1) over the full continuation vocabulary must give exactly

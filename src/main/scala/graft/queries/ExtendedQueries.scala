@@ -1591,6 +1591,40 @@ object ExtendedQueries {
         .orderBy($"event_type", $"hod")
     }),
 
+    // RFM SEGMENTATION — the classic customer-value grid: per user,
+    // recency (days from last event to the corpus horizon), frequency
+    // (event count) and monetary (exact DECIMAL value sum) each quintile-
+    // scored with ntile(5) under a PINNED total order (metric, then
+    // user_id — ntile is position-based, so the tiebreak IS the law;
+    // score 5 = most recent / most frequent / highest value). Ledger =
+    // the populated (r, f, m) cells with user counts and average value.
+    // Scale shape: one fold on the byUser clustered cache (no exchange)
+    // collapses to a users-grain table; the three ntile windows and the
+    // cell rollup all run at that grain.
+    "q246_rfm_segments" -> ((s, dir) => {
+      import s.implicits._
+      val horizon = Tables.events(s, dir).agg(max($"ts").as("hmax"))
+      val u = EventStats.byUser(s, dir)
+        .groupBy($"user_id")
+        .agg(max($"ts").as("last_ts"), count(lit(1)).as("freq"),
+          sum($"value".cast("decimal(18,6)")).as("mon"))
+        .crossJoin(broadcast(horizon))
+        .select($"user_id", $"freq", $"mon".cast("double").as("monetary"),
+          floor((unix_micros($"hmax") - unix_micros($"last_ts")) /
+            lit(86400000000L)).as("recency_days"))
+      val scored = u
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy($"recency_days".desc, $"user_id".asc)))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy($"freq".asc, $"user_id".asc)))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy($"monetary".asc, $"user_id".asc)))
+      scored.groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg($"monetary"), 6).as("avg_monetary"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    }),
+
     // NEXT-EVENT BASELINE EVAL — the train/test discipline applied to the
     // q86 Markov machinery: fit the argmax-next-type predictor on
     // transitions whose TARGET lands before the time split (2024-01-25),
@@ -2756,6 +2790,26 @@ object ExtendedQueries {
         |    / (c.n + 50.0), 6) AS enc
         |FROM cells c JOIN t USING (event_type) CROSS JOIN g
         |ORDER BY event_type, hod""".stripMargin,
+    // q246 = the same pinned-order quintiles (ntile is position-based;
+    // the user_id tiebreak makes it engine-portable).
+    "q246_rfm_segments" ->
+      """WITH h AS (SELECT max(ts) hmax FROM events),
+        |u AS (SELECT user_id, count(*) freq,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) monetary,
+        |        CAST(floor(((SELECT epoch_us(hmax) FROM h) - epoch_us(max(ts)))
+        |          / 86400000000) AS BIGINT) recency_days
+        |      FROM events GROUP BY user_id),
+        |sc AS (SELECT
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS INT)
+        |      r_score,
+        |    CAST(ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS INT) f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id ASC) AS INT)
+        |      m_score,
+        |    monetary
+        |  FROM u)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  round(avg(monetary), 6) AS avg_monetary
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // q243 = same split/argmax/tie law: model from pre-split targets,
     // graded on post-split transitions.
     "q243_next_event_baseline" ->

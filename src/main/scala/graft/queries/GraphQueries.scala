@@ -135,6 +135,55 @@ object GraphQueries {
         .orderBy($"out_deg")
     }),
 
+    // HITS HUBS & AUTHORITIES (Kleinberg) — the second classic spectral
+    // ranking, complementing q89's PageRank: authority(v) = Σ hub(u) over
+    // in-edges, hub(u) = Σ auth(v) over out-edges, each vector L2-
+    // normalized per round (the power iteration on AᵀA / AAᵀ). Three
+    // unrolled rounds with per-round 10 dp rounding after normalization —
+    // the q89 float treatment, so both engines walk the same orbit.
+    // Weighted by trade volume. Scale shape identical to q89: one
+    // fact-join pass builds the edge list, iterations run on the
+    // |nations|²-bounded table; the ranked 25-row ledger is memoized.
+    "q245_hits" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"hits:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val n = Tables.nation(s, dir).select($"n_nationkey".as("node"), $"n_name")
+      val e = tradeEdges(s, dir).where($"src" =!= $"dst")
+        .select($"src", $"dst", $"w".cast("double").as("wd"))
+      var hub = n.select($"node", lit(1.0).as("h"))
+      var auth = n.select($"node".as("anode"), lit(1.0).as("a"))
+      for (_ <- 1 to 3) {
+        val a0 = e.join(hub, $"src" === $"node")
+          .groupBy($"dst").agg(sum($"wd" * $"h").as("raw"))
+        val aN = a0.agg(sqrt(sum($"raw" * $"raw")).as("nrm"))
+        auth = CacheRegistry.track(
+          n.select($"node".as("anode"))
+            .join(a0, $"anode" === $"dst", "left")
+            .crossJoin(broadcast(aN))
+            .select($"anode",
+              round(coalesce($"raw", lit(0.0)) / $"nrm", 10).as("a"))
+            .cache())
+        val h0 = e.join(auth, $"dst" === $"anode")
+          .groupBy($"src").agg(sum($"wd" * $"a").as("raw"))
+        val hN = h0.agg(sqrt(sum($"raw" * $"raw")).as("nrm"))
+        hub = CacheRegistry.track(
+          n.select($"node")
+            .join(h0, $"node" === $"src", "left")
+            .crossJoin(broadcast(hN))
+            .select($"node",
+              round(coalesce($"raw", lit(0.0)) / $"nrm", 10).as("h"))
+            .cache())
+      }
+      val ledger = n
+        .join(hub, Seq("node"))
+        .join(auth, $"node" === $"anode")
+        .select($"node".as("nation_key"), $"n_name",
+          round($"h", 6).as("hub"), round($"a", 6).as("authority"))
+        .orderBy($"nation_key")
+      val rows = ledger.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), ledger.schema)
+    }),
+
     // TRIANGLE COUNT + local clustering coefficient via DEGREE-ORDERED
     // ORIENTATION (the Schank–Wagner / Cohen MapReduce algorithm): each
     // undirected edge is directed from its lower-(degree, id) endpoint to
@@ -222,7 +271,34 @@ object GraphQueries {
          |  LEFT JOIN pb ON pb.dst = nd.n_nationkey
          |  LEFT JOIN $prev ON $prev.node = pb.src
          |  GROUP BY 1)""".stripMargin
+    // One HITS round: authority from previous hubs, L2-normalize, round;
+    // hubs from the fresh authorities likewise. Interpolated 3×.
+    def hitsIter(prev: String, k: String): String =
+      s"""a${k}raw AS (SELECT dst, sum(e.wd * $prev.h) raw
+         |  FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst),
+         |a${k}n AS (SELECT sqrt(sum(raw * raw)) nrm FROM a${k}raw),
+         |a$k AS (SELECT n_nationkey anode,
+         |    round(coalesce(raw, 0.0) / (SELECT nrm FROM a${k}n), 10) a
+         |  FROM nation LEFT JOIN a${k}raw ON n_nationkey = dst),
+         |h${k}raw AS (SELECT src, sum(e.wd * a$k.a) raw
+         |  FROM e JOIN a$k ON e.dst = a$k.anode GROUP BY src),
+         |h${k}n AS (SELECT sqrt(sum(raw * raw)) nrm FROM h${k}raw),
+         |h$k AS (SELECT n_nationkey node,
+         |    round(coalesce(raw, 0.0) / (SELECT nrm FROM h${k}n), 10) h
+         |  FROM nation LEFT JOIN h${k}raw ON n_nationkey = src)""".stripMargin
     Map(
+      "q245_hits" ->
+        s"""WITH te AS MATERIALIZED ($tradeEdgesSql),
+           |e AS (SELECT src, dst, CAST(w AS DOUBLE) wd FROM te WHERE src <> dst),
+           |h0 AS (SELECT n_nationkey node, 1.0 h FROM nation),
+           |${hitsIter("h0", "1")},
+           |${hitsIter("h1", "2")},
+           |${hitsIter("h2", "3")}
+           |SELECT h3.node AS nation_key, n_name,
+           |  round(h3.h, 6) AS hub, round(a3.a, 6) AS authority
+           |FROM h3 JOIN a3 ON h3.node = a3.anode
+           |JOIN nation ON h3.node = n_nationkey
+           |ORDER BY nation_key""".stripMargin,
       "q89_pagerank" ->
         s"""WITH e AS ($tradeEdgesSql),
            |pb AS (SELECT src, dst,

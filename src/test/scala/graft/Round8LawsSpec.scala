@@ -579,6 +579,58 @@ class Round8LawsSpec extends SparkSpec {
       s"attributed ${got.map(_._4).sum} vs converted $totalValue")
   }
 
+  test("q245 HITS: unit vectors, mutual-reinforcement support law") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q245_hits")(spark, dir)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 25)
+    val hn = math.sqrt(rows.map(r => r._2 * r._2).sum)
+    val an = math.sqrt(rows.map(r => r._3 * r._3).sum)
+    assert(math.abs(hn - 1.0) < 1e-5, s"hub vector norm $hn")
+    assert(math.abs(an - 1.0) < 1e-5, s"authority vector norm $an")
+    rows.foreach { case (k, h, a) =>
+      assert(h >= 0.0 && a >= 0.0, s"node $k: HITS scores are non-negative")
+    }
+    // support: a node scores hub > 0 iff it has an out-edge (self-loops
+    // excluded), authority > 0 iff an in-edge
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val o = graft.sources.Tables.orders(spark, dir)
+    val c = graft.sources.Tables.customer(spark, dir)
+    val sup = graft.sources.Tables.supplier(spark, dir)
+    val edges = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey".cast("long").as("src"), $"c_nationkey".cast("long").as("dst"))
+      .where($"src" =!= $"dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (srcs, dsts) = (edges.map(_._1).toSet, edges.map(_._2).toSet)
+    rows.foreach { case (k, h, a) =>
+      assert((h > 0.0) == srcs.contains(k), s"node $k hub support")
+      assert((a > 0.0) == dsts.contains(k), s"node $k authority support")
+    }
+  }
+
+  test("q246 RFM: quintile sizes balance, monetary marginal is monotone") {
+    val rows = SparkEntry.queries("q246_rfm_segments")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    val total = rows.map(_._4).sum
+    assert(total > 0)
+    // ntile law: each dimension's buckets differ in size by at most 1
+    Seq[((Int, Int, Int, Long, Double)) => Int](_._1, _._2, _._3).foreach { dim =>
+      val sizes = rows.groupBy(dim).map { case (_, g) => g.map(_._4).sum }
+      assert(sizes.max - sizes.min <= 1, s"quintile sizes $sizes")
+      assert(sizes.sum == total)
+    }
+    // higher m_score = higher average monetary, strictly
+    val marginal = rows.groupBy(_._3).toSeq.sortBy(_._1).map { case (m, g) =>
+      g.map(x => x._5 * x._4).sum / g.map(_._4).sum
+    }
+    marginal.sliding(2).foreach { case Seq(a, b) =>
+      assert(b > a, s"m-quintile averages must increase: $marginal")
+    }
+  }
+
   test("q235 Kneser-Ney: per-head probability mass conserves exactly") {
     // THE smoothing correctness law: for a seen head w1, summing
     // P(w2|w1) over the full continuation vocabulary must give exactly

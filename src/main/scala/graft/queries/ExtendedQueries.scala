@@ -1591,6 +1591,44 @@ object ExtendedQueries {
         .orderBy($"event_type", $"hod")
     }),
 
+    // SEASONAL DECOMPOSITION (STL-lite) — the additive trend/seasonal/
+    // remainder split every capacity planner runs before alerting on a
+    // daily series: trend = CENTERED 7-day moving average (defined only
+    // where the window is full — edges stay null rather than biased),
+    // seasonal = mean detrended value per day-of-week over trend-covered
+    // rows, remainder = x − trend − seasonal, plus the remainder's
+    // z-score against its own stddev (continuous — no boundary-sensitive
+    // boolean). Scale shape: regroups the dailyTypeAgg rollup to day
+    // grain, so every window runs on a horizon-days-sized table no matter
+    // the log size; the decomposition is a published report (memoized).
+    "q247_stl_decompose" -> ((s, dir) => graft.operators.ResultMemo
+        .getOrCompute(s"stl:$dir:${graft.operators.SessionKey(s)}") {
+      import s.implicits._
+      val daily = EventStats.dailyTypeAgg(s, dir)
+        .groupBy($"day").agg(sum($"n").as("x"))
+      val w7 = Window.orderBy($"day".asc).rowsBetween(-3, 3)
+      val t = daily.withColumn("trend",
+        when(count(lit(1)).over(w7) === 7, avg($"x").over(w7)))
+        .withColumn("dow", dayofweek($"day"))
+        .withColumn("det", $"x" - $"trend")
+      val seas = t.where($"trend".isNotNull)
+        .groupBy($"dow").agg(avg($"det").as("seasonal"))
+      val dec = t.join(broadcast(seas), Seq("dow"), "left")
+        .withColumn("remainder", $"x" - $"trend" - $"seasonal")
+      val sd = dec.agg(stddev_samp($"remainder").as("rsd"))
+      dec.crossJoin(broadcast(sd))
+        .select($"day", $"x".as("n"),
+          round($"trend", 6).as("trend"),
+          when($"trend".isNotNull, round($"seasonal", 6)).as("seasonal"),
+          round($"remainder", 6).as("remainder"),
+          round($"remainder" / $"rsd", 6).as("z"))
+        .orderBy($"day")
+        .as[(java.sql.Date, Long, Option[Double], Option[Double],
+          Option[Double], Option[Double])].collect().toSeq
+        .toDF("day", "n", "trend", "seasonal", "remainder", "z")
+        .orderBy($"day")
+    }),
+
     // RFM SEGMENTATION — the classic customer-value grid: per user,
     // recency (days from last event to the corpus horizon), frequency
     // (event count) and monetary (exact DECIMAL value sum) each quintile-
@@ -2790,6 +2828,28 @@ object ExtendedQueries {
         |    / (c.n + 50.0), 6) AS enc
         |FROM cells c JOIN t USING (event_type) CROSS JOIN g
         |ORDER BY event_type, hod""".stripMargin,
+    // q247 = same decomposition: full-window-only centered MA, dow+1 to
+    // match Spark's Sunday=1, nulls at the edges by design.
+    "q247_stl_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        |               FROM events GROUP BY 1),
+        |t AS (SELECT day, x,
+        |        CASE WHEN count(*) OVER w7 = 7 THEN avg(x) OVER w7 END trend,
+        |        CAST(dayofweek(day) + 1 AS INT) dow
+        |      FROM daily
+        |      WINDOW w7 AS (ORDER BY day ASC
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (SELECT dow, avg(x - trend) seasonal FROM t
+        |         WHERE trend IS NOT NULL GROUP BY 1),
+        |dec AS (SELECT t.day, t.x, t.trend,
+        |          CASE WHEN t.trend IS NOT NULL THEN s.seasonal END seasonal,
+        |          t.x - t.trend - s.seasonal remainder
+        |        FROM t LEFT JOIN seas s USING (dow)),
+        |sd AS (SELECT stddev_samp(remainder) rsd FROM dec)
+        |SELECT day, x AS n, round(trend, 6) AS trend,
+        |  round(seasonal, 6) AS seasonal, round(remainder, 6) AS remainder,
+        |  round(remainder / (SELECT rsd FROM sd), 6) AS z
+        |FROM dec ORDER BY day""".stripMargin,
     // q246 = the same pinned-order quintiles (ntile is position-based;
     // the user_id tiebreak makes it engine-portable).
     "q246_rfm_segments" ->

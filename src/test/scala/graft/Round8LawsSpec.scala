@@ -631,6 +631,33 @@ class Round8LawsSpec extends SparkSpec {
     }
   }
 
+  test("q247 STL: additive identity, zero-mean residual per weekday, edge nulls") {
+    val rows = SparkEntry.queries("q247_stl_decompose")(spark, dir)
+      .collect().map(r => (r.getDate(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.length >= 8)
+    val sorted = rows.sortBy(_._1.getTime)
+    // centered 7-day MA: exactly the first and last 3 days lack a trend
+    sorted.zipWithIndex.foreach { case ((_, _, t, s0, rem), i) =>
+      val edge = i < 3 || i >= sorted.length - 3
+      assert(t.isEmpty == edge, s"row $i: trend null iff edge")
+      assert(s0.isEmpty == edge && rem.isEmpty == edge)
+      if (!edge) // additive identity (to output rounding)
+        assert(math.abs((t.get + s0.get + rem.get) - sorted(i)._2) < 3e-6,
+          s"row $i: x = trend + seasonal + remainder")
+    }
+    // seasonal absorbs the weekday mean: residuals per dow average ~0
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    sorted.filter(_._3.isDefined).groupBy { r =>
+      cal.setTime(r._1); cal.get(java.util.Calendar.DAY_OF_WEEK)
+    }.foreach { case (dow, g) =>
+      val mean = g.map(_._5.get).sum / g.length
+      assert(math.abs(mean) < 1e-4, s"dow $dow residual mean $mean")
+    }
+  }
+
   test("q235 Kneser-Ney: per-head probability mass conserves exactly") {
     // THE smoothing correctness law: for a seen head w1, summing
     // P(w2|w1) over the full continuation vocabulary must give exactly

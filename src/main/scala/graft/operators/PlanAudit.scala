@@ -10,9 +10,16 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Wind
   *   - `cartesian`: the physical plan contains a CartesianProduct —
   *     unbounded pair work. (Bounded cross joins against a 1-row or
   *     broadcast side plan as BroadcastNestedLoopJoin and don't flag.)
-  *   - `globalWindow`: an unpartitioned window runs directly over per-row
-  *     data — the single-task global sort. Global windows above an
-  *     Aggregate or a Limit are fine (group-count- or k-sized input).
+  *   - `globalWindow`: an unpartitioned window runs over data-proportional
+  *     input — the single-task global sort. A global window is exempt only
+  *     above a Limit (k-sized input) or a BOUNDED-GRAIN Aggregate: one
+  *     whose group keys are domains (day, type, bin, partition id), not
+  *     entities. A `groupBy(user_id)`/`groupBy(doc_id)` aggregate is
+  *     data-proportional — 10^8 users is 10^8 rows into one task — so an
+  *     ENTITY-grain aggregate (any group key named like an id: `id`,
+  *     `*_id`, `*key`) does NOT satisfy the exemption unless a Limit sits
+  *     between it and the window. (This is the rule that catches the RFM
+  *     shape: three ntile(5) global windows over a per-user rollup.)
   *   - `exchanges`: shuffle count in the physical plan — not a failure,
   *     but the number a reviewer should justify.
   *
@@ -26,14 +33,28 @@ object PlanAudit {
     def ok: Boolean = !cartesian && !globalWindow
   }
 
+  /** An aggregate whose output scales with the data: some group key is an
+    * entity id (`id`, `*_id`, `*key` — user_id, doc_id, event_id,
+    * l_orderkey, ...). Domain-grain keys (day, event_type, bin, cell,
+    * spark_partition_id) don't match and keep the exemption. */
+  private def entityGrain(a: Aggregate): Boolean =
+    a.groupingExpressions.exists(_.references.exists { attr =>
+      val n = attr.name.toLowerCase
+      n == "id" || n.endsWith("_id") || n.endsWith("key")
+    })
+
   def audit(df: DataFrame): Report = {
     val phys = df.queryExecution.executedPlan.toString
     val globalWindow = df.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty =>
-        w.child.collectFirst {
+        // Walk down from the window: the FIRST bounding node decides.
+        // A Limit always exempts; an Aggregate exempts only at bounded
+        // (non-entity) grain — collectFirst is pre-order, so a Limit
+        // above an entity-grain Aggregate still exempts (k-sized input).
+        !w.child.collectFirst {
           case _: GlobalLimit => true
-          case _: Aggregate   => true
-        }.isEmpty
+          case a: Aggregate   => !entityGrain(a)
+        }.getOrElse(false)
     }.exists(identity)
     Report(
       cartesian = phys.contains("CartesianProduct"),

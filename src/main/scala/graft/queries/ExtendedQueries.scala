@@ -1632,13 +1632,16 @@ object ExtendedQueries {
     // RFM SEGMENTATION — the classic customer-value grid: per user,
     // recency (days from last event to the corpus horizon), frequency
     // (event count) and monetary (exact DECIMAL value sum) each quintile-
-    // scored with ntile(5) under a PINNED total order (metric, then
-    // user_id — ntile is position-based, so the tiebreak IS the law;
-    // score 5 = most recent / most frequent / highest value). Ledger =
-    // the populated (r, f, m) cells with user counts and average value.
-    // Scale shape: one fold on the byUser clustered cache (no exchange)
-    // collapses to a users-grain table; the three ntile windows and the
-    // cell rollup all run at that grain.
+    // scored under a PINNED total order (metric, then user_id — ntile is
+    // position-based, so the tiebreak IS the law; score 5 = most recent /
+    // most frequent / highest value). Ledger = the populated (r, f, m)
+    // cells with user counts and average value. Scale shape: the per-user
+    // table is data-proportional, so the quintiles are NOT spelled as
+    // ntile(5) global windows (three single-task sorts at 10^8 users) —
+    // DistributedNtile melts the three metrics into one range-partitioned
+    // rank pass and reproduces ntile's bucket law arithmetically
+    // (hash-identical; PlanShapeSpec pins the absence of a global sort).
+    // Recency DESC rides as a negated ascending sort value.
     "q246_rfm_segments" -> ((s, dir) => {
       import s.implicits._
       val horizon = Tables.events(s, dir).agg(max($"ts").as("hmax"))
@@ -1650,13 +1653,12 @@ object ExtendedQueries {
         .select($"user_id", $"freq", $"mon".cast("double").as("monetary"),
           floor((unix_micros($"hmax") - unix_micros($"last_ts")) /
             lit(86400000000L)).as("recency_days"))
-      val scored = u
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy($"recency_days".desc, $"user_id".asc)))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy($"freq".asc, $"user_id".asc)))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy($"monetary".asc, $"user_id".asc)))
+      val scored = graft.operators.DistributedNtile.scores(
+        u, "user_id", 5, Seq(
+          graft.operators.DistributedNtile.Metric("r", -$"recency_days"),
+          graft.operators.DistributedNtile.Metric("f", $"freq"),
+          graft.operators.DistributedNtile.Metric("m", $"monetary")),
+        carry = Seq("monetary"))
       scored.groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_users"),
           round(avg($"monetary"), 6).as("avg_monetary"))

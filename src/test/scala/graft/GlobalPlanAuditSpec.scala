@@ -32,12 +32,45 @@ class GlobalPlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"physical cartesian products in: $offenders")
   }
 
-  test("every unpartitioned window sits above an aggregate or a limit") {
+  test("every unpartitioned window sits above a limit or a bounded-grain aggregate") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (graft.operators.PlanAudit.audit(fn(spark, dir)).globalWindow) Some(name)
       else None
     }
     graft.operators.CacheRegistry.releaseAll()
     assert(offenders.isEmpty, s"data-sized unpartitioned windows in: $offenders")
+  }
+
+  test("negative control: ntile over an entity-grain aggregate IS flagged") {
+    // The exact shape q246 shipped with in r8 and was respelled to avoid:
+    // an unpartitioned window whose input is a groupBy(user_id) rollup —
+    // user-count-sized, i.e. data-proportional, NOT bounded. The
+    // above-an-Aggregate exemption must not fire for entity-grain keys;
+    // this control keeps the linter honest against regressions.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val perUser = graft.sources.Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("freq"))
+    val rfmShape = perUser
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy($"freq".asc, $"user_id".asc)))
+      .groupBy($"f_score").count()
+    assert(graft.operators.PlanAudit.audit(rfmShape).globalWindow,
+      "the linter must flag a global window over an entity-grain aggregate")
+    // ...while a Limit between them still exempts (k-sized input)
+    val limited = perUser.orderBy($"freq".desc).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"freq".desc, $"user_id".asc)))
+    assert(!graft.operators.PlanAudit.audit(limited).globalWindow,
+      "a Limit above the entity-grain aggregate must keep the exemption")
+    // ...and a bounded-grain (domain-keyed) aggregate still exempts
+    val byType = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n".desc, $"event_type".asc)))
+    assert(!graft.operators.PlanAudit.audit(byType).globalWindow,
+      "a domain-grain aggregate must keep the exemption")
+    graft.operators.CacheRegistry.releaseAll()
   }
 }

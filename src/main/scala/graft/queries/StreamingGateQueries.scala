@@ -885,6 +885,81 @@ object StreamingGateQueries {
         }
       }),
 
+    // EXACTLY-ONCE JDBC SINK GATE — JdbcExactlyOnceSink graduated from
+    // spec-only to driver-gated: the q206 law against a RELATIONAL
+    // target on embedded Derby. A bounded slice of the event log streams
+    // through the staged-transactional foreachBatch writer
+    // (executor-parallel stage inserts, ONE driver transaction per batch
+    // moving stage → target + ledger + cleanup), then the whole source
+    // replays from a FRESH checkpoint — every batch id re-delivered, the
+    // ledger skips all of them. Two crash windows are modeled directly
+    // on disjoint sub-slices: (A) executors staged but the driver died
+    // before the commit transaction — stale staging rows under a ledger-
+    // unknown batch id, then the writer re-delivers that id (clear,
+    // re-stage, commit once); (B) a task retry staged one partition
+    // TWICE under identical row_tags before a successful commit — the
+    // commit's DISTINCT closes it. The law a double-insert, half-commit,
+    // or replay leak cannot keep: per event_type, rows == distinct ids
+    // and the exact id sum matches the source slice, and the LEDGER's
+    // committed row mass equals the slice count (constant column).
+    // Oracle = the slice aggregated directly. At 100 TB the shape is
+    // unchanged: staging inserts scale with executors, the commit point
+    // is one metadata-rate transaction per micro-batch.
+    "q249_jdbc_exactly_once_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"jdbcxo:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q249") { base =>
+          val src = s"$base/src"
+          val slice = Tables.events(s, dir).where($"event_id" % 97 === 0)
+            .select($"event_id", $"event_type", $"user_id", $"value")
+          // streamed part vs the two crash-window parts (disjoint — a
+          // re-delivery under a NEW batch id is a double-insert by
+          // design, so each sub-slice must arrive under exactly one id)
+          slice.where($"user_id" % 7 =!= 3 && $"user_id" % 7 =!= 5)
+            .repartition(4).write.mode("overwrite").parquet(src)
+          val db = "q249_" + math.abs((dir + base).hashCode).toString
+          val sink = new graft.streaming.JdbcExactlyOnceSink(
+            s"jdbc:derby:memory:$db;create=true", "XO_EVENTS",
+            Seq("event_id" -> "BIGINT", "event_type" -> "VARCHAR(32)",
+              "user_id" -> "BIGINT", "value" -> "DOUBLE"))
+          try {
+            sink.initialize()
+            val schema = s.read.parquet(src).schema
+            def drainOnce(ckpt: String): Unit =
+              drain(s.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src),
+                ckpt, "append")(sink.writer)
+            drainOnce(s"$base/ckpt1")
+            // lost-checkpoint recovery: same files, fresh offsets — every
+            // batch id replays against the committed ledger, all skipped
+            drainOnce(s"$base/ckpt2")
+            // crash window A: staged, no commit, then writer re-delivery
+            val extraA = slice.where($"user_id" % 7 === 3)
+            sink.stage(extraA.toDF(), 9999L)
+            sink.writer(extraA.toDF(), 9999L)
+            // crash window B: task retry double-staged one batch, then
+            // the commit transaction runs — DISTINCT(row_tag, data)
+            val extraB = slice.where($"user_id" % 7 === 5)
+            sink.stage(extraB.toDF(), 8888L)
+            sink.stage(extraB.toDF(), 8888L)
+            sink.commitBatch(8888L)
+            val ledgerMass = sink.ledgerDF(s)
+              .agg(coalesce(sum($"n_rows"), lit(0L)).cast("long"))
+              .as[Long].head()
+            sink.committed(s)
+              .groupBy($"event_type")
+              .agg(count(lit(1)).as("n_events"),
+                countDistinct($"event_id").as("n_distinct"),
+                sum($"event_id").cast("long").as("sum_ids"))
+              .withColumn("ledger_rows", lit(ledgerMass))
+              .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+              .toDF("event_type", "n_events", "n_distinct", "sum_ids",
+                "ledger_rows")
+              .orderBy($"event_type")
+          } finally sink.close()
+        }
+      }),
+
     // STREAM-STATIC ENRICH GATE — the broadcast dimension join run as a
     // live streaming query: the event log streams through
     // StreamCorrelator.enrich against the customer dimension (static
@@ -1166,6 +1241,22 @@ object StreamingGateQueries {
         |  count(DISTINCT event_id) AS n_distinct,
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events WHERE event_id % 23 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The exactly-once law at BOTH grains: per-type counts/distincts/id
+    // sums from the source slice, and the ledger's committed row mass ==
+    // the slice count. Any double-insert (replayed batch, re-staged
+    // crash window, task-retry duplicate) moves n_events and sum_ids off
+    // the slice; a half-commit moves ledger_rows.
+    "q249_jdbc_exactly_once_gate" ->
+      """WITH sl AS (SELECT event_id, event_type FROM events
+        |            WHERE event_id % 97 = 0)
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sl) AS ledger_rows
+        |FROM sl
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The straight rollup law — the healed table must be exactly what a

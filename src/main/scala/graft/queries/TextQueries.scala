@@ -748,6 +748,41 @@ object TextQueries {
         .orderBy($"shard")
     }),
 
+    // SHARD EXPORT GATE — operators.ShardExport graduated from spec-only
+    // to driver-gated: the packed corpus is actually WRITTEN (one parquet
+    // file per md5 shard, rows in packing order, `_manifest` sidecar) to
+    // scratch, and the returned manifest is checked against the pure
+    // packing law recomputed in SQL: per shard, doc count, distinct bin
+    // count, token mass, fill ratio against the 512-token budget — plus
+    // the writer's own contracts, n_files == 1 (the committer moves ONE
+    // file per shard) and a non-empty byte size. A write that splits a
+    // shard, drops a doc, or reorders the pack breaks the hash from its
+    // own direction. Scratch dies after the manifest rows are collected —
+    // the gate verifies the law, not a lingering artifact. At 100 TB:
+    // raise shardHexChars; the shape (one partitioned window, one
+    // repartition-on-shard write) is unchanged.
+    "q248_shard_export_gate" -> ((s, dir) =>
+      graft.operators.ResultMemo.getOrCompute(
+          s"shardexport:$dir:${graft.operators.SessionKey(s)}") {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", size(tokens($"text")).as("toks"), $"lang", $"source")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q248-export").toString
+        try {
+          graft.operators.ShardExport
+            .write(docs, out, "doc_id", "toks",
+              binBudget = PackBudget, shardHexChars = 1)
+            .select($"shard", $"n_docs", $"n_bins", $"sum_toks",
+              $"fill_ratio", $"n_files",
+              ($"file_bytes" > 0).as("bytes_nonempty"))
+            .orderBy($"shard")
+        } finally {
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(out)); ()
+        }
+      }),
+
     // Sequence-boundary FRAGMENTATION audit — the concat-and-chunk law
     // (GPT-style pretraining packing): the shard's token stream is cut
     // into fixed 512-token sequences and documents SPLIT across cuts
@@ -2657,6 +2692,27 @@ object TextQueries {
           |  min(bin_toks) AS min_bin_toks,
           |  max(bin_toks) AS max_bin_toks,
           |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio
+          |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+      // q248 = the q70/q114 packing law per shard, plus the writer's own
+      // contracts as constants: one file per shard, non-empty bytes. The
+      // Spark side reports what ShardExport actually wrote; a split
+      // shard flips n_files, a dropped doc moves n_docs/sum_toks.
+      "q248_shard_export_gate" ->
+        """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) toks,
+          |    md5('pack:' || CAST(doc_id AS VARCHAR)) hkey FROM documents),
+          |s AS (SELECT doc_id, toks, hkey, substr(hkey, 1, 1) shard FROM d),
+          |p AS (SELECT doc_id, shard, toks,
+          |    CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY hkey, doc_id) - toks) / 512) AS BIGINT) bin
+          |  FROM s),
+          |b AS (SELECT shard, bin, count(*) n_docs, CAST(sum(toks) AS BIGINT) bin_toks
+          |      FROM p GROUP BY 1, 2)
+          |SELECT shard,
+          |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          |  CAST(count(*) AS BIGINT) AS n_bins,
+          |  CAST(sum(bin_toks) AS BIGINT) AS sum_toks,
+          |  round(sum(bin_toks) * 1.0 / (count(*) * 512), 6) AS fill_ratio,
+          |  CAST(1 AS BIGINT) AS n_files,
+          |  TRUE AS bytes_nonempty
           |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
       "q176_tail_index" ->
         """WITH top AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents

@@ -74,8 +74,10 @@ class PlanShapeSpec extends SparkSpec {
     // q28's separate narrow aggregations must stay separate: no Expand
     // node (the fused multi-countDistinct agg that cost 7.8s at sf0.1),
     // and the 1-row legs combine via broadcast nested loop, never a
-    // cartesian product
-    val p28 = plan("q28_approx_sketches")
+    // cartesian product. The query memoizes the 1-row report (r9), so
+    // the pin audits the underlying frame builder directly.
+    val p28 = graft.queries.ExtendedQueries.sketchFrame(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(!p28.contains("Expand"), "q28 regressed to a fused Expand aggregation")
     assert(!p28.contains("CartesianProduct"))
     // q119/q120's global windows may run only over aggregated bucket /
@@ -159,7 +161,9 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q107's global rank is distributed: no data-sized unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val qe = SparkEntry.queries("q107_activity_gini")(spark, dir).queryExecution
+    // the shipped query memoizes the 1-row report (r9); the pin audits
+    // the underlying two-pass-rank frame, where the windows live
+    val qe = graft.queries.ExtendedQueries.giniFrame(spark, dir).queryExecution
     val windows = qe.optimizedPlan.collect { case w: LWindow => w }
     assert(windows.nonEmpty, "q107 should rank via window functions")
     val (unpart, part) = windows.partition(_.partitionSpec.isEmpty)

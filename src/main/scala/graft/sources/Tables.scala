@@ -53,8 +53,12 @@ object Tables {
             s"${sfDir.stripSuffix("/")}/$name.parquet").length
           // 8-way, not full-width: wide enough that no scan is a straggler,
           // narrow enough that expand-heavy plans (q20's countDistinct)
-          // and full-table sorts don't pay 32-task scheduling per stage
-          val cores = math.min(spark.sparkContext.defaultParallelism, 8)
+          // and full-table sorts don't pay 32-task scheduling per stage.
+          // Conf-able (spark.graft.cacheSpread) so the knee can be
+          // re-measured per host without a rebuild.
+          val spreadCap = spark.conf
+            .getOption("spark.graft.cacheSpread").map(_.toInt).getOrElse(8)
+          val cores = math.min(spark.sparkContext.defaultParallelism, spreadCap)
           val spread =
             if (bytes > (100L << 10) && cores > 1 &&
                 df.rdd.getNumPartitions < cores) df.repartition(cores)

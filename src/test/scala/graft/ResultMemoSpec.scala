@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The report-treatment contract (operators.ResultMemo.report): compute
+  * once per key, preserve schema (names, types, nullability) and row
+  * order exactly, and serve repeat readers the same driver-local relation
+  * — the semantics the r9 memoized ledgers (q20/q102/q108/...) rely on
+  * for hash-stability.
+  */
+class ResultMemoSpec extends SparkSpec {
+
+  import graft.operators.ResultMemo
+
+  test("report: computes once, preserves schema/order/nulls, memo identity") {
+    import spark.implicits._
+    def frame = Seq((3L, "c", Option(2.5)), (1L, "a", Option(0.5)),
+        (2L, "b", Option.empty[Double]))
+      .toDF("id", "tag", "score")
+      .orderBy($"id".desc)
+    var builds = 0
+    val key = s"report-spec:${System.identityHashCode(this)}"
+    val a = ResultMemo.report(key) { builds += 1; frame }
+    val b = ResultMemo.report(key) { builds += 1; frame }
+    assert(builds == 1, "report must compute exactly once per key")
+    assert(a.schema == frame.schema, "schema must be preserved exactly")
+    assert(a.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L),
+      "collected row order must be preserved")
+    assert(a.where($"id" === 2L).select($"score").collect().head.isNullAt(0),
+      "nulls must survive the round-trip")
+    assert(a eq b, "repeat readers must get the memoized frame")
+    ResultMemo.clear()
+  }
+}

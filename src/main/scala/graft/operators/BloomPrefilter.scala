@@ -67,8 +67,11 @@ object BloomPrefilter {
     * exactly the rows a plain `probe SEMI JOIN corpus ON key` would.
     */
   def semiJoin(probe: DataFrame, corpus: DataFrame, key: String,
-      expectedItems: Long = 1L << 20): DataFrame = {
-    val bf = build(corpus, key, expectedItems)
+      expectedItems: Long = 1L << 20,
+      prebuilt: Option[Array[Byte]] = None): DataFrame = {
+    // `prebuilt` = the stored-index path: a deployment builds the corpus
+    // filter once per batch and every probe reuses the artifact
+    val bf = prebuilt.getOrElse(build(corpus, key, expectedItems))
     // an EMPTY corpus aggregates to a null filter — no key can match
     if (bf == null) probe.where(lit(false))
     else prefilter(probe, bf, key)
@@ -86,10 +89,11 @@ object BloomPrefilter {
     * `probe ANTI JOIN corpus ON key` would, modulo row order.
     */
   def antiJoin(probe: DataFrame, corpus: DataFrame, key: String,
-      expectedItems: Long = 1L << 20): DataFrame = {
+      expectedItems: Long = 1L << 20,
+      prebuilt: Option[Array[Byte]] = None): DataFrame = {
     val s = probe.sparkSession
     graft.functions.expressions.GraftFunctions.register(s)
-    val bf = build(corpus, key, expectedItems)
+    val bf = prebuilt.getOrElse(build(corpus, key, expectedItems))
     // an EMPTY corpus aggregates to a null filter — every row is new
     if (bf == null) return probe
     val hit = call_function("graft_bloom_contains", lit(bf), xxhash64(col(key)))

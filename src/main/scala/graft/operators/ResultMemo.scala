@@ -35,12 +35,20 @@ object ResultMemo {
     * Schema (names, types, nullability) is preserved exactly.
     */
   def report(key: String)(compute: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(key, {
-      val df = compute
-      val spark = df.sparkSession
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
-    })
+    memo.get(key) match {
+      case Some(df) => df
+      case None =>
+        val df = compute
+        val spark = df.sparkSession
+        // Audit passthrough: with spark.graft.report.passthrough=true
+        // the UNCOLLECTED frame is returned (and not memoized), so plan
+        // linters (GlobalPlanAuditSpec) audit the report's REAL plan —
+        // memoization must never become a place for a scale-killer to
+        // hide. Nothing executes in this mode: the caller only plans.
+        if (spark.conf.getOption("spark.graft.report.passthrough").contains("true")) df
+        else memo.getOrElseUpdate(key, spark.createDataFrame(
+          spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema))
+    }
 
   private val artifacts = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
 

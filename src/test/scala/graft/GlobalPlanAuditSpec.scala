@@ -23,22 +23,34 @@ class GlobalPlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("no query plans a physical cartesian product") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (graft.operators.PlanAudit.audit(fn(spark, dir)).cartesian) Some(name)
+  /** Sweep every query's plan through `check` with the report-memo in
+    * PASSTHROUGH mode (spark.graft.report.passthrough): the ~35
+    * `ResultMemo.report` ledgers return their UNCOLLECTED frames, so the
+    * audit inspects the real derivation plan, not the driver-local
+    * relation the memo serves at runtime — memoization must never become
+    * a place for a scale-killer to hide. (Queries that hand-collect
+    * inside `getOrCompute` carry dedicated frame-builder pins in
+    * PlanShapeSpec/DistributedNtileSpec instead.)
+    */
+  private def offenders(check: graft.operators.PlanAudit.Report => Boolean): Seq[String] = {
+    spark.conf.set("spark.graft.report.passthrough", "true")
+    try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (check(graft.operators.PlanAudit.audit(fn(spark, dir)))) Some(name)
       else None
+    } finally {
+      spark.conf.unset("spark.graft.report.passthrough")
+      graft.operators.CacheRegistry.releaseAll()
     }
-    graft.operators.CacheRegistry.releaseAll()
-    assert(offenders.isEmpty, s"physical cartesian products in: $offenders")
+  }
+
+  test("no query plans a physical cartesian product") {
+    val bad = offenders(_.cartesian)
+    assert(bad.isEmpty, s"physical cartesian products in: $bad")
   }
 
   test("every unpartitioned window sits above a limit or a bounded-grain aggregate") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (graft.operators.PlanAudit.audit(fn(spark, dir)).globalWindow) Some(name)
-      else None
-    }
-    graft.operators.CacheRegistry.releaseAll()
-    assert(offenders.isEmpty, s"data-sized unpartitioned windows in: $offenders")
+    val bad = offenders(_.globalWindow)
+    assert(bad.isEmpty, s"data-sized unpartitioned windows in: $bad")
   }
 
   test("negative control: ntile over an entity-grain aggregate IS flagged") {

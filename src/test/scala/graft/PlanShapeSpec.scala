@@ -394,6 +394,8 @@ class PlanShapeSpec extends SparkSpec {
     val confs = Map(
       "graft.bitext.maxExactProbeRows" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // q192 memoizes its ledger (r9) — passthrough exposes the real plan
+      "spark.graft.report.passthrough" -> "true",
       // AQE's AdaptiveSparkPlanExec is a LEAF wrapper — collect() cannot
       // descend into it, so plan-node assertions need the static planner
       "spark.sql.adaptive.enabled" -> "false")

@@ -24,7 +24,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Wind
   *     but the number a reviewer should justify.
   *
   * Building the report PLANS the frame (optimizer + physical planning)
-  * but executes nothing.
+  * but executes nothing. To audit a query whose result is served from
+  * the report memo (a driver-local relation with no lineage), set
+  * `spark.graft.report.passthrough=true` first — [[ResultMemo.report]]
+  * then returns the uncollected derivation frame, which is how
+  * GlobalPlanAuditSpec sweeps the whole pack.
   */
 object PlanAudit {
 

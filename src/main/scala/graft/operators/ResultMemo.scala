@@ -50,15 +50,18 @@ object ResultMemo {
           spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema))
     }
 
-  private val artifacts = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private val artifacts =
+    scala.collection.concurrent.TrieMap.empty[String, Option[AnyRef]]
 
   /** Session-scoped memo for non-DataFrame build ARTIFACTS (a serialized
     * Bloom filter, a trained codebook): the stored-index semantics — the
     * build runs once per batch, probes reuse the artifact. Same lifecycle
-    * as the frame memo (cleared at batch boundaries).
+    * as the frame memo (cleared at batch boundaries). Null-safe: a build
+    * that returns null (e.g. a Bloom aggregate over an EMPTY corpus) is
+    * memoized as the null artifact, not a TrieMap NPE.
     */
   def artifact[T <: AnyRef](key: String)(compute: => T): T =
-    artifacts.getOrElseUpdate(key, compute).asInstanceOf[T]
+    artifacts.getOrElseUpdate(key, Option(compute)).orNull.asInstanceOf[T]
 
   def clear(): Unit = { memo.clear(); artifacts.clear() }
 

@@ -48,9 +48,18 @@ object DistributedNtile {
       .withColumn("__metric", col("__mx.metric"))
       .withColumn("__sv", col("__mx.sv"))
       .drop("__mx")
-    val parts = melted
+    // MATERIALIZED before fan-out: `parts` feeds both the rank window and
+    // the offsets aggregate, and correctness requires both consumers to
+    // see the SAME physical range partitioning (spark_partition_id is
+    // read per row). Exchange reuse usually guarantees that, but it is a
+    // best-effort optimization — a re-instantiated RangePartitioner
+    // re-samples boundaries (its seed derives from the RDD id) and the
+    // two subtrees would disagree on __part. Caching pins one layout.
+    val parts = CacheRegistry.track(melted
       .repartitionByRange(col("__metric"), col("__sv"), col(key))
       .withColumn("__part", spark_partition_id())
+      .cache())
+    parts.count()
     val wLocal = Window.partitionBy(col("__part"), col("__metric"))
       .orderBy(col("__sv").asc, col(key).asc)
     val ranked = parts

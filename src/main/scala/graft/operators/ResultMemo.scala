@@ -34,21 +34,24 @@ object ResultMemo {
     * published-artifact semantics every KB-sized ledger here shares.
     * Schema (names, types, nullability) is preserved exactly.
     */
-  def report(key: String)(compute: => DataFrame): DataFrame =
-    memo.get(key) match {
-      case Some(df) => df
-      case None =>
-        val df = compute
-        val spark = df.sparkSession
-        // Audit passthrough: with spark.graft.report.passthrough=true
-        // the UNCOLLECTED frame is returned (and not memoized), so plan
-        // linters (GlobalPlanAuditSpec) audit the report's REAL plan —
-        // memoization must never become a place for a scale-killer to
-        // hide. Nothing executes in this mode: the caller only plans.
-        if (spark.conf.getOption("spark.graft.report.passthrough").contains("true")) df
-        else memo.getOrElseUpdate(key, spark.createDataFrame(
-          spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema))
-    }
+  def report(key: String)(compute: => DataFrame): DataFrame = {
+    // Audit passthrough: with spark.graft.report.passthrough=true the
+    // UNCOLLECTED frame is returned (and not memoized), so plan linters
+    // (GlobalPlanAuditSpec, PlanShapeSpec) audit the report's REAL plan —
+    // memoization must never become a place for a scale-killer to hide.
+    // Nothing executes in this mode: the caller only plans. Checked
+    // BEFORE the memo: a warm memo from an earlier consumer must not
+    // hand the auditor a driver-local relation.
+    val passthrough = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.getOption("spark.graft.report.passthrough").contains("true"))
+    if (passthrough) compute
+    else memo.getOrElseUpdate(key, {
+      val df = compute
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
+    })
+  }
 
   private val artifacts =
     scala.collection.concurrent.TrieMap.empty[String, Option[AnyRef]]

@@ -198,14 +198,12 @@ object AnalyticQueries {
     // stored profile artifact — three exact distinct legs run once per
     // (session, dir), not once per read.
     "q20_distinct_counts" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"distincts:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"distincts:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
-      val row = Tables.lineitem(s, dir).agg(
+      Tables.lineitem(s, dir).agg(
         countDistinct($"l_orderkey").as("n_orders"),
         countDistinct($"l_partkey").as("n_parts"),
         countDistinct($"l_suppkey").as("n_supps"))
-        .as[(Long, Long, Long)].head()
-      Seq(row).toDF("n_orders", "n_parts", "n_supps")
     }),
 
     // Tumbling event-time window (1 day) — SURVEY.md §2.9 T12 added surface.

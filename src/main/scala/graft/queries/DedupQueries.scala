@@ -677,7 +677,7 @@ object DedupQueries {
     // decision ledger is the stored artifact of one ingest batch — the
     // probe joins run once per (session, dir), not once per read.
     "q102_incremental_dedup" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"incdedup:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"incdedup:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val docs = DocProfiles.profiled(s, dir)
         .select($"doc_id", $"lang", $"pct", $"ch", $"fp")
@@ -696,8 +696,6 @@ object DedupQueries {
           sum(coalesce($"exact_dup", lit(0))).as("n_exact_dup"),
           sum(coalesce($"near_dup", lit(0))).as("n_near_dup"),
           sum(when($"exact_dup".isNull && $"near_dup".isNull, 1).otherwise(0)).as("n_kept"))
-        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
-        .toDF("lang", "n_arrivals", "n_exact_dup", "n_near_dup", "n_kept")
         .orderBy($"lang")
     }),
 
@@ -930,13 +928,17 @@ object DedupQueries {
       val existing = ev.where($"ts" < cut).select($"user_id")
       val arrivals = ev.where($"ts" >= cut)
       // the corpus filter is the stored index artifact: built once per
-      // (session, dir), probes reuse it (the BloomPrefilter prebuilt path)
+      // (session, dir), probes reuse it (the BloomPrefilter prebuilt
+      // path). Some(bf), not Option(bf): an EMPTY corpus builds a null
+      // filter and Some(null) must still mean "prebuilt, and it is null"
+      // (the join handles null = no-key-matches) - Option(null) = None
+      // would silently rebuild per read
       val bf = graft.operators.ResultMemo.artifact(
         s"bloom130:$dir:${graft.operators.SessionKey(s)}") {
         graft.operators.BloomPrefilter.build(existing, "user_id", 1L << 17)
       }
       graft.operators.BloomPrefilter
-        .semiJoin(arrivals, existing, "user_id", 1L << 17, Option(bf))
+        .semiJoin(arrivals, existing, "user_id", 1L << 17, Some(bf))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_returning_events"),
           countDistinct($"user_id").as("n_returning_users"))
@@ -1013,7 +1015,7 @@ object DedupQueries {
         graft.operators.BloomPrefilter.build(existing, "user_id", 1L << 17)
       }
       graft.operators.BloomPrefilter
-        .antiJoin(arrivals, existing, "user_id", 1L << 17, Option(bf))
+        .antiJoin(arrivals, existing, "user_id", 1L << 17, Some(bf))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_new_events"),
           countDistinct($"user_id").as("n_new_users"))

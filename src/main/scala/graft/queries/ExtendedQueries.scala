@@ -69,10 +69,16 @@ object ExtendedQueries {
     * 1-row report otherwise hides behind a local relation. */
   private[graft] def giniFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val parts = Tables.events(s, dir)
+    // materialized before fan-out: ranked and offsets must read the SAME
+    // physical range partitioning (spark_partition_id per row) — exchange
+    // reuse is best-effort, a re-sampled RangePartitioner would let the
+    // two subtrees disagree on `part` (the DistributedNtile.scores law)
+    val parts = graft.operators.CacheRegistry.track(Tables.events(s, dir)
       .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
       .repartitionByRange($"cnt", $"user_id")
       .withColumn("part", spark_partition_id())
+      .cache())
+    parts.count()
     val wLocal = Window.partitionBy($"part").orderBy($"cnt".asc, $"user_id".asc)
     val ranked = parts
       .withColumn("local_rk", row_number().over(wLocal).cast("long"))
@@ -88,6 +94,31 @@ object ExtendedQueries {
       .select($"n_users", $"total_events",
         round(lit(2.0) * $"rank_mass" / ($"n_users" * $"total_events") -
           ($"n_users" + lit(1.0)) / $"n_users", 6).as("gini"))
+  }
+
+  /** q88's one-pass funnel, uncollected — three stacked full-partition
+    * window minima on the byUser cache (t1 = first view, t2 = first
+    * click after t1, t3 = first purchase after t2), a user-grain
+    * collapse, and the 1-row conversion report. Package-visible so the
+    * audit passthrough and plan pins see the real derivation. */
+  private[graft] def funnelFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    val staged = EventStats.byUser(s, dir)
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("t1",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+    staged.groupBy($"user_id")
+      .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+      .agg(count($"t1").as("n_view"), count($"t2").as("n_view_click"),
+        count($"t3").as("n_full_funnel"))
+      .select($"n_view", $"n_view_click", $"n_full_funnel",
+        round($"n_view_click" * lit(1.0) / $"n_view", 6).as("click_rate"),
+        round($"n_full_funnel" * lit(1.0) / $"n_view_click", 6).as("purchase_rate"))
   }
 
   /** q28's separate narrow aggregate legs, uncollected — package-visible
@@ -382,14 +413,8 @@ object ExtendedQueries {
     // on the crossJoin-of-aggregates tree; the bound-check report is one
     // row, computed once per (session, dir).
     "q28_approx_sketches" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"sketchrep:$dir:${graft.operators.SessionKey(s)}") {
-      import s.implicits._
-      val row = sketchFrame(s, dir)
-        .as[(Long, Long, Double, Double, Double,
-          Boolean, Boolean, Boolean, Boolean, Boolean)].head()
-      Seq(row).toDF("exact_orders", "exact_parts", "exact_p50", "exact_p95",
-        "exact_p99", "orders_in_bound", "parts_in_bound", "p50_in_bound",
-        "p95_in_bound", "p99_in_bound")
+        .report(s"sketchrep:$dir:${graft.operators.SessionKey(s)}") {
+      sketchFrame(s, dir)
     }),
 
     // Portable quantile sketch — the q117 treatment applied to quantiles,
@@ -868,28 +893,9 @@ object ExtendedQueries {
     // crossJoin-of-aggregates tree also re-paid ~200 ms of driver-side
     // ANALYSIS per action). At 100 TB: one pass over the user-clustered
     // log, no joins at all.
-    "q88_funnel" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
-        s"funnel:$dir:${graft.operators.SessionKey(s)}") {
-      import s.implicits._
-      val w = Window.partitionBy($"user_id")
-      val staged = EventStats.byUser(s, dir)
-        .select($"user_id", $"event_type", $"ts")
-        .withColumn("t1",
-          min(when($"event_type" === "view", $"ts")).over(w))
-        .withColumn("t2",
-          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
-        .withColumn("t3",
-          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
-      val (nView, nViewClick, nFullFunnel) = staged
-        .groupBy($"user_id")
-        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
-        .agg(count($"t1"), count($"t2"), count($"t3"))
-        .as[(Long, Long, Long)].head()
-      Seq((nView, nViewClick, nFullFunnel))
-        .toDF("n_view", "n_view_click", "n_full_funnel")
-        .select($"n_view", $"n_view_click", $"n_full_funnel",
-          round($"n_view_click" * lit(1.0) / $"n_view", 6).as("click_rate"),
-          round($"n_full_funnel" * lit(1.0) / $"n_view_click", 6).as("purchase_rate"))
+    "q88_funnel" -> ((s, dir) => graft.operators.ResultMemo
+        .report(s"funnel:$dir:${graft.operators.SessionKey(s)}") {
+      funnelFrame(s, dir)
     }),
 
     // Correlated scalar subquery, decorrelated by hand into the join
@@ -960,11 +966,8 @@ object ExtendedQueries {
     // subtree TWICE (ranked + offsets) and the result is one row — the
     // report treatment runs it once per (session, dir).
     "q107_activity_gini" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"gini:$dir:${graft.operators.SessionKey(s)}") {
-      import s.implicits._
-      val (nUsers, totalEvents, gini) =
-        giniFrame(s, dir).as[(Long, Long, Double)].head()
-      Seq((nUsers, totalEvents, gini)).toDF("n_users", "total_events", "gini")
+        .report(s"gini:$dir:${graft.operators.SessionKey(s)}") {
+      giniFrame(s, dir)
     }),
 
     // Join-key skew report — the OPERATIONAL complement to q107's Gini:
@@ -1737,7 +1740,7 @@ object ExtendedQueries {
     // runs once per (session, dir); DistributedNtileSpec pins the
     // operator's exchange-level shape directly.
     "q246_rfm_segments" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"rfm:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"rfm:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val horizon = Tables.events(s, dir).agg(max($"ts").as("hmax"))
       val u = EventStats.byUser(s, dir)
@@ -1757,8 +1760,6 @@ object ExtendedQueries {
       scored.groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_users"),
           round(avg($"monetary"), 6).as("avg_monetary"))
-        .as[(Int, Int, Int, Long, Double)].collect().toSeq.sorted
-        .toDF("r_score", "f_score", "m_score", "n_users", "avg_monetary")
         .orderBy($"r_score", $"f_score", $"m_score")
     }),
 

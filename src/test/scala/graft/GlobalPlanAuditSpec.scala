@@ -24,13 +24,16 @@ class GlobalPlanAuditSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   /** Sweep every query's plan through `check` with the report-memo in
-    * PASSTHROUGH mode (spark.graft.report.passthrough): the ~35
-    * `ResultMemo.report` ledgers return their UNCOLLECTED frames, so the
-    * audit inspects the real derivation plan, not the driver-local
+    * PASSTHROUGH mode (spark.graft.report.passthrough): the
+    * `ResultMemo.report` ledgers (~45 queries incl. q20/q28/q88/q102/
+    * q107/q246 since the r9 review) return their UNCOLLECTED frames, so
+    * the audit inspects the real derivation plan, not the driver-local
     * relation the memo serves at runtime — memoization must never become
-    * a place for a scale-killer to hide. (Queries that hand-collect
-    * inside `getOrCompute` carry dedicated frame-builder pins in
-    * PlanShapeSpec/DistributedNtileSpec instead.)
+    * a place for a scale-killer to hide. Remaining `getOrCompute`
+    * hand-collectors are either driver-gated side-effect runs whose
+    * scratch dies with the call (q248 shard export, q249 Derby sink, the
+    * streaming-gate drains) or carry dedicated frame-builder pins
+    * (PlanShapeSpec / DistributedNtileSpec).
     */
   private def offenders(check: graft.operators.PlanAudit.Report => Boolean): Seq[String] = {
     spark.conf.set("spark.graft.report.passthrough", "true")

@@ -10,8 +10,24 @@ class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  /** The query's physical plan — with the report memo in PASSTHROUGH
+    * mode, so memoized ledgers expose their real derivation plan to the
+    * pin instead of a driver-local relation (and nothing executes: the
+    * helper only plans). */
+  private def plan(name: String): String = withReportPassthrough {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  private def withReportPassthrough[T](body: => T): T = {
+    val key = "spark.graft.report.passthrough"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   test("dedup/ANN candidate joins are bucket-shaped: no cross product, no nested loop") {
     Seq("q31_minhash_lsh", "q33_lsh_jaccard", "q43_ann_lsh", "q69_simhash_neardup")
@@ -83,13 +99,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p28.contains("Expand"), "q28 regressed to a fused Expand aggregation")
     assert(!p28.contains("CartesianProduct"))
     // q119/q120's global windows may run only over aggregated bucket /
-    // register tables (octaves×32 resp. ≤256/day), never raw rows
-    for (q <- Seq("q119_portable_quantile", "q120_sketch_rollup")) {
-      SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }.foreach { w =>
-        assert(w.child.collectFirst { case _: Aggregate => true }.isDefined,
-          s"$q: unpartitioned window not above an aggregate")
+    // register tables (octaves×32 resp. ≤256/day), never raw rows. Both
+    // are report-memoized (r9), so the pin reads their real plans through
+    // the passthrough — and asserts the windows are actually THERE, so a
+    // respelling can't make this check vacuously true.
+    withReportPassthrough {
+      for (q <- Seq("q119_portable_quantile", "q120_sketch_rollup")) {
+        val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+        // non-vacuity: passthrough must expose the real derivation (a
+        // memoized local relation has no Aggregate anywhere)
+        assert(opt.collectFirst { case _: Aggregate => true }.isDefined,
+          s"$q: passthrough did not expose the derivation plan")
+        opt.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.foreach { w =>
+          assert(w.child.collectFirst { case _: Aggregate => true }.isDefined,
+            s"$q: unpartitioned window not above an aggregate")
+        }
       }
     }
     graft.operators.CacheRegistry.releaseAll()
@@ -366,13 +392,17 @@ class PlanShapeSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       graft.queries.EventStats.byUser(spark, dir).count()
-      for (q <- Seq("q22_sessionize", "q17_rolling_sum", "q150_gap_percentiles")) {
-        val phys = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
-        val windowSorts = phys.collect {
-          case s: SortExec if s.sortOrder.exists(_.child.toString.startsWith("ts#")) => s
+      // passthrough: q150 is report-memoized (r9) — the pin must read its
+      // real window plan, not the memoized local relation
+      withReportPassthrough {
+        for (q <- Seq("q22_sessionize", "q17_rolling_sum", "q150_gap_percentiles")) {
+          val phys = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+          val windowSorts = phys.collect {
+            case s: SortExec if s.sortOrder.exists(_.child.toString.startsWith("ts#")) => s
+          }
+          assert(windowSorts.isEmpty,
+            s"$q re-sorts by ts — the byUser cache layout is not being reused:\n$phys")
         }
-        assert(windowSorts.isEmpty,
-          s"$q re-sorts by ts — the byUser cache layout is not being reused:\n$phys")
       }
     } finally {
       saved.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(

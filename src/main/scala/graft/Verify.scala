@@ -10,11 +10,17 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val nameFilter = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Stored hub artifacts (ArtifactStore): same tier a deployment runs
+    // with. Values are build-deterministic, so stored-vs-derived is hash-
+    // identical; SPARK_GRAFT_ARTIFACTS overrides the root ("" disables).
+    val artifacts = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.operators.ArtifactStore.ConfKey, artifacts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

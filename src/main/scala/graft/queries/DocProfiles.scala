@@ -46,13 +46,21 @@ object DocProfiles {
     * so the tokenization itself is also computed once. The gram STRING is
     * kept alongside its hash: q110 reports the grams, the join legs use
     * the hash.
+    *
+    * STORED artifact (r10): the gram index is exactly what a deployment
+    * materializes at ingest, so sessions with an artifact store load the
+    * published table instead of re-exploding the corpus — sidecar
+    * invalidation in [[graft.operators.ArtifactStore]].
     */
   def grams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.CacheRegistry.track(profiled(s, dir)
-      .select($"doc_id", $"pct", explode(wordShingles($"toks", 5)).as("g"))
-      .withColumn("gh", md5($"g".cast("binary")))
-      .cache())
+    graft.operators.CacheRegistry.track(graft.operators.ArtifactStore
+      .table(s, "docprofiles_grams",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w5") {
+        profiled(s, dir)
+          .select($"doc_id", $"pct", explode(wordShingles($"toks", 5)).as("g"))
+          .withColumn("gh", md5($"g".cast("binary")))
+      }.cache())
   }
 
   /** The distinct test-split gram hashes (pct >= 0.9) both decontamination
@@ -104,9 +112,12 @@ object DocProfiles {
     */
   def termFreqs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.CacheRegistry.track(profiled(s, dir)
-      .select($"doc_id", explode($"toks").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .cache())
+    graft.operators.CacheRegistry.track(graft.operators.ArtifactStore
+      .table(s, "docprofiles_termfreqs",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet")) {
+        profiled(s, dir)
+          .select($"doc_id", explode($"toks").as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      }.cache())
   }
 }

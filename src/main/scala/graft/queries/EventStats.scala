@@ -78,17 +78,30 @@ object EventStats {
     * Eagerly materialized like [[byUser]] so consumers reuse the rollup's
     * (day, event_type) hash partitioning instead of re-shuffling the
     * group-count-sized table.
+    *
+    * STORED artifact (r10): this IS the materialized daily table
+    * [[graft.operators.IncrementalRollup]] maintains in production, so a
+    * session with an artifact store loads the published rollup instead of
+    * re-shuffling the raw log. The stored scan has no hash partitioning
+    * to pin (the layout pin below only bites on the derivation path) —
+    * consumers re-shuffle a table the size of the GROUP COUNT, which is
+    * the right trade against re-aggregating the raw log per session.
+    * Counts and decimal sums are exact, so the stored rows are
+    * bit-identical to a fresh derivation.
     */
   def dailyTypeAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.ResultMemo.getOrCompute(
         s"evstats-daily:$dir:${graft.operators.SessionKey(s)}") {
       withPinnedCacheLayout(s) {
-        val df = graft.operators.CacheRegistry.track(Tables.events(s, dir)
-          .groupBy(to_date($"ts").as("day"), $"event_type")
-          .agg(count(lit(1)).as("n"),
-            sum($"value".cast("decimal(18,2)")).as("total_dec"))
-          .cache())
+        val df = graft.operators.CacheRegistry.track(graft.operators
+          .ArtifactStore.table(s, "eventstats_daily",
+            Seq(s"${dir.stripSuffix("/")}/events.parquet")) {
+            Tables.events(s, dir)
+              .groupBy(to_date($"ts").as("day"), $"event_type")
+              .agg(count(lit(1)).as("n"),
+                sum($"value".cast("decimal(18,2)")).as("total_dec"))
+          }.cache())
         df.count()
         df
       }

@@ -94,6 +94,22 @@ object SimilarityQueries {
     * queries, so the Lloyd chain executes once per session.
     */
   private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // STORED artifact (r10): the trained tower (cells + centroids) is the
+    // serving index a deployment keeps on disk; sessions with an artifact
+    // store load it instead of re-running the Lloyd chain. Both tables
+    // publish under ONE fingerprint so cells and centroids can never come
+    // from different builds; the iteration count rides `params` so a
+    // retrained configuration invalidates.
+    val Seq(cells, cent) = graft.operators.ArtifactStore.tables(
+      s, Seq("ivf_cells", "ivf_centroids"),
+      Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
+      s"iters=$KMeansIters") { buildIvfCells(s, dir) }
+    (graft.operators.CacheRegistry.track(cells.cache()),
+      graft.operators.CacheRegistry.track(cent.cache()))
+  }
+
+  /** The Lloyd-chain build behind [[ivfCells]]: Seq(cells, centroids). */
+  private def buildIvfCells(s: SparkSession, dir: String): Seq[DataFrame] = {
     import s.implicits._
     GraftFunctions.register(s)
     // cached: the corpus is re-read by every Lloyd assign step and the
@@ -129,7 +145,7 @@ object SimilarityQueries {
     for (_ <- 1 to KMeansIters)
       cent = tracked(centroidsOf(assign(cent).select($"cl", $"v")))
     val cells = tracked(assign(cent).withColumnRenamed("cl", "cell"))
-    (cells, cent)
+    Seq(cells, cent)
   }
 
   private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {

@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   *     Full driver-facing names stay in the main line; the final line is
   *     additive, for cross-round regression diffs.
   *
+  * A separate `{"metric":"report_truth"}` line re-times every memo-served
+  * ledger query (ResultMemo.report) in passthrough mode against warm hubs
+  * — the per-batch derivation cost the memo amortizes — so the headline
+  * minimums (which measure the memo read, the deployment read path) are
+  * never mistaken for derivation numbers.
+  *
   * A separate `{"metric":"streaming_drain"}` line times the streaming
   * delivery path end-to-end: the sf dir's events as an envelope log,
   * drained through a StreamingSubscription with a real handler, bounded
@@ -135,9 +141,19 @@ object Bench {
     // so the documented "construction inside the timed region" replay
     // would actually time a memo hit (r7 advisor finding). Cold state is
     // enforced below right before the timed passes.
+    // Queries whose construction touched ResultMemo.report are MEMO-SERVED
+    // in the timed passes (the noop write executes a driver-local
+    // relation): recorded here and re-timed honestly in the report-truth
+    // sweep below, so published numbers never pass memo reads off as
+    // engine execution (r9 advisor finding).
+    val memoServed = mutable.ArrayBuffer.empty[String]
     if (!legacy) names.foreach { name =>
-      try prepared(name) = selected(name)(spark, sfDir)
-      catch {
+      try {
+        val touchesBefore = graft.operators.ResultMemo.reportTouches
+        prepared(name) = selected(name)(spark, sfDir)
+        if (graft.operators.ResultMemo.reportTouches > touchesBefore)
+          memoServed += name
+      } catch {
         case t: Throwable =>
           errors(name) = t.toString.linesIterator.next().take(200)
       }
@@ -196,6 +212,36 @@ object Bench {
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] streaming legs failed: ${t.toString.linesIterator.next().take(200)}")
+    }
+
+    // REPORT-TRUTH sweep (r9 advisor finding): the memo-served queries'
+    // timed minimums above measure a driver-local noop write, not their
+    // derivations — the memo IS the deployment semantics (a published
+    // ledger is computed once per batch), but the published artifact must
+    // say so and carry the real number. One extra pass re-times each such
+    // query with spark.graft.report.passthrough=true (construction +
+    // execution inside the timed region — passthrough frames must be
+    // rebuilt under the conf), against the session's WARM hubs, i.e. the
+    // per-batch derivation cost the memo amortizes. Emitted as its own
+    // metric line, never summed into the headline total.
+    if (!legacy && memoServed.nonEmpty) {
+      spark.conf.set("spark.graft.report.passthrough", "true")
+      val truths = mutable.Map.empty[String, Double]
+      try memoServed.foreach { name =>
+        val t0 = System.nanoTime()
+        try {
+          selected(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          truths(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable =>
+          errors(name) = t.toString.linesIterator.next().take(200)
+        }
+      } finally spark.conf.unset("spark.graft.report.passthrough")
+      val tq = truths.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+        .mkString("{", ",", "}")
+      val tTot = math.rint(truths.values.sum * 1000) / 1000
+      println(s"""{"metric":"report_truth","unit":"ms","note":"per-batch derivation cost of memo-served ledgers (passthrough, warm hubs); headline times measure the memo read","n":${truths.size},"queries_ms":$tq,"total_sec":$tTot}""")
     }
 
     graft.operators.CacheRegistry.releaseAll()

@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   * ≤ shuffle-partitions × |metrics| rows, bounded by config, not data.
   * Descending metrics are expressed by negating `sortVal` (every metric
   * must cast to DOUBLE exactly; longs below 2^53 and doubles qualify).
+  *
+  * `sortVal` must be NON-NULL — enforced at build time. The negation
+  * trick is where the law would otherwise break: Spark's default orders
+  * are nulls-FIRST for ASC and nulls-LAST for DESC, so a nullable
+  * descending metric spelled as a negated ascending sort would place its
+  * nulls at the opposite end from `ntile(k).over(orderBy(col.desc))` and
+  * silently diverge from the hash-identical claim. Callers with nullable
+  * metrics must decide the null rank themselves (coalesce to a sentinel
+  * below/above the domain) — an implicit default here would just hide
+  * the choice.
   */
 object DistributedNtile {
 
@@ -60,6 +70,14 @@ object DistributedNtile {
       .withColumn("__part", spark_partition_id())
       .cache())
     parts.count()
+    // null guard (see scaladoc): one cached-scan probe at build time —
+    // a null sortVal would break ntile-law equivalence for descending
+    // metrics, so it is rejected loudly, never ranked quietly.
+    if (!parts.where(col("__sv").isNull).isEmpty)
+      throw new IllegalArgumentException(
+        "DistributedNtile: sortVal must be non-null for every row " +
+          "(null ordering under negation diverges from the ntile law); " +
+          "coalesce nullable metrics to an explicit sentinel first")
     val wLocal = Window.partitionBy(col("__part"), col("__metric"))
       .orderBy(col("__sv").asc, col(key).asc)
     val ranked = parts

@@ -37,14 +37,31 @@ object PlanAudit {
     def ok: Boolean = !cartesian && !globalWindow
   }
 
+  /** Content-identity suffixes: a group key named like a hash/fingerprint/
+    * gram has ~one group per distinct content item — data-proportional
+    * exactly like an entity id (r9 verdict: `fp`, `hash`, `hkey`, `gram`,
+    * `content_md5` slipped the id-only net). Matched as whole name or
+    * suffix so `content_hash`, `simhash`, `minhash`, `gram_md5`, `doc_fp`
+    * all flag.
+    */
+  private val ContentIdSuffixes =
+    Seq("hash", "md5", "fp", "hkey", "gram", "digest", "fingerprint")
+
   /** An aggregate whose output scales with the data: some group key is an
     * entity id (`id`, `*_id`, `*key` — user_id, doc_id, event_id,
-    * l_orderkey, ...). Domain-grain keys (day, event_type, bin, cell,
-    * spark_partition_id) don't match and keep the exemption. */
+    * l_orderkey, ...) or a content identity ([[ContentIdSuffixes]], plus
+    * this repo's short forms `ch`/`gh`). Domain-grain keys (day,
+    * event_type, bin, cell, spark_partition_id) don't match and keep the
+    * exemption. Name-based and deliberately over-broad at the margin: a
+    * genuinely bounded hash domain (a 16-bit simhash) that trips it
+    * should put a Limit (or regroup to a named domain key) between the
+    * aggregate and the window — the spelling that is ALSO safe at 100 TB.
+    */
   private def entityGrain(a: Aggregate): Boolean =
     a.groupingExpressions.exists(_.references.exists { attr =>
       val n = attr.name.toLowerCase
-      n == "id" || n.endsWith("_id") || n.endsWith("key")
+      n == "id" || n.endsWith("_id") || n.endsWith("key") ||
+        n == "ch" || n == "gh" || ContentIdSuffixes.exists(n.endsWith)
     })
 
   def audit(df: DataFrame): Report = {

@@ -27,19 +27,39 @@ object ResultMemo {
   def getOrCompute(key: String)(compute: => DataFrame): DataFrame =
     memo.getOrElseUpdate(key, compute)
 
-  /** The REPORT treatment in one call: compute `frame` once per batch,
-    * collect its (bounded — caller's contract) rows to the driver, and
-    * memoize them as a driver-local relation. Repeat readers get a plan
-    * with no lineage to re-optimize and no cluster work to redo — the
-    * published-artifact semantics every KB-sized ledger here shares.
-    * Schema (names, types, nullability) is preserved exactly.
+  /** Hard ceiling on a report's row count. The "bounded ledger" contract
+    * is otherwise caller-declared only — a future caller memoizing a
+    * data-proportional frame would OOM the driver silently. Generous vs
+    * the real ledgers (all ≤ a few hundred rows at any SF): the cap is a
+    * tripwire for a contract violation, not a tuning knob.
     */
+  val MaxReportRows = 10000
+
+  /** The REPORT treatment in one call: compute `frame` once per batch,
+    * collect its (bounded — caller's contract, enforced by
+    * [[MaxReportRows]]) rows to the driver, and memoize them as a
+    * driver-local relation. Repeat readers get a plan with no lineage to
+    * re-optimize and no cluster work to redo — the published-artifact
+    * semantics every KB-sized ledger here shares. Schema (names, types,
+    * nullability) is preserved exactly.
+    */
+  /** Monotonic count of report() entries — lets a harness detect which
+    * query constructions were report-served (Bench's truth sweep marks
+    * exactly those queries for a separate passthrough timing).
+    */
+  private val touches = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def reportTouches: Long = touches.get
+
   def report(key: String)(compute: => DataFrame): DataFrame = {
+    touches.incrementAndGet()
     // Audit passthrough: with spark.graft.report.passthrough=true the
     // UNCOLLECTED frame is returned (and not memoized), so plan linters
     // (GlobalPlanAuditSpec, PlanShapeSpec) audit the report's REAL plan —
     // memoization must never become a place for a scale-killer to hide.
-    // Nothing executes in this mode: the caller only plans. Checked
+    // The memo itself stays cold in this mode, but note frame
+    // CONSTRUCTION may still run real work (hub builders cache + count
+    // eagerly) — "passthrough" means un-memoized, not free. Checked
     // BEFORE the memo: a warm memo from an earlier consumer must not
     // hand the auditor a driver-local relation.
     val passthrough = org.apache.spark.sql.SparkSession.getActiveSession
@@ -48,8 +68,16 @@ object ResultMemo {
     else memo.getOrElseUpdate(key, {
       val df = compute
       val spark = df.sparkSession
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
+      // limit(cap+1) detects overflow without ever collecting an
+      // unbounded result; an orderBy'd ledger keeps its order (the
+      // limit takes the ordered prefix).
+      val rows = df.limit(MaxReportRows + 1).collect().toSeq
+      if (rows.size > MaxReportRows)
+        throw new IllegalStateException(
+          s"ResultMemo.report('$key'): result exceeds $MaxReportRows rows — " +
+            "report ledgers must be bounded (day/type/k grain), not " +
+            "data-proportional; memoize a DERIVED rollup or drop the memo")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
     })
   }
 

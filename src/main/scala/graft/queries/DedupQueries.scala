@@ -1088,7 +1088,7 @@ object DedupQueries {
     // q109/q121 index-build-report treatment): winnowing overlap is
     // measured when the fingerprint index is built, then READ.
     "q228_winnowing_overlap" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"winnow:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"winnow:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val ghs = transform(wordShingles($"toks", 5), x => md5(x.cast("binary")))
       // the exploded (doc_id, fp) index is the artifact every leg reads
@@ -1121,9 +1121,7 @@ object DedupQueries {
           round($"n_shared" * lit(1.0) / least($"na", $"nb"), 6).as("overlap"))
         .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
         .limit(20)
-        .as[(Long, Long, Long, Double)].collect().toSeq
-      top.toDF("doc_a", "doc_b", "n_shared", "overlap")
-        .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
+      top.orderBy($"n_shared".desc, $"doc_a", $"doc_b")
     })
   )
 

@@ -1580,7 +1580,7 @@ object ExtendedQueries {
     // price of sessions exploding to the hours they span (linear). The
     // daily ledger is a stored concurrency report (memoized).
     "q237_interval_overlap" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"ivover:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"ivover:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
       val sess = EventStats.byUser(s, dir)
@@ -1612,8 +1612,7 @@ object ExtendedQueries {
           round(sum($"ov_us") / (count(lit(1)) * lit(1000000.0)), 6)
             .as("avg_overlap_sec"))
         .orderBy($"day")
-        .as[(java.sql.Date, Long, Double)].collect().toSeq
-      rows.toDF("day", "n_pairs", "avg_overlap_sec").orderBy($"day")
+      rows
     }),
 
     // SCD TYPE-2 HISTORY BUILD — the warehouse dimension-history operator:
@@ -1659,7 +1658,7 @@ object ExtendedQueries {
     // feature store PUBLISHES (training and serving read the stored
     // encoder, never recompute it) — memoized accordingly.
     "q238_target_encoding" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"tgtenc:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"tgtenc:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val m1 = lit(50.0)
       val m2 = lit(200.0)
@@ -1679,9 +1678,6 @@ object ExtendedQueries {
           round(($"sv".cast("double") + m1 * $"mean_t") / ($"n" + m1), 6)
             .as("enc"))
         .orderBy($"event_type", $"hod")
-        .as[(String, Int, Long, Double, Double)].collect().toSeq
-        .toDF("event_type", "hod", "n", "raw_mean", "enc")
-        .orderBy($"event_type", $"hod")
     }),
 
     // SEASONAL DECOMPOSITION (STL-lite) — the additive trend/seasonal/
@@ -1695,7 +1691,7 @@ object ExtendedQueries {
     // grain, so every window runs on a horizon-days-sized table no matter
     // the log size; the decomposition is a published report (memoized).
     "q247_stl_decompose" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"stl:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"stl:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val daily = EventStats.dailyTypeAgg(s, dir)
         .groupBy($"day").agg(sum($"n").as("x"))
@@ -1715,10 +1711,6 @@ object ExtendedQueries {
           when($"trend".isNotNull, round($"seasonal", 6)).as("seasonal"),
           round($"remainder", 6).as("remainder"),
           round($"remainder" / $"rsd", 6).as("z"))
-        .orderBy($"day")
-        .as[(java.sql.Date, Long, Option[Double], Option[Double],
-          Option[Double], Option[Double])].collect().toSeq
-        .toDF("day", "n", "trend", "seasonal", "remainder", "z")
         .orderBy($"day")
     }),
 
@@ -1774,7 +1766,7 @@ object ExtendedQueries {
     // |types|²-bounded model table joined back as a broadcast, and a
     // types-grain ledger — a model-eval REPORT, memoized like its peers.
     "q243_next_event_baseline" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"nextev:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"nextev:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
       val split = lit("2024-01-25").cast("timestamp")
@@ -1800,9 +1792,6 @@ object ExtendedQueries {
             .as("n_correct"))
         .withColumn("accuracy", round($"n_correct" * lit(1.0) / $"n_test", 6))
         .orderBy($"event_type")
-        .as[(String, Long, String, Long, Double)].collect().toSeq
-        .toDF("event_type", "n_test", "predicted", "n_correct", "accuracy")
-        .orderBy($"event_type")
     }),
 
     // MULTI-TOUCH ATTRIBUTION — the marketing-analytics operator: every
@@ -1817,7 +1806,7 @@ object ExtendedQueries {
     // activity, and the rank window partitions by conversion. The 5-row
     // channel ledger is a stored report (memoized).
     "q240_attribution" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"attrib:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"attrib:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val ev = EventStats.byUser(s, dir)
       val conv = ev.where($"event_type" === "purchase")
@@ -1846,10 +1835,6 @@ object ExtendedQueries {
           round(sum(when($"rk" === $"k", $"cval").otherwise(lit(0.0))), 6)
             .as("last_credit"),
           round(sum($"cval" * u), 6).as("u_credit"))
-        .orderBy($"channel")
-        .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
-        .toDF("channel", "n_touches", "linear_credit", "first_credit",
-          "last_credit", "u_credit")
         .orderBy($"channel")
     }),
 
@@ -1951,7 +1936,7 @@ object ExtendedQueries {
     // duration-grain table (≤ horizon-days rows). The survival curve is
     // a published report (memoized local relation).
     "q241_kaplan_meier" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"km:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"km:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val horizon = Tables.events(s, dir).agg(max($"ts").as("hmax"))
       val life = EventStats.byUser(s, dir)
@@ -1984,9 +1969,6 @@ object ExtendedQueries {
             wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))))
         .select($"dur".as("t_days"), $"n_risk", $"d".as("n_events"),
           round($"survival", 6).as("survival"))
-        .orderBy($"t_days")
-        .as[(Long, Long, Long, Double)].collect().toSeq
-        .toDF("t_days", "n_risk", "n_events", "survival")
         .orderBy($"t_days")
     }),
 

@@ -1554,7 +1554,7 @@ object SimilarityQueries {
     // and the exact re-rank touches k·R full vectors per query —
     // random reads, never a corpus scan. 10-row report, memoized.
     "q230_binary_quantization" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"annrecall:bq:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"annrecall:bq:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       GraftFunctions.register(s)
       def half(off: Int) = expr(
@@ -1583,9 +1583,7 @@ object SimilarityQueries {
           $"n_rr".as("n_hits_rr"),
           round($"n_rr" * lit(1.0) / $"k", 6).as("recall_rr"))
         .orderBy($"q_id")
-        .as[(Long, Long, Long, Double, Long, Double)].collect().toSeq
-      rows.toDF("q_id", "k", "n_hits_ham", "recall_ham", "n_hits_rr", "recall_rr")
-        .orderBy($"q_id")
+      rows
     }),
 
     // TOMBSTONES — the index-lifecycle stage q170 (append/staleness/
@@ -1604,7 +1602,7 @@ object SimilarityQueries {
     // and joins the candidate stream on vec_id; cells stay immutable —
     // no index rewrite, the same reason real engines tombstone.
     "q233_ivf_tombstones" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"annrecall:tomb:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"annrecall:tomb:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       GraftFunctions.register(s)
       val (cells, cent) = ivfCells(s, dir)
@@ -1640,9 +1638,7 @@ object SimilarityQueries {
           round($"n_ann" * lit(1.0) / $"k", 6).as("recall"),
           coalesce($"ns", lit(0L)).as("n_skipped"))
         .orderBy($"q_id")
-        .as[(Long, Long, Long, Double, Long)].collect().toSeq
-      rows.toDF("q_id", "k", "n_hits", "recall", "n_skipped")
-        .orderBy($"q_id")
+      rows
     })
   )
 

@@ -960,6 +960,150 @@ object StreamingGateQueries {
         }
       }),
 
+    // SCHEMA-VALIDATION GATE (V2/V3) — the reference's full acceptance law
+    // (schema.ts:47-139) driven through `SchemaRegistry.validationColumn`
+    // over a staged mixed-validity batch and hash-checked by the driver
+    // (it was spec-only before r10). A two-type registry (nested object +
+    // array-items schemas, versions 1.0 and 2.0) validates eight
+    // deterministic payload classes keyed by event_id % 8; the oracle
+    // respells each class's REQUIRED outcome in SQL, so a validator
+    // regression on any clause — extra-props-pass, unregistered-pass,
+    // version-mismatch-warns-AND-validates, required-prop, JS-integer
+    // (5.0 is an integer), array-items recursion — flips an n_accepted
+    // cell and breaks the hash. The slice is bounded (event_id < 4000:
+    // the law is per-row; 500 rows per class prove it at every SF without
+    // flooding stderr with the reference's per-row version warning).
+    // Scale shape: one pushed-filter scan + a per-row UDF (the documented
+    // §2.10 trade) + a ≤8-row Aggregate — report-memoized.
+    "q250_schema_validation_gate" -> ((s, dir) =>
+      ResultMemo.report(s"schemagate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        val reg = new graft.schema.SchemaRegistry()
+        reg.registerSchema("order",
+          """{"type":"object","required":["amount","items"],
+            |"properties":{"amount":{"type":"number"},
+            |"items":{"type":"array","items":{"type":"string"}},
+            |"meta":{"type":"object","required":["user"],
+            |"properties":{"user":{"type":"string"}}}}}""".stripMargin,
+          "1.0")
+        reg.registerSchema("click",
+          """{"type":"object","required":["target"],
+            |"properties":{"target":{"type":"string"},
+            |"count":{"type":"integer"}}}""".stripMargin,
+          "2.0")
+        val cls = ($"event_id" % 8).cast("int")
+        val staged = Tables.events(s, dir).where($"event_id" < 4000)
+          .select($"event_id", cls.as("cls"),
+            when(cls === 4, "mystery")
+              .when(cls.isin(5, 6), "click").otherwise("order").as("type"),
+            lit("1.0").as("version"), // classes 5/6: registered is 2.0 → mismatch
+            when(cls === 0, format_string(
+                """{"amount": %d, "items": ["a","b"], "meta": {"user": "u%d"}}""",
+                $"event_id", $"user_id"))
+              .when(cls === 1, lit("""{"items": ["a"]}"""))
+              .when(cls === 2, lit("""{"amount": "oops", "items": ["a"]}"""))
+              .when(cls === 3,
+                lit("""{"amount": 1, "items": [], "extra": {"deep": [1,2]}}"""))
+              .when(cls === 4, lit("""{"whatever": 1}"""))
+              .when(cls === 5, lit("""{"target": "t", "count": 3.0}"""))
+              .when(cls === 6, lit("""{"target": 7}"""))
+              .otherwise(lit("""{"amount": 2, "items": ["a", 5]}"""))
+              .as("payload"))
+        staged
+          .withColumn("ok",
+            reg.validationColumn(s, $"type", $"version", $"payload"))
+          .groupBy($"cls")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"ok", 1L).otherwise(0L)).as("n_accepted"))
+          .orderBy($"cls")
+      }),
+
+    // FILE-STORE IMPORT GATE (S2) — the reference's one-JSON-file-per-
+    // event migration path (persistence.ts:141-207) driven end-to-end and
+    // hash-checked by the driver (round-trip was spec-only before r10):
+    // export a deterministic slice of the staged envelope log into the
+    // reference layout (`baseDir/<topic>/<epochms>_<id>.json`, two
+    // topics), then import the tree back. The ledger measures each leg
+    // independently — files on disk per topic (listed, not derived), the
+    // lexicographic-filename-order checksum Σ rank·event_id (the SURVEY
+    // §2.3 O1 parity: the reference replays its store in filename order,
+    // which must equal (ts, id) replay order — 13-digit epochms and the
+    // %012d id law make lex == numeric), imported row count, id sum, and
+    // the count of rows whose payload AND ms-grain timestamp round-
+    // tripped byte-exactly (the reference stores Date.now() epoch ms, so
+    // ms IS the layout's precision). Oracle = the slice aggregated
+    // directly, its order checksum via row_number over (epoch_ms(ts),
+    // event_id). Procedural by design (export/import side effects on
+    // scratch); the importer itself is the production-shaped distributed
+    // read (textFile glob + per-partition Jackson).
+    "q251_filestore_import_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"fsimp:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        withScratch("graft-q251") { base =>
+          val store = s"$base/store"
+          val slice = Tables.events(s, dir).where($"event_id" % 53 === 0)
+          val staged = slice.select(
+              format_string("%012d", $"event_id").as("id"),
+              $"event_type".as("type"),
+              when($"user_id" % 2 === 0, "fs-a").otherwise("fs-b").as("topic"),
+              $"ts".as("timestamp"),
+              lit("1.0").as("schemaVersion"),
+              $"props".as("payload"),
+              map(lit("user_id"), $"user_id".cast("string")).as("metadata"))
+            .as[graft.model.EventRow]
+          graft.sources.FileStoreImporter.exportFrom(staged, store)
+          // the reference's replay order: LEXICOGRAPHIC filename listing
+          // per topic directory (persistence.ts reads the dir sorted) —
+          // measured from the actual files, never derived from the source
+          import scala.jdk.CollectionConverters._
+          val lex = Seq("fs-a", "fs-b").map { t =>
+            val d = java.nio.file.Paths.get(store, t)
+            val names =
+              if (!java.nio.file.Files.isDirectory(d)) Seq.empty[String]
+              else {
+                val st = java.nio.file.Files.list(d)
+                try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+                finally st.close()
+              }
+            val ck = names.zipWithIndex.map { case (n, i) =>
+              (i + 1).toLong * n.split('_')(1).stripSuffix(".json").toLong
+            }.sum
+            t -> ((names.size.toLong, ck))
+          }.toMap
+          // round-trip law: the payload that LEFT the store (the staged
+          // props after the exporter's own JSON re-serialization —
+          // Jackson canonical spacing, same tree) must come back byte-
+          // exact, and the timestamp at the layout's ms precision
+          // (the reference stores Date.now() epoch ms)
+          val normJson = udf { (p: String) =>
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            m.writeValueAsString(m.readTree(p))
+          }
+          val src = slice.select($"event_id",
+            unix_millis($"ts").as("src_ms"), normJson($"props").as("sent"))
+          graft.sources.FileStoreImporter.read(s, store).toDF()
+            .select($"id".cast("long").as("event_id"), $"topic",
+              unix_millis($"timestamp").as("imp_ms"), $"payload")
+            .join(src, Seq("event_id"))
+            .groupBy($"topic")
+            .agg(count(lit(1)).as("n_imported"),
+              sum($"event_id").as("sum_ids"),
+              sum(when($"payload" === $"sent" && $"imp_ms" === $"src_ms", 1L)
+                .otherwise(0L)).as("n_roundtrip"))
+            .withColumn("n_files",
+              when($"topic" === "fs-a", lex("fs-a")._1).otherwise(lex("fs-b")._1))
+            .withColumn("ord_checksum",
+              when($"topic" === "fs-a", lex("fs-a")._2).otherwise(lex("fs-b")._2))
+            .select($"topic", $"n_files", $"ord_checksum", $"n_imported",
+              $"sum_ids", $"n_roundtrip")
+            .orderBy($"topic")
+            .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+            .toDF("topic", "n_files", "ord_checksum", "n_imported",
+              "sum_ids", "n_roundtrip")
+            .orderBy($"topic")
+        }
+      }),
+
     // STREAM-STATIC ENRICH GATE — the broadcast dimension join run as a
     // live streaming query: the event log streams through
     // StreamCorrelator.enrich against the customer dimension (static
@@ -1258,6 +1402,43 @@ object StreamingGateQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM sl) AS ledger_rows
         |FROM sl
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The schema.ts:47-139 acceptance law respelled per staged class:
+    // 0 conformant → accept; 1 missing required → reject; 2 wrong type →
+    // reject; 3 EXTRA props → accept (schema.ts:91-127 checks declared
+    // props only); 4 unregistered type → accept (schema.ts:50-53);
+    // 5 version mismatch + valid payload (count 3.0 IS an integer,
+    // schema.ts:150-151) → warn but ACCEPT; 6 version mismatch + invalid
+    // payload → the mismatch still validates, so REJECT; 7 array item of
+    // wrong type → reject (schema.ts:130-136).
+    "q250_schema_validation_gate" ->
+      """WITH e AS (SELECT CAST(event_id % 8 AS INT) AS cls FROM events
+        |           WHERE event_id < 4000)
+        |SELECT cls,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN cls IN (0, 3, 4, 5)
+        |       THEN count(*) ELSE 0 END AS BIGINT) AS n_accepted
+        |FROM e GROUP BY cls ORDER BY cls""".stripMargin,
+
+    // The file-store round-trip law: every slice row lands as exactly one
+    // file, imports back with payload and ms-grain timestamp intact, and
+    // the store's lexicographic filename order IS (epoch-ms, id) replay
+    // order (SURVEY §2.3 O1 parity) — pinned by the positional checksum.
+    "q251_filestore_import_gate" ->
+      """WITH sl AS (SELECT event_id, ts, props,
+        |    CASE WHEN user_id % 2 = 0 THEN 'fs-a' ELSE 'fs-b' END AS topic
+        |  FROM events WHERE event_id % 53 = 0),
+        |r AS (SELECT topic, event_id,
+        |        row_number() OVER (PARTITION BY topic
+        |          ORDER BY epoch_ms(ts), event_id) AS rn
+        |      FROM sl)
+        |SELECT topic,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(rn * event_id) AS BIGINT) AS ord_checksum,
+        |  CAST(count(*) AS BIGINT) AS n_imported,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(count(*) AS BIGINT) AS n_roundtrip
+        |FROM r GROUP BY topic ORDER BY topic""".stripMargin,
 
     // The straight rollup law — the healed table must be exactly what a
     // from-scratch recompute produces: doubled in-range days, clobbered

@@ -1693,7 +1693,7 @@ object TextQueries {
     // eval is recomputed when the index changes, not per read — and its
     // plan is ~10 tiny broadcast joins whose scheduling depth, not data,
     // would dominate a re-run (the q148 DAG-depth lesson).
-    "q194_retrieval_eval" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+    "q194_retrieval_eval" -> ((s, dir) => graft.operators.ResultMemo.report(
         s"retreval:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val prof = DocProfiles.profiled(s, dir)
@@ -1769,9 +1769,6 @@ object TextQueries {
           round(coalesce($"rr", lit(0.0)), 6).as("rr"),
           round(coalesce($"dcg" / $"idcg", lit(0.0)), 6).as("ndcg"),
           coalesce($"n_rel_top10", lit(0L)).as("n_rel_top10"))
-        .orderBy($"q_id")
-        .as[(Long, Double, Double, Long)].collect().toSeq
-        .toDF("q_id", "rr", "ndcg", "n_rel_top10")
         .orderBy($"q_id")
     }),
 
@@ -1936,7 +1933,7 @@ object TextQueries {
     // join + doc agg, already paid by q227); the selection window is
     // partitioned by source; the report is source-count-sized.
     "q231_uncertainty_sampling" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"nbuncert:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"nbuncert:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val sc = nbTestScores(s, dir)
         .join(DocProfiles.profiled(s, dir).select($"doc_id", $"source"),
@@ -1959,11 +1956,7 @@ object TextQueries {
           coalesce($"n_selected", lit(0L)).as("n_selected"),
           $"mean_abs_selected")
         .orderBy($"source")
-        .as[(String, Long, Long, Double, Long, Option[Double])]
-        .collect().toSeq
-      rows.toDF("source", "n_scored", "n_uncertain", "frac_uncertain",
-          "n_selected", "mean_abs_selected")
-        .orderBy($"source")
+      rows
     }),
 
     // OPERATING-POINT table — how a deployment actually picks the q227
@@ -1976,7 +1969,7 @@ object TextQueries {
     // trained artifact. Same bounded-bin discipline as the q227 ROC:
     // every fold runs over <=401 Aggregate-backed rows.
     "q232_score_gains" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"nbgains:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"nbgains:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val b = nbScoreBins(s, dir)
       val tt = b.agg(sum($"np").as("pp"))
@@ -1991,10 +1984,7 @@ object TextQueries {
           round($"cum_pos" * lit(1.0) / $"cum_n", 6).as("cum_precision"),
           round($"cum_pos" * lit(1.0) / $"pp", 6).as("cum_recall"))
         .orderBy($"bin".desc)
-        .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
-      rows.toDF("bin", "n", "n_pos", "pos_rate", "cum_precision",
-          "cum_recall")
-        .orderBy($"bin".desc)
+      rows
     }),
 
     // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010) — the unsupervised
@@ -2009,7 +1999,7 @@ object TextQueries {
     // windows (bounded by doc length), a vocabulary-sized word-stat table
     // joined back on its key, and a top-15 ledger (memoized report).
     "q242_rake_keyphrases" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"rake:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"rake:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val stops = Seq("the", "a", "of", "and", "to", "is")
       val pos = DocProfiles.profiled(s, dir)
@@ -2041,9 +2031,6 @@ object TextQueries {
           row_number().over(Window.orderBy($"score".desc, $"phrase".asc)))
         .select($"rk", $"phrase", $"n_occ", $"score")
         .orderBy($"rk")
-        .as[(Int, String, Long, Double)].collect().toSeq
-        .toDF("rk", "phrase", "n_occ", "score")
-        .orderBy($"rk")
     }),
 
     // INTERPOLATED KNESER-NEY bigram perplexity — the smoothing rung above
@@ -2064,7 +2051,7 @@ object TextQueries {
     // — the KenLM query path as relational joins. Ledger memoized (the
     // stored-eval-report treatment).
     "q235_kneser_ney" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"kneserney:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"kneserney:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       graft.functions.expressions.GraftFunctions.register(s)
       val pct = md5Pct("", $"doc_id")
@@ -2100,9 +2087,7 @@ object TextQueries {
           round(-sum($"lp") / count(lit(1)), 6).as("nll"),
           round(exp(-sum($"lp") / count(lit(1))), 6).as("ppl"))
         .orderBy($"lang")
-        .as[(String, Long, Long, Double, Double)].collect().toSeq
-      rows.toDF("lang", "n_docs", "n_bigrams", "nll", "ppl")
-        .orderBy($"lang")
+      rows
     })
   )
 

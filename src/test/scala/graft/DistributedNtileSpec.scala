@@ -37,6 +37,17 @@ class DistributedNtileSpec extends SparkSpec {
     }
   }
 
+  test("null sortVal is rejected loudly (negation flips null placement vs desc)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "m")
+    val e = intercept[IllegalArgumentException] {
+      DistributedNtile.scores(df, "id", 2, Seq(Metric("m", -$"m"))).collect()
+    }
+    assert(e.getMessage.contains("non-null"))
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("carry columns survive with one value per key") {
     import spark.implicits._
     val df = (1 to 20).map(i => (i.toLong, i.toDouble * 1.5, s"u$i"))

@@ -25,15 +25,21 @@ class GlobalPlanAuditSpec extends SparkSpec {
 
   /** Sweep every query's plan through `check` with the report-memo in
     * PASSTHROUGH mode (spark.graft.report.passthrough): the
-    * `ResultMemo.report` ledgers (~45 queries incl. q20/q28/q88/q102/
-    * q107/q246 since the r9 review) return their UNCOLLECTED frames, so
-    * the audit inspects the real derivation plan, not the driver-local
-    * relation the memo serves at runtime — memoization must never become
-    * a place for a scale-killer to hide. Remaining `getOrCompute`
-    * hand-collectors are either driver-gated side-effect runs whose
-    * scratch dies with the call (q248 shard export, q249 Derby sink, the
-    * streaming-gate drains) or carry dedicated frame-builder pins
-    * (PlanShapeSpec / DistributedNtileSpec).
+    * `ResultMemo.report` ledgers (~60 queries; the r10 migration moved
+    * the last 14 batch-analytic hand-collectors — q194, q228, q230-q233,
+    * q235, q237, q238, q240-q243, q247 — onto it) return their
+    * UNCOLLECTED frames, so the audit inspects the real derivation plan,
+    * not the driver-local relation the memo serves at runtime —
+    * memoization must never become a place for a scale-killer to hide.
+    * The only remaining `getOrCompute` ledgers are genuinely procedural:
+    * driver-gated side-effect runs whose scratch dies with the call
+    * (q248 shard export, q249 Derby sink, q206/q207 sink gates, the
+    * streaming-gate drains q178-q188/q193/q195/q201-q204/q211) plus
+    * eager-cached index-eval frames (q109/q116/q121/q170/q226/q229 et
+    * al.) whose derivations carry dedicated frame-builder pins
+    * (PlanShapeSpec / DistributedNtileSpec). NOTE: passthrough leaves the
+    * MEMO cold but not the cluster idle — report bodies riding eager hub
+    * builds (cache()+count() at construction) still run that work.
     */
   private def offenders(check: graft.operators.PlanAudit.Report => Boolean): Seq[String] = {
     spark.conf.set("spark.graft.report.passthrough", "true")
@@ -86,6 +92,36 @@ class GlobalPlanAuditSpec extends SparkSpec {
         Window.orderBy($"n".desc, $"event_type".asc)))
     assert(!graft.operators.PlanAudit.audit(byType).globalWindow,
       "a domain-grain aggregate must keep the exemption")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
+  test("negative controls: content-identity group keys are entity-grain too") {
+    // r9 verdict: the id-only net let a data-proportional key named fp /
+    // hash / hkey / gram / content_md5 slip the exemption. One control
+    // per added class: a global window above a groupBy on each name MUST
+    // flag — the group count is ~one row per distinct content item.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    for (name <- Seq("content_hash", "fp", "hkey", "gram", "content_md5",
+        "simhash", "digest", "fingerprint", "ch", "gh")) {
+      val shape = docs.select(md5($"text".cast("binary")).as(name))
+        .groupBy(col(name)).agg(count(lit(1)).as("n"))
+        .withColumn("rk", ntile(5).over(
+          Window.orderBy($"n".asc, col(name).asc)))
+        .groupBy($"rk").count()
+      assert(graft.operators.PlanAudit.audit(shape).globalWindow,
+        s"a global window over groupBy($name) must flag as entity-grain")
+    }
+    // ...and a Limit between them still exempts (k-sized input)
+    val limited = docs.select(md5($"text".cast("binary")).as("content_hash"))
+      .groupBy($"content_hash").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n".desc, $"content_hash".asc)))
+    assert(!graft.operators.PlanAudit.audit(limited).globalWindow,
+      "a Limit above the content-identity aggregate must keep the exemption")
     graft.operators.CacheRegistry.releaseAll()
   }
 }

@@ -12,8 +12,10 @@ class PlanShapeSpec extends SparkSpec {
 
   /** The query's physical plan — with the report memo in PASSTHROUGH
     * mode, so memoized ledgers expose their real derivation plan to the
-    * pin instead of a driver-local relation (and nothing executes: the
-    * helper only plans). */
+    * pin instead of a driver-local relation. The MEMO stays cold, but
+    * construction is not free: report bodies that ride eager hub builds
+    * (cache() + count() at frame construction) still run that work, and
+    * the built caches stay tracked until the suite's releaseAll. */
   private def plan(name: String): String = withReportPassthrough {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
   }

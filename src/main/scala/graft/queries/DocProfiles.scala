@@ -24,19 +24,27 @@ object DocProfiles {
   def profiled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.expressions.GraftFunctions.register(s)
-    graft.operators.CacheRegistry.track(Tables.documents(s, dir)
-      .select($"doc_id", $"lang", $"source", $"text", $"n_chars",
-        tokens($"text").as("toks"),
-        (conv(substring(md5(concat(lit(""), $"doc_id".cast("string")).cast("binary")),
-          1, 4), 16, 10).cast("double") / 65536.0).as("pct"),
-        md5($"text".cast("binary")).as("ch"))
-      .withColumn("n_tok", size($"toks"))
-      .withColumn("sum_len", aggregate($"toks", lit(0), (a, x) => a + length(x)))
-      .withColumn("n_stop",
-        size(filter($"toks", t => t.isin("the", "a", "of", "and", "to", "is"))))
-      .withColumn("fp", array_min(transform(wordShingles($"toks", 5),
-        x => md5(x.cast("binary")))))
-      .cache())
+    // STORED artifact (r10): the profile table is the materialized PREP
+    // layer a corpus pipeline publishes at ingest (tokens + split + hash
+    // + quality inputs); a restarted session reads it instead of
+    // re-tokenizing the corpus. Every derived value is md5/arithmetic-
+    // deterministic, so stored == derived bit-for-bit.
+    graft.operators.CacheRegistry.track(graft.operators.ArtifactStore
+      .table(s, "docprofiles_profiled",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet")) {
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"source", $"text", $"n_chars",
+            tokens($"text").as("toks"),
+            (conv(substring(md5(concat(lit(""), $"doc_id".cast("string")).cast("binary")),
+              1, 4), 16, 10).cast("double") / 65536.0).as("pct"),
+            md5($"text".cast("binary")).as("ch"))
+          .withColumn("n_tok", size($"toks"))
+          .withColumn("sum_len", aggregate($"toks", lit(0), (a, x) => a + length(x)))
+          .withColumn("n_stop",
+            size(filter($"toks", t => t.isin("the", "a", "of", "and", "to", "is"))))
+          .withColumn("fp", array_min(transform(wordShingles($"toks", 5),
+            x => md5(x.cast("binary")))))
+      }.cache())
   }
 
   /** ONE cached explode of every document's word-5-grams — (doc_id, pct,

@@ -529,6 +529,56 @@ object SimilarityQueries {
         }
       }),
 
+    // STREAMING IVF APPEND GATE — q170's maintenance loop with the
+    // arrivals actually STREAMING: build the same persisted index on the
+    // 70% slice, then drain the 30% cohort through
+    // [[graft.streaming.StreamingIvfAppend]] (three staged files →
+    // three micro-batches via maxFilesPerTrigger=1, one generation
+    // appended per batch under the FROZEN centroids). The ledger is the
+    // stored staleness table plus the generation high-water mark; the
+    // oracle is q170's from-scratch SQL lifecycle unchanged except
+    // n_gens = 3 — lawful because assignment is frozen-centroid
+    // STATELESS (IvfIncrementalSpec's compose law: batches == their
+    // union, assignment-for-assignment), so the micro-batch split can
+    // move rows between generations but never between cells. At 100 TB
+    // each micro-batch is one arrivals scan × a k×dim broadcast; no
+    // state store, no history touch.
+    "q252_streaming_ivf_append_gate" -> ((s, dir) =>
+      graft.operators.ResultMemo.getOrCompute(
+        s"ivfstream:$dir:${graft.operators.SessionKey(s)}") {
+        import s.implicits._
+        val isNew = (conv(substring(md5(concat(lit("new:"), $"vec_id".cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0) < 0.3
+        val all = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+            isNew.as("is_new"))
+        val base = java.nio.file.Files.createTempDirectory("graft-q252").toString
+        try {
+          val idx = s"$base/idx"
+          graft.operators.IvfIncremental.build(
+            s, all.where(!$"is_new").select($"vec_id", $"v"), idx,
+            k = 10, iters = 1)
+          val arrDir = s"$base/arrivals"
+          all.where($"is_new").select($"vec_id", $"v")
+            .repartition(3).write.mode("overwrite").parquet(arrDir)
+          val schema = s.read.parquet(arrDir).schema
+          graft.streaming.StreamingIvfAppend.run(s, idx,
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(arrDir),
+            s"$base/ckpt")
+          val nGens = graft.operators.IvfIncremental.assignments(s, idx)
+            .agg(max($"gen")).collect()(0).getInt(0)
+          val rows = graft.operators.IvfIncremental.staleness(s, idx, 0.3)
+            .as[(Int, Long, Long, Double, Boolean)].collect().toSeq.sorted
+          rows.toDF("cell", "n_base", "n_new", "new_frac", "stale")
+            .withColumn("n_gens", lit(nGens))
+            .orderBy($"cell")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+          ()
+        }
+      }),
+
     // Memoized (r9 report treatment): bounded per-batch ledger,
     // computed once per (session, dir) and served driver-local.
     "q152_ivf_staleness" -> ((s, dir) => graft.operators.ResultMemo
@@ -1883,6 +1933,47 @@ object SimilarityQueries {
        |  round(coalesce(h.n, 0) * 1.0 / k.k, 6) AS recall
        |FROM k LEFT JOIN h ON k.q_id = h.q_id ORDER BY k.q_id""".stripMargin
 
+  /** The q170/q252 shared oracle: the incremental-IVF lifecycle
+    * re-derived from scratch in SQL (vec_id%10 init, one Lloyd round,
+    * frozen assignment of both generations). `extra` appends ledger
+    * columns (q252 adds the generation high-water mark).
+    */
+  private def ivfLifecycleSql(extra: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           |      CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new
+           |    FROM embeddings),
+           |o AS (SELECT vec_id, v FROM e WHERE NOT is_new),
+           |nw AS (SELECT vec_id, v FROM e WHERE is_new),
+           |init AS (SELECT CAST(vec_id % 10 AS INT) AS cl, v FROM o),
+           |u0 AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM init),
+           |cp0 AS (SELECT cl, pos, round(avg(val), 6) c FROM u0 GROUP BY 1, 2),
+           |c0 AS (SELECT cl, list(c ORDER BY pos) cv FROM cp0 GROUP BY 1),
+           |a1 AS (SELECT o.vec_id, o.v, c0.cl,
+           |    row_number() OVER (PARTITION BY o.vec_id
+           |      ORDER BY ${cosSql("o.v", "c0.cv")} DESC, c0.cl ASC) rn
+           |  FROM o CROSS JOIN c0),
+           |m1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+           |u1 AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM m1),
+           |cp1 AS (SELECT cl, pos, round(avg(val), 6) c FROM u1 GROUP BY 1, 2),
+           |c1 AS (SELECT cl, list(c ORDER BY pos) cv FROM cp1 GROUP BY 1),
+           |b0 AS (SELECT o.vec_id, c1.cl,
+           |    row_number() OVER (PARTITION BY o.vec_id
+           |      ORDER BY ${cosSql("o.v", "c1.cv")} DESC, c1.cl ASC) rn
+           |  FROM o CROSS JOIN c1),
+           |g0 AS (SELECT vec_id, cl AS cell, 0 AS gen FROM b0 WHERE rn = 1),
+           |b1 AS (SELECT nw.vec_id, c1.cl,
+           |    row_number() OVER (PARTITION BY nw.vec_id
+           |      ORDER BY ${cosSql("nw.v", "c1.cv")} DESC, c1.cl ASC) rn
+           |  FROM nw CROSS JOIN c1),
+           |g1 AS (SELECT vec_id, cl AS cell, 1 AS gen FROM b1 WHERE rn = 1),
+           |cells AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+           |SELECT cell,
+           |  CAST(sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           |  CAST(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           |  round(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS new_frac,
+           |  sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) > 0.3 AS stale$extra
+           |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
+
   def oracles: Map[String, String] = {
     // The ±1 hyperplane sign vectors, embedded as literals so the SQL and
     // the Catalyst plan share one definition (generated from the same code).
@@ -1983,41 +2074,12 @@ object SimilarityQueries {
            |    AS overlap_frac,
            |  max(CASE WHEN rk = 1 THEN rk16 IS NOT NULL END) AS top1_kept
            |FROM j GROUP BY 1 ORDER BY q_id""".stripMargin,
-      "q170_ivf_maintenance" ->
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
-           |      CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new
-           |    FROM embeddings),
-           |o AS (SELECT vec_id, v FROM e WHERE NOT is_new),
-           |nw AS (SELECT vec_id, v FROM e WHERE is_new),
-           |init AS (SELECT CAST(vec_id % 10 AS INT) AS cl, v FROM o),
-           |u0 AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM init),
-           |cp0 AS (SELECT cl, pos, round(avg(val), 6) c FROM u0 GROUP BY 1, 2),
-           |c0 AS (SELECT cl, list(c ORDER BY pos) cv FROM cp0 GROUP BY 1),
-           |a1 AS (SELECT o.vec_id, o.v, c0.cl,
-           |    row_number() OVER (PARTITION BY o.vec_id
-           |      ORDER BY ${cosSql("o.v", "c0.cv")} DESC, c0.cl ASC) rn
-           |  FROM o CROSS JOIN c0),
-           |m1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-           |u1 AS (SELECT cl, unnest(v) AS val, unnest(range(len(v))) AS pos FROM m1),
-           |cp1 AS (SELECT cl, pos, round(avg(val), 6) c FROM u1 GROUP BY 1, 2),
-           |c1 AS (SELECT cl, list(c ORDER BY pos) cv FROM cp1 GROUP BY 1),
-           |b0 AS (SELECT o.vec_id, c1.cl,
-           |    row_number() OVER (PARTITION BY o.vec_id
-           |      ORDER BY ${cosSql("o.v", "c1.cv")} DESC, c1.cl ASC) rn
-           |  FROM o CROSS JOIN c1),
-           |g0 AS (SELECT vec_id, cl AS cell, 0 AS gen FROM b0 WHERE rn = 1),
-           |b1 AS (SELECT nw.vec_id, c1.cl,
-           |    row_number() OVER (PARTITION BY nw.vec_id
-           |      ORDER BY ${cosSql("nw.v", "c1.cv")} DESC, c1.cl ASC) rn
-           |  FROM nw CROSS JOIN c1),
-           |g1 AS (SELECT vec_id, cl AS cell, 1 AS gen FROM b1 WHERE rn = 1),
-           |cells AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
-           |SELECT cell,
-           |  CAST(sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
-           |  CAST(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-           |  round(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS new_frac,
-           |  sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) > 0.3 AS stale
-           |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
+      "q170_ivf_maintenance" -> ivfLifecycleSql(""),
+      // q252: the identical from-scratch lifecycle (the compose law makes
+      // the micro-batch split invisible to cells), plus the generation
+      // high-water mark — 3 staged files → 3 appended generations.
+      "q252_streaming_ivf_append_gate" ->
+        ivfLifecycleSql(",\n  CAST(3 AS INT) AS n_gens"),
       "q152_ivf_staleness" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
            |        CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new

@@ -74,6 +74,41 @@ class IvfIncrementalSpec extends SparkSpec {
     graft.operators.CacheRegistry.releaseAll()
   }
 
+  test("streaming drain == batch append, assignment-for-assignment") {
+    // the q252 law: StreamingIvfAppend's per-micro-batch appends under
+    // frozen centroids land EXACTLY the batch append's (vec_id, cell)
+    // set — only `gen` (arrival bookkeeping) may differ — and the
+    // generation high-water mark counts the staged files.
+    val all = corpus().cache()
+    val base = all.where($"vec_id" % 5 =!= 0)
+    val arrivals = all.where($"vec_id" % 5 === 0)
+
+    val idxBatch = tmpDir("ivf-batch")
+    IvfIncremental.build(spark, base, idxBatch)
+    IvfIncremental.append(spark, idxBatch, arrivals)
+
+    val scratch = tmpDir("ivf-stream")
+    val idxStream = s"$scratch/idx"
+    IvfIncremental.build(spark, base, idxStream)
+    val arrDir = s"$scratch/arrivals"
+    arrivals.repartition(2).write.mode("overwrite").parquet(arrDir)
+    val schema = spark.read.parquet(arrDir).schema
+    graft.streaming.StreamingIvfAppend.run(spark, idxStream,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(arrDir),
+      s"$scratch/ckpt")
+
+    def cellsOf(idx: String): Set[(Long, Int)] =
+      IvfIncremental.assignments(spark, idx)
+        .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(cellsOf(idxStream) == cellsOf(idxBatch),
+      "streaming micro-batch split must not move any assignment")
+    val maxGen = IvfIncremental.assignments(spark, idxStream)
+      .agg(max($"gen")).as[Int].head()
+    assert(maxGen == 2, "one generation per staged file")
+    all.unpersist()
+  }
+
   test("append onto an empty cells table lands as generation 0 (no NPE on null max)") {
     val idx = tmpDir("ivf-empty")
     val all = corpus().cache()

@@ -94,6 +94,10 @@ object SimilarityQueries {
     * queries, so the Lloyd chain executes once per session.
     */
   private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // registered HERE, not only in the build closure: on an artifact HIT
+    // the Lloyd chain never runs, but every consumer of the returned
+    // frames still spells graft_dot (r10 explain-path regression)
+    GraftFunctions.register(s)
     // STORED artifact (r10): the trained tower (cells + centroids) is the
     // serving index a deployment keeps on disk; sessions with an artifact
     // store load it instead of re-running the Lloyd chain. Both tables
@@ -1277,7 +1281,10 @@ object SimilarityQueries {
         s"semdedup:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val (cells, _) = ivfCells(s, dir)
-      val pairs = cells.as("a").join(cells.as("b"),
+      // shuffle_hash PINNED (r10): the within-cell pair join buckets on
+      // cell id — the stored tower's small file stats must not flip it
+      // to a broadcast of the whole corpus-sized cells table
+      val pairs = cells.as("a").hint("shuffle_hash").join(cells.as("b"),
           $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
           (dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))

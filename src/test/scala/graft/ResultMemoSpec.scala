@@ -31,4 +31,21 @@ class ResultMemoSpec extends SparkSpec {
     assert(a eq b, "repeat readers must get the memoized frame")
     ResultMemo.clear()
   }
+
+  test("report: a data-proportional frame trips the row cap loudly") {
+    // the bounded-ledger contract is enforced, not just declared (r9
+    // advisor finding): an unbounded report must fail fast with the key
+    // in the message, never silently collect toward a driver OOM
+    val key = s"report-cap-spec:${System.identityHashCode(this)}"
+    val e = intercept[IllegalStateException] {
+      ResultMemo.report(key) {
+        spark.range(ResultMemo.MaxReportRows + 10L).toDF("id")
+      }
+    }
+    assert(e.getMessage.contains(key) && e.getMessage.contains("bounded"))
+    // and the failed key is not poisoned: a bounded retry under the same
+    // key computes fine
+    assert(ResultMemo.report(key) { spark.range(3).toDF("id") }.count() == 3)
+    ResultMemo.clear()
+  }
 }

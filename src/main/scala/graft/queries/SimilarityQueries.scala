@@ -177,13 +177,20 @@ object SimilarityQueries {
 
   /** Corpus projected once to (vec_id, label, v: array<double>, nrm): the
     * cast and the L2 norm are per-VECTOR work and must not be recomputed
-    * per candidate pair.
+    * per candidate pair. CACHED here (r10): before the stored IVF tower,
+    * every consumer happened to ride the cache `buildIvfCells` created —
+    * an artifact HIT skips that build, so the shared projection must own
+    * its cache (the cache manager dedupes the identical plan across all
+    * consumers to one entry).
     */
   private def normalized(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.embeddings(s, dir).select($"vec_id", $"label",
-      $"embedding".cast("array<double>").as("v"),
-      sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    GraftFunctions.register(s)
+    graft.operators.CacheRegistry.track(
+      Tables.embeddings(s, dir).select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("v"),
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
+      .cache())
   }
 
   private def cached(df: DataFrame): DataFrame =

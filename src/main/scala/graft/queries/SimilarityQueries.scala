@@ -1537,13 +1537,18 @@ object SimilarityQueries {
       import s.implicits._
       GraftFunctions.register(s)
       val e = normalized(s, dir)
-      val cent = e.select($"label".as("cl"), $"v")
+      // label centroids CACHED at their own definition (r10): this k×dim
+      // table used to ride the Lloyd chain's identical first-stage cache,
+      // which a stored-tower artifact HIT no longer builds — without its
+      // own cache the 6.4M-row posexplode agg re-runs per pass (q152
+      // already owns its copy for the same reason)
+      val cent = cached(e.select($"label".as("cl"), $"v")
         .select($"cl", posexplode($"v"))
         .groupBy($"cl", $"pos").agg(round(avg($"col"), 6).as("c"))
         .groupBy($"cl")
         .agg(transform(sort_array(collect_list(struct($"pos", $"c"))), x => x.getField("c"))
           .as("cv"))
-        .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm"))
+        .select($"cl", $"cv", sqrt(dot($"cv", $"cv")).as("cnrm")))
       val intra = e.join(broadcast(cent), $"label" === $"cl")
         .select($"label", (lit(1.0) - dot($"v", $"cv") / ($"nrm" * $"cnrm")).as("dist"))
         .groupBy($"label")

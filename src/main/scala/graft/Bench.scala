@@ -57,6 +57,14 @@ object Bench {
 
   private val Runs = 3
 
+  /** JSON string escape for the one-line metric contract: backslash,
+    * quote, and ALL control chars (tabs in Derby/Spark messages would
+    * break strict parsers).
+    */
+  private def jsonEsc(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,9 +80,13 @@ object Bench {
     // engine in BOTH protocols: a deployment restarting a session loads
     // its published indexes from disk rather than re-deriving them, and
     // the legacy per-pass-cold replay is exactly that restart. "" disables
-    // (for measuring the no-store cold path).
+    // (for measuring the no-store cold path). The default root is
+    // PER-USER (and ArtifactStore verifies ownership + 0700 before
+    // trusting it): a world-shared /tmp path would let another local
+    // user pre-plant artifact dirs with matching sidecars and have the
+    // engine serve their rows as query results.
     val artifacts = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
-      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts-${System.getProperty("user.name")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -227,6 +239,11 @@ object Bench {
     if (!legacy && memoServed.nonEmpty) {
       spark.conf.set("spark.graft.report.passthrough", "true")
       val truths = mutable.Map.empty[String, Double]
+      // a passthrough-only failure is a property of the HONESTY RE-TIME,
+      // not of the already-recorded headline pass — it reports inside this
+      // metric line, never in the main errors map (a query would otherwise
+      // carry both a valid timing and an "errored" verdict)
+      val truthErrors = mutable.Map.empty[String, String]
       try memoServed.foreach { name =>
         val t0 = System.nanoTime()
         try {
@@ -234,14 +251,52 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           truths(name) = (System.nanoTime() - t0) / 1e9
         } catch { case t: Throwable =>
-          errors(name) = t.toString.linesIterator.next().take(200)
+          truthErrors(name) = t.toString.linesIterator.next().take(200)
         }
       } finally spark.conf.unset("spark.graft.report.passthrough")
       val tq = truths.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
         .mkString("{", ",", "}")
+      val te = truthErrors.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + jsonEsc(v) + "\"" }
+        .mkString("{", ",", "}")
       val tTot = math.rint(truths.values.sum * 1000) / 1000
-      println(s"""{"metric":"report_truth","unit":"ms","note":"per-batch derivation cost of memo-served ledgers (passthrough, warm hubs); headline times measure the memo read","n":${truths.size},"queries_ms":$tq,"total_sec":$tTot}""")
+      println(s"""{"metric":"report_truth","unit":"ms","note":"per-batch derivation cost of memo-served ledgers (passthrough, warm hubs); headline times measure the memo read","n":${truths.size},"errors":$te,"queries_ms":$tq,"total_sec":$tTot}""")
+    }
+
+    // WARM-BOOT leg — the third measurement regime, the one the artifact
+    // store exists for: a COLD session (memos, registry caches and the
+    // base-table CACHE TABLEs all dropped) against the POPULATED store,
+    // i.e. a deployment restart. One pass, construction + execution
+    // inside the timed region (the per-pass-cold discipline), split on
+    // the procedural-gate tag like gate_time. The three regimes, one
+    // printed number each: headline total (warm session), warm_boot
+    // (warm store + cold session), legacy with SPARK_GRAFT_ARTIFACTS=""
+    // (cold everything).
+    if (!legacy && artifacts.nonEmpty) {
+      try {
+        graft.operators.ResultMemo.clear()
+        graft.operators.CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
+        spark.conf.set("spark.graft.cacheBaseTables", "false")
+        val wb = mutable.Map.empty[String, Double]
+        val wbErrors = mutable.ArrayBuffer.empty[String]
+        names.foreach { name =>
+          val t0 = System.nanoTime()
+          try {
+            selected(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            wb(name) = (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => wbErrors += name }
+        }
+        val wbTot = wb.values.sum
+        val wbGate = wb.collect {
+          case (k, v) if SparkEntry.proceduralGates(k) => v }.sum
+        def r3(v: Double): Double = math.rint(v * 1000) / 1000
+        println(s"""{"metric":"warm_boot","unit":"sec","note":"cold session (no memos/caches) against the populated artifact store — the restart path; gate_sec = procedural re-proof","n":${wb.size},"n_errors":${wbErrors.size},"gate_sec":${r3(wbGate)},"derivation_sec":${r3(wbTot - wbGate)},"total_sec":${r3(wbTot)}}""")
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] warm-boot leg failed: ${t.toString.linesIterator.next().take(200)}")
+      } finally spark.conf.set("spark.graft.cacheBaseTables", "true")
     }
 
     graft.operators.CacheRegistry.releaseAll()
@@ -253,13 +308,21 @@ object Bench {
       s"\"" + k + "\":" + samples.getOrElse(k, Vector.empty).size
     }.mkString("{", ",", "}")
     val errJson = failedEvery.toSeq.sorted.map { k =>
-      // control chars (tabs in Derby/Spark messages) would break the
-      // one-JSON-line contract for strict parsers
-      val esc = errors(k).replace("\\", "\\\\").replace("\"", "\\\"")
-        .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
-      s"\"" + k + "\":\"" + esc + "\""
+      s"\"" + k + "\":\"" + jsonEsc(errors(k)) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Decomposition of the pack total on the procedural-gate tag
+    // (SparkEntry.proceduralGates): gate_sec is operator RE-PROOF
+    // (streaming drains, Derby sinks, export/import, store lifecycle —
+    // protocol a restarted deployment does not pay), derivation_sec is
+    // genuine query cost. Emitted by the harness in BOTH protocols so
+    // per-pass-cold analysis reads the split from the artifact instead
+    // of hand arithmetic in notes.
+    val gateSec = results.collect {
+      case (k, v) if v >= 0 && SparkEntry.proceduralGates(k) => v }.sum
+    val nGates = names.count(SparkEntry.proceduralGates)
+    def round3(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"metric":"gate_time","unit":"sec","note":"procedural operator re-proof vs query derivation, same minimums as the headline","protocol":"${if (legacy) "legacy" else "current"}","n_gates":$nGates,"gate_sec":${round3(gateSec)},"derivation_sec":${round3(total - gateSec)},"total_sec":${round3(total)}}""")
     // Key order is deliberate: the driver stores a bounded TAIL of stdout,
     // so the payload that must survive head-truncation — the per-query
     // medians map and the total — goes LAST (r4's artifact lost the medians

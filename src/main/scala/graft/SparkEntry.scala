@@ -42,6 +42,29 @@ object SparkEntry {
       DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
       MultimodalQueries.defs ++ GraphQueries.defs ++ StreamingGateQueries.defs
 
+  /** Queries whose bench cost is dominated by PROTOCOL — staging scratch
+    * fixtures, draining checkpointed streams, Derby/JDBC sinks,
+    * export/import and artifact-store side effects — rather than by query
+    * derivation. Bench splits its totals on this set (the `gate_time`
+    * metric line), so per-pass-cold numbers separate operator re-proof
+    * (which a restarted deployment does not pay) from engine derivation
+    * cost.
+    */
+  val proceduralGates: Set[String] = Set(
+    "q170_ivf_maintenance",
+    "q178_streaming_neardup_gate", "q179_streaming_decontamination_gate",
+    "q180_streaming_quantile_gate", "q182_streaming_dedup_gate",
+    "q183_streaming_curation_gate", "q184_streaming_drift_gate",
+    "q185_streaming_topk_gate", "q186_streaming_anomaly_gate",
+    "q187_stream_correlate_gate", "q188_streaming_heartbeat_gate",
+    "q193_streaming_ingest_funnel", "q195_stream_unanswered_gate",
+    "q201_delivery_gate", "q202_dlq_retry_gate", "q203_streaming_asof_gate",
+    "q204_streaming_sessionize_gate", "q206_idempotent_sink_gate",
+    "q207_backfill_gate", "q211_stream_enrich_gate",
+    "q248_shard_export_gate", "q249_jdbc_exactly_once_gate",
+    "q251_filestore_import_gate", "q252_streaming_ivf_append_gate",
+    "q253_artifact_lifecycle_gate")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

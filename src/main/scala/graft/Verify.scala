@@ -13,8 +13,10 @@ object Verify {
     // Stored hub artifacts (ArtifactStore): same tier a deployment runs
     // with. Values are build-deterministic, so stored-vs-derived is hash-
     // identical; SPARK_GRAFT_ARTIFACTS overrides the root ("" disables).
+    // Per-user default + ownership/0700 verification in ArtifactStore —
+    // a world-shared root is an injection channel (see Bench).
     val artifacts = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
-      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts-${System.getProperty("user.name")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

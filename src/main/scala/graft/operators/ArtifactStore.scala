@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -20,20 +20,54 @@ import org.apache.spark.sql.types.StructType
   *
   * Invalidation is structural, the [[graft.plans.TopicBucketPruning]]
   * sidecar discipline: the sidecar records an md5 over the sorted
-  * (name, mtime, length) triples of every input file plus the build's
-  * parameter string. Rewriting an input under the SAME path changes its
-  * (mtime, len) identity, the fingerprint stops matching, and the next
-  * load rebuilds — a stale artifact is unreachable, never served. A
-  * changed build parameter (k-means iteration count, shingle width)
-  * invalidates the same way via `params`.
+  * (relative path, mtime, length) triples of every data file reachable
+  * from the inputs — RECURSIVELY, so a `partitionBy("topic")` log layout
+  * or any nested directory tree participates file-for-file (a rewritten
+  * partition one level down invalidates exactly like a rewritten flat
+  * file) — plus the build's parameter string. Rewriting an input under
+  * the SAME path changes its (mtime, len) identity, the fingerprint stops
+  * matching, and the next load rebuilds — a stale artifact is unreachable,
+  * never served (granularity caveat: a same-length rewrite inside one
+  * mtime tick of the filesystem is invisible; local FS mtime here is
+  * millisecond-grain). A changed build parameter (k-means iteration
+  * count, shingle width) invalidates the same way via `params`.
+  *
+  * Builder-code identity: input identity alone cannot see a CODE change —
+  * a regressed builder would silently serve tables derived by the old
+  * code. Every call site therefore folds a builder-version token into
+  * `params` (`bv1`, bumped whenever the build closure's semantics
+  * change), and the store-wide format constant below versions the store
+  * itself.
   *
   * Commit protocol (concurrent-writer safe): build into a nonce-suffixed
   * temp dir, write the sidecar into it LAST (sidecar presence == commit
-  * marker), then swap it in with delete + rename. A reader that races a
-  * swap sees either the old committed artifact or the new one; a
-  * half-written dir is never at the published path. Writers in one JVM
-  * serialize per artifact path; a cross-JVM losing writer just rebuilt
-  * the same deterministic table and overwrites with identical content.
+  * marker), then swap: rename any existing artifact ASIDE (a metadata op,
+  * never a slow recursive delete at the published path), rename the new
+  * dir in, then delete the aside dir. A cross-JVM reader racing the swap
+  * sees the old committed artifact or the new one in all but the
+  * microsecond metadata window between the two renames; a reader landing
+  * in that window (or on any other storage hiccup) finds no committed
+  * artifact and falls back to building in-session — correct, merely
+  * unmemoized, because the store is a cache tier, never a correctness
+  * dependency. A half-written dir is never at the published path. Writers
+  * in one JVM serialize per artifact path; a cross-JVM losing writer just
+  * rebuilt the same deterministic table and its swap publishes identical
+  * content.
+  *
+  * Trust: the store root must be PRIVATE — artifacts are served as query
+  * results, so a world-writable root (or one owned by another user) would
+  * let anyone plant rows. On posix filesystems the root is created 0700
+  * and verified (owner == current user, no group/other write) before any
+  * artifact is trusted; a root that fails the check disables the store
+  * for this JVM (fall back to in-session builds).
+  *
+  * Lifecycle: superseded generations are swapped out in place, but
+  * writer crashes leave `.tmp-*` dirs and deleted inputs leave whole
+  * orphaned groups. [[vacuum]] is the store's [[graft.sources.EventLog]]
+  * `vacuum` equivalent: sweep abandoned temp/aside dirs past an age
+  * threshold, uncommitted artifact dirs, and committed artifacts whose
+  * recorded inputs are gone (orphaned) or no longer match (stale, would
+  * be rebuilt on next access anyway).
   *
   * Opt-in by conf: `spark.graft.artifacts.dir` names the store root
   * (Bench and Verify set it; plan-audit test sessions leave it unset so
@@ -47,6 +81,12 @@ import org.apache.spark.sql.types.StructType
 object ArtifactStore {
 
   val ConfKey = "spark.graft.artifacts.dir"
+
+  /** Store format version, folded into every fingerprint: bumping it
+    * invalidates all stored artifacts at once (v2: recursive fingerprint
+    * + inputs/params recorded in the sidecar).
+    */
+  val FormatVersion = "graft-artifact-v2"
 
   /** Sidecar file inside a committed artifact directory. Underscore-
     * prefixed, so parquet directory listings ignore it (`_SUCCESS`
@@ -66,6 +106,10 @@ object ArtifactStore {
   private val builds =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Store roots already ownership-verified this JVM (or rejected). */
+  private val rootTrust =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def buildCount(name: String): Long =
     Option(builds.get(name)).map(_.longValue).getOrElse(0L)
 
@@ -74,12 +118,14 @@ object ArtifactStore {
 
   /** Stored-or-built table. `inputs` are the paths (files or directories)
     * the build reads; `params` is any non-path build configuration that
-    * must participate in invalidation. Returns the published parquet scan
-    * when a committed artifact matches the current fingerprint, else runs
-    * `build`, publishes it, and returns a scan of the fresh artifact (so
-    * hit and miss hand every caller the SAME plan shape — one parquet
-    * scan — and the cache manager dedupes repeat callers within the
-    * session exactly as it did for the derived plans).
+    * must participate in invalidation — INCLUDING a builder-version token
+    * (`bv1`), bumped whenever the build closure's semantics change.
+    * Returns the published parquet scan when a committed artifact matches
+    * the current fingerprint, else runs `build`, publishes it, and
+    * returns a scan of the fresh artifact (so hit and miss hand every
+    * caller the SAME plan shape — one parquet scan — and the cache
+    * manager dedupes repeat callers within the session exactly as it did
+    * for the derived plans).
     */
   def table(s: SparkSession, name: String, inputs: Seq[String],
       params: String = "")(build: => DataFrame): DataFrame =
@@ -98,9 +144,11 @@ object ArtifactStore {
       case None => builders
       case Some(r) =>
         try {
+          val rootPath = new Path(r)
+          val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
+          ensureTrustedRoot(fs, rootPath)
           val fp = fingerprint(s, inputs, params)
           val dirs = names.map(n => new Path(artifactDir(r, inputs, n)))
-          val fs = dirs.head.getFileSystem(s.sessionState.newHadoopConf())
           val lock = locks.computeIfAbsent(dirs.head.toString, _ => new Object)
           lock.synchronized {
             if (dirs.forall(d => committedMatches(s, fs, d, fp)))
@@ -110,7 +158,7 @@ object ArtifactStore {
               require(built.size == names.size,
                 s"ArtifactStore.tables: ${names.size} names, ${built.size} builds")
               names.zip(built).zip(dirs).map { case ((n, df), d) =>
-                publish(s, fs, d, n, fp, df)
+                publish(s, fs, d, n, fp, inputs, params, df)
                 builds.merge(n, 1L, (a, b) => a + b)
                 load(s, fs, d)
               }
@@ -126,11 +174,60 @@ object ArtifactStore {
     }
   }
 
+  /** The root must be a private directory owned by the current user: the
+    * store serves its contents as query results, so a pre-planted or
+    * world-writable root is an injection channel, and concurrent runs as
+    * different users must not share one. Created 0700 when missing;
+    * verified once per JVM per root (posix filesystems only — elsewhere
+    * the scheme's own auth is the boundary). Failure throws, which the
+    * caller's fallback turns into "store disabled, build in-session".
+    */
+  private def ensureTrustedRoot(fs: FileSystem, root: Path): Unit = {
+    val key = root.toString
+    val cached = rootTrust.get(key)
+    if (cached != null) {
+      if (!cached.booleanValue)
+        throw new SecurityException(s"untrusted artifact root $root")
+      return
+    }
+    val ok =
+      try {
+        val local = fs.getUri.getScheme == "file"
+        if (local) {
+          val p = java.nio.file.Paths.get(root.toUri.getPath)
+          if (!java.nio.file.Files.exists(p)) {
+            java.nio.file.Files.createDirectories(p,
+              java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+                java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+            // umask may have widened the leaf — pin it
+            java.nio.file.Files.setPosixFilePermissions(p,
+              java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+            true
+          } else {
+            val owner = java.nio.file.Files.getOwner(p).getName
+            val me = System.getProperty("user.name")
+            val perms = java.nio.file.Files.getPosixFilePermissions(p)
+            import java.nio.file.attribute.PosixFilePermission._
+            val open = perms.contains(GROUP_WRITE) || perms.contains(OTHERS_WRITE)
+            java.nio.file.Files.isDirectory(p) && owner == me && !open
+          }
+        } else {
+          if (!fs.exists(root)) fs.mkdirs(root)
+          true
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    rootTrust.put(key, java.lang.Boolean.valueOf(ok))
+    if (!ok) throw new SecurityException(
+      s"untrusted artifact root $root (not owned by current user, or group/other-writable)")
+  }
+
   /** md5 over the sorted identity triples of every data file reachable
-    * from `inputs` (one directory level — the layouts here are flat
-    * parquet), plus `params` and a format version. Hidden files (`_`/`.`
+    * from `inputs` — RECURSIVELY, each keyed by its path relative to the
+    * listed input, so nested layouts (`partitionBy`, bucketed logs)
+    * contribute every data file and a moved file changes identity even
+    * with equal (mtime, len). Hidden files and directories (`_`/`.`
     * prefixed) are metadata, not data: a rewritten `_SUCCESS` alone must
-    * not invalidate.
+    * not invalidate. Plus `params` and the store format version.
     */
   def fingerprint(s: SparkSession, inputs: Seq[String],
       params: String): String = {
@@ -140,14 +237,26 @@ object ArtifactStore {
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
       if (st.isFile) Seq(s"${p.getName}:${st.getModificationTime}:${st.getLen}")
-      else fs.listStatus(p).toSeq
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-        .map(f => s"${p.getName}/${f.getPath.getName}:${f.getModificationTime}:${f.getLen}")
-        .sorted
+      else dataFiles(fs, p).map { case (rel, f) =>
+        s"${p.getName}/$rel:${f.getModificationTime}:${f.getLen}"
+      }.sorted
     }
-    md5Hex(("graft-artifact-v1" +: ids :+ params).mkString("\n"))
+    md5Hex((FormatVersion +: ids :+ params).mkString("\n"))
   }
+
+  /** Recursive (relativePath, status) listing of the DATA files under
+    * `dir`, skipping hidden (`_`/`.`) files and subtrees at every level.
+    */
+  private def dataFiles(fs: FileSystem, dir: Path,
+      prefix: String = ""): Seq[(String, FileStatus)] =
+    fs.listStatus(dir).toSeq
+      .filterNot(f => f.getPath.getName.startsWith("_") ||
+        f.getPath.getName.startsWith("."))
+      .flatMap { f =>
+        val rel = s"$prefix${f.getPath.getName}"
+        if (f.isFile) Seq(rel -> f)
+        else dataFiles(fs, f.getPath, s"$rel/")
+      }
 
   private def md5Hex(text: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -163,15 +272,7 @@ object ArtifactStore {
   private def committedMatches(s: SparkSession, fs: FileSystem, dir: Path,
       fp: String): Boolean =
     try {
-      val meta = new Path(dir, MetaFile)
-      fs.exists(meta) && {
-        val in = fs.open(meta)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        """"fingerprint"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(text)
-          .exists(_.group(1) == fp)
-      }
+      readMeta(fs, dir).exists(_.fingerprint == fp)
     } catch { case scala.util.control.NonFatal(_) => false }
 
   private def load(s: SparkSession, fs: FileSystem, dir: Path): DataFrame = {
@@ -179,34 +280,139 @@ object ArtifactStore {
     // (legal — a hub over an empty slice) has no part files to infer
     // from, and the sidecar DDL also pins column order and types exactly
     // as the build produced them.
-    val in = fs.open(new Path(dir, MetaFile))
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val ddl = """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
-      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-      .getOrElse(throw new IllegalStateException(s"no schema in $dir/$MetaFile"))
-    s.read.schema(StructType.fromDDL(ddl)).parquet(dir.toString)
+    val meta = readMeta(fs, dir).getOrElse(
+      throw new IllegalStateException(s"no sidecar in $dir"))
+    s.read.schema(StructType.fromDDL(meta.schemaDdl)).parquet(dir.toString)
   }
 
   private def publish(s: SparkSession, fs: FileSystem, dir: Path,
-      name: String, fp: String, df: DataFrame): Unit = {
-    val tmp = new Path(dir.getParent,
-      s"${dir.getName}.tmp-${System.nanoTime()}-${nonce.incrementAndGet()}")
+      name: String, fp: String, inputs: Seq[String], params: String,
+      df: DataFrame): Unit = {
+    val tag = s"${System.nanoTime()}-${nonce.incrementAndGet()}"
+    val tmp = new Path(dir.getParent, s"${dir.getName}.tmp-$tag")
     df.write.mode("overwrite").parquet(tmp.toString)
-    val ddl = df.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    val ddl = df.schema.toDDL
+    val inputsJson = inputs.map(i => "\"" + esc(i) + "\"").mkString("[", ",", "]")
     val out = fs.create(new Path(tmp, MetaFile), true)
     try out.write(
-      s"""{"name":"$name","fingerprint":"$fp","schema":"$ddl"}"""
-        .getBytes("UTF-8"))
+      (s"""{"name":"${esc(name)}","fingerprint":"$fp",""" +
+        s""""inputs":$inputsJson,"params":"${esc(params)}",""" +
+        s""""schema":"${esc(ddl)}"}""").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dir)) fs.delete(dir, true)
+    // swap: rename the old generation ASIDE (metadata op), the new one in,
+    // then delete the aside dir — a racing reader sees old-or-new except
+    // in the between-renames metadata window, where it rebuilds in-session
+    // (cache-tier fallback). Never a slow recursive delete at the
+    // published path.
+    val aside = new Path(dir.getParent, s"${dir.getName}.old-$tag")
+    val hadOld = fs.exists(dir) && fs.rename(dir, aside)
     if (!fs.rename(tmp, dir)) {
       // lost a cross-JVM race: the winner published the same deterministic
-      // content; discard ours and use theirs
+      // content; discard ours (and restore nothing — the winner's dir is
+      // the committed one) and use theirs
       fs.delete(tmp, true)
+      if (hadOld) fs.delete(aside, true)
       if (!fs.exists(new Path(dir, MetaFile)))
         throw new IllegalStateException(s"artifact publish failed for $dir")
-    }
+    } else if (hadOld) fs.delete(aside, true)
   }
+
+  // ---- vacuum -------------------------------------------------------
+
+  final case class VacuumEntry(path: String, kind: String, action: String)
+
+  /** Sweep the store root's orphans — the [[graft.sources.EventLog]]
+    * `vacuum` discipline applied to the artifact tier:
+    *
+    *   - `tmp`: a `.tmp-*` dir abandoned by a writer that died
+    *     mid-`df.write` (no sidecar ever committed at the published
+    *     path's expense — but the scratch bytes accrete);
+    *   - `aside`: a `.old-*` dir left by a swap whose final delete
+    *     failed;
+    *   - `uncommitted`: an artifact dir with no readable sidecar;
+    *   - `orphaned`: a committed artifact whose recorded inputs no
+    *     longer exist (the sf dir was deleted) — nothing will ever read
+    *     or invalidate it again;
+    *   - `stale`: a committed artifact whose recorded inputs exist but
+    *     no longer match its fingerprint — the next access would rebuild
+    *     over it anyway; vacuuming just frees the space early;
+    *   - `live`: fingerprint still matches — always kept;
+    *   - `unknown`: a sidecar without recorded inputs (pre-v2 format) —
+    *     kept, never guessed at.
+    *
+    * `tmp`/`aside`/`uncommitted` are age-gated by `maxAgeMs` (a writer
+    * may legitimately be mid-publish); committed verdicts (`orphaned`/
+    * `stale`) are deletable at any age because a racing reader's
+    * fallback is the in-session build. Returns the full ledger, one row
+    * per entry examined, action `deleted` or `kept`.
+    */
+  def vacuum(s: SparkSession, rootDir: String,
+      maxAgeMs: Long = 3600000L): Seq[VacuumEntry] = {
+    val rootPath = new Path(rootDir)
+    val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Seq.empty
+    val now = System.currentTimeMillis()
+    def expired(st: FileStatus): Boolean =
+      now - st.getModificationTime >= maxAgeMs
+    val out = scala.collection.mutable.ArrayBuffer.empty[VacuumEntry]
+    for (group <- fs.listStatus(rootPath).toSeq.filter(_.isDirectory)) {
+      for (entry <- fs.listStatus(group.getPath).toSeq) {
+        val name = entry.getPath.getName
+        val p = entry.getPath.toString
+        def drop(kind: String, gated: Boolean): Unit = {
+          val del = !gated || expired(entry)
+          if (del) fs.delete(entry.getPath, true)
+          out += VacuumEntry(p, kind, if (del) "deleted" else "kept")
+        }
+        if (name.contains(".tmp-")) drop("tmp", gated = true)
+        else if (name.contains(".old-")) drop("aside", gated = true)
+        else if (!entry.isDirectory) drop("uncommitted", gated = true)
+        else readMeta(fs, entry.getPath) match {
+          case None => drop("uncommitted", gated = true)
+          case Some(m) if m.inputs.isEmpty =>
+            out += VacuumEntry(p, "unknown", "kept")
+          case Some(m) =>
+            if (!m.inputs.forall(in => fs.exists(new Path(in))))
+              drop("orphaned", gated = false)
+            else if (fingerprint(s, m.inputs, m.params) != m.fingerprint)
+              drop("stale", gated = false)
+            else out += VacuumEntry(p, "live", "kept")
+        }
+      }
+      if (fs.listStatus(group.getPath).isEmpty) fs.delete(group.getPath, false)
+    }
+    out.toSeq
+  }
+
+  // ---- sidecar ------------------------------------------------------
+
+  private final case class Meta(fingerprint: String, inputs: Seq[String],
+      params: String, schemaDdl: String)
+
+  private def readMeta(fs: FileSystem, dir: Path): Option[Meta] = {
+    val metaPath = new Path(dir, MetaFile)
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def strField(k: String): Option[String] =
+      (s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(text)
+        .map(m => unesc(m.group(1)))
+    val fp = strField("fingerprint")
+    val schema = strField("schema")
+    val params = strField("params").getOrElse("")
+    val inputs = """"inputs"\s*:\s*\[((?:[^\]"]|"(?:[^"\\]|\\.)*")*)\]""".r
+      .findFirstMatchIn(text)
+      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(g => unesc(g.group(1))).toSeq)
+      .getOrElse(Seq.empty)
+    for (f <- fp; sc <- schema) yield Meta(f, inputs, params, sc)
+  }
+
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def unesc(v: String): String =
+    v.replace("\\\"", "\"").replace("\\\\", "\\")
 }

@@ -77,7 +77,7 @@ object DedupQueries {
     // it at ingest, so sessions with an artifact store read it instead
     // of re-tokenizing the corpus.
     graft.operators.ArtifactStore.table(s, "shingle_sets",
-      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w3") {
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w3,bv1") {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("toks"))
@@ -119,7 +119,7 @@ object DedupQueries {
     val sig = graft.operators.CacheRegistry.track(
       graft.operators.ArtifactStore.table(s, "minhash_bands",
         Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
-        s"K=$K,cap=$MaxBand") {
+        s"K=$K,cap=$MaxBand,bv1") {
         signatures(s, sets)
           .withColumn("bc", count(lit(1)).over(bandCount))
           .where($"bc" <= MaxBand)
@@ -230,7 +230,7 @@ object DedupQueries {
     // deployment — threshold and shingle width ride `params`.
     val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
     val pre = graft.operators.ArtifactStore.table(s, "ppjoin_prefix",
-      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w3-t0.8") {
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w3-t0.8,bv1") {
       val tok = sets.select($"doc_id", explode($"sh").as("g"))
       val dfreq = tok.groupBy($"g").agg(count(lit(1)).as("df"))
       // rarest-first order per doc, then keep only the prefix slice
@@ -291,7 +291,7 @@ object DedupQueries {
     // STORED artifact (r10, per bit-width): the fingerprint table a
     // deployment computes at ingest and probes forever after.
     graft.operators.ArtifactStore.table(s, s"simhash_$bits",
-      Seq(s"${dir.stripSuffix("/")}/documents.parquet")) {
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "bv1") {
       buildSimhashes(s, dir, bits)
     }
 
@@ -1138,7 +1138,7 @@ object DedupQueries {
       // session-cached so the per-batch join legs share one scan
       val fp = graft.operators.CacheRegistry.track(
         graft.operators.ArtifactStore.table(s, "winnow_fp",
-          Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w5-win4") {
+          Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w5-win4,bv1") {
           DocProfiles.profiled(s, dir)
             .select($"doc_id", ghs.as("ghs"))
             .select($"doc_id", when(size($"ghs") >= 4,

@@ -31,7 +31,7 @@ object DocProfiles {
     // deterministic, so stored == derived bit-for-bit.
     graft.operators.CacheRegistry.track(graft.operators.ArtifactStore
       .table(s, "docprofiles_profiled",
-        Seq(s"${dir.stripSuffix("/")}/documents.parquet")) {
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "bv1") {
         Tables.documents(s, dir)
           .select($"doc_id", $"lang", $"source", $"text", $"n_chars",
             tokens($"text").as("toks"),
@@ -64,7 +64,7 @@ object DocProfiles {
     import s.implicits._
     graft.operators.CacheRegistry.track(graft.operators.ArtifactStore
       .table(s, "docprofiles_grams",
-        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w5") {
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w5,bv1") {
         profiled(s, dir)
           .select($"doc_id", $"pct", explode(wordShingles($"toks", 5)).as("g"))
           .withColumn("gh", md5($"g".cast("binary")))
@@ -122,7 +122,7 @@ object DocProfiles {
     import s.implicits._
     graft.operators.CacheRegistry.track(graft.operators.ArtifactStore
       .table(s, "docprofiles_termfreqs",
-        Seq(s"${dir.stripSuffix("/")}/documents.parquet")) {
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "bv1") {
         profiled(s, dir)
           .select($"doc_id", explode($"toks").as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))

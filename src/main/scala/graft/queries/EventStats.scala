@@ -96,7 +96,7 @@ object EventStats {
       withPinnedCacheLayout(s) {
         val df = graft.operators.CacheRegistry.track(graft.operators
           .ArtifactStore.table(s, "eventstats_daily",
-            Seq(s"${dir.stripSuffix("/")}/events.parquet")) {
+            Seq(s"${dir.stripSuffix("/")}/events.parquet"), "bv1") {
             Tables.events(s, dir)
               .groupBy(to_date($"ts").as("day"), $"event_type")
               .agg(count(lit(1)).as("n"),

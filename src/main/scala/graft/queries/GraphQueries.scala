@@ -97,7 +97,7 @@ object GraphQueries {
     "q89_pagerank" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
         s"pagerank:$dir:${graft.operators.SessionKey(s)}") {
       graft.operators.ArtifactStore.table(s, "pagerank_scores",
-        graphInputs(dir), s"iters=$Iterations,d=$Damping") {
+        graphInputs(dir), s"iters=$Iterations,d=$Damping,bv1") {
       import s.implicits._
       val n = Tables.nation(s, dir)
       val nN = n.count().toDouble // 25-row dimension: metadata-sized count
@@ -163,7 +163,7 @@ object GraphQueries {
     "q245_hits" -> ((s, dir) => graft.operators.ResultMemo
         .getOrCompute(s"hits:$dir:${graft.operators.SessionKey(s)}") {
       graft.operators.ArtifactStore.table(s, "hits_scores",
-        graphInputs(dir), "iters=3") {
+        graphInputs(dir), "iters=3,bv1") {
       import s.implicits._
       val n = Tables.nation(s, dir).select($"n_nationkey".as("node"), $"n_name")
       val e = tradeEdges(s, dir).where($"src" =!= $"dst")

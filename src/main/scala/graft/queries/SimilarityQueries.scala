@@ -107,7 +107,7 @@ object SimilarityQueries {
     val Seq(cells, cent) = graft.operators.ArtifactStore.tables(
       s, Seq("ivf_cells", "ivf_centroids"),
       Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
-      s"iters=$KMeansIters") { buildIvfCells(s, dir) }
+      s"iters=$KMeansIters,bv1") { buildIvfCells(s, dir) }
     (graft.operators.CacheRegistry.track(cells.cache()),
       graft.operators.CacheRegistry.track(cent.cache()))
   }
@@ -543,12 +543,13 @@ object SimilarityQueries {
     // STREAMING IVF APPEND GATE — q170's maintenance loop with the
     // arrivals actually STREAMING: build the same persisted index on the
     // 70% slice, then drain the 30% cohort through
-    // [[graft.streaming.StreamingIvfAppend]] (three staged files →
-    // three micro-batches via maxFilesPerTrigger=1, one generation
-    // appended per batch under the FROZEN centroids). The ledger is the
-    // stored staleness table plus the generation high-water mark; the
-    // oracle is q170's from-scratch SQL lifecycle unchanged except
-    // n_gens = 3 — lawful because assignment is frozen-centroid
+    // [[graft.streaming.StreamingIvfAppend]] (one staged file per
+    // non-empty vec_id%3 bucket → one micro-batch each via
+    // maxFilesPerTrigger=1, one generation appended per batch under the
+    // FROZEN centroids). The ledger is the stored staleness table plus
+    // the generation high-water mark; the oracle is q170's from-scratch
+    // SQL lifecycle plus the same bucket count derived in SQL (never a
+    // hardcoded file count) — lawful because assignment is frozen-centroid
     // STATELESS (IvfIncrementalSpec's compose law: batches == their
     // union, assignment-for-assignment), so the micro-batch split can
     // move rows between generations but never between cells. At 100 TB
@@ -570,12 +571,20 @@ object SimilarityQueries {
             s, all.where(!$"is_new").select($"vec_id", $"v"), idx,
             k = 10, iters = 1)
           val arrDir = s"$base/arrivals"
-          all.where($"is_new").select($"vec_id", $"v")
-            .repartition(3).write.mode("overwrite").parquet(arrDir)
+          // arrival shipments staged as EXPLICIT buckets (vec_id % 3,
+          // one parquet file per present bucket via coalesce(1) +
+          // partitionBy) — the staged file count is now DERIVED from the
+          // data, and the oracle derives the same expectation in SQL
+          // (count of distinct non-empty buckets), instead of both sides
+          // trusting repartition(3) to land three non-empty files at
+          // every scale factor
+          all.where($"is_new")
+            .select($"vec_id", $"v", ($"vec_id" % 3).cast("int").as("g"))
+            .coalesce(1).write.partitionBy("g").mode("overwrite").parquet(arrDir)
           val schema = s.read.parquet(arrDir).schema
           graft.streaming.StreamingIvfAppend.run(s, idx,
             s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-              .parquet(arrDir),
+              .parquet(arrDir).select($"vec_id", $"v"),
             s"$base/ckpt")
           val nGens = graft.operators.IvfIncremental.assignments(s, idx)
             .agg(max($"gen")).collect()(0).getInt(0)
@@ -2096,9 +2105,12 @@ object SimilarityQueries {
       "q170_ivf_maintenance" -> ivfLifecycleSql(""),
       // q252: the identical from-scratch lifecycle (the compose law makes
       // the micro-batch split invisible to cells), plus the generation
-      // high-water mark — 3 staged files → 3 appended generations.
+      // high-water mark — one staged file (= one appended generation) per
+      // NON-EMPTY vec_id%3 bucket among the arrivals, derived from the
+      // data on both sides rather than hardcoded to 3.
       "q252_streaming_ivf_append_gate" ->
-        ivfLifecycleSql(",\n  CAST(3 AS INT) AS n_gens"),
+        ivfLifecycleSql(
+          ",\n  CAST((SELECT count(DISTINCT vec_id % 3) FROM nw) AS INT) AS n_gens"),
       "q152_ivf_staleness" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
            |        CAST(('0x' || substr(md5('new:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < 0.3 AS is_new

@@ -1104,6 +1104,98 @@ object StreamingGateQueries {
         }
       }),
 
+    // ARTIFACT-STORE LIFECYCLE GATE — the stored-hub tier itself driven
+    // through the q170 pattern and hash-checked by the driver (it was
+    // spec-only before r11): a slice of the events table is staged as a
+    // PARTITIONED parquet layout (part=p0/p1 — the engine's own
+    // partitionBy log shape, exactly the layout the r10 one-level
+    // fingerprint could not see), an aggregate artifact is built through
+    // ArtifactStore.table against a scratch store root, and the ledger
+    // records each lifecycle step: build (one publish), warm hit (zero
+    // publishes, identical checksum), rewrite of ONE partition directory
+    // (the recursive fingerprint must invalidate — a one-level listing
+    // serves the stale checksum here and breaks the hash), and vacuum
+    // (an abandoned mid-write `.tmp-*` dir plus an orphaned artifact
+    // whose staged input was deleted are swept; the live artifact
+    // survives and still serves warm). Checksums are sums over the
+    // artifact's rows, so the oracle recomputes every expected value
+    // from the events table in SQL; the step counters are the protocol's
+    // own law. Procedural by design (store side effects on scratch);
+    // memoized once per (session, dir).
+    "q253_artifact_lifecycle_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"artgate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        import graft.operators.ArtifactStore
+        withScratch("graft-q253") { base =>
+          val in = s"$base/in"
+          val store = s"$base/store"
+          val slice = Tables.events(s, dir).where($"event_id" % 41 === 0)
+            .select($"event_id", $"event_type")
+          slice.withColumn("part",
+              when($"event_id" % 2 === 1, "p1").otherwise("p0"))
+            .write.partitionBy("part").mode("overwrite").parquet(in)
+          val name = s"lifecycle_agg_${SessionKey(s)}"
+          def art(): DataFrame = ArtifactStore.table(s, name, Seq(in), "bv1") {
+            s.read.parquet(in).groupBy($"event_type")
+              .agg(count(lit(1)).as("n"), sum($"event_id").as("sum_ids"))
+          }
+          def snapshot(): (Long, Long) = {
+            val r = art().agg(count(lit(1)), coalesce(sum($"sum_ids"), lit(0L)))
+              .collect()(0)
+            (r.getLong(0), r.getLong(1))
+          }
+          val prior = ArtifactStore.root(s)
+          s.conf.set(ArtifactStore.ConfKey, store)
+          try {
+            def delta[T](f: => T): (Long, T) = {
+              val b0 = ArtifactStore.buildCount(name)
+              val out = f
+              (ArtifactStore.buildCount(name) - b0, out)
+            }
+            val (b1, (r1, c1)) = delta(snapshot())
+            val (b2, (r2, c2)) = delta(snapshot())
+            // rewrite ONE partition directory under the same root: odd
+            // event_ids shifted by 1e9 — (mtime, len) identity of files
+            // one level DOWN changes, nothing at the top level does
+            slice.where($"event_id" % 2 === 1)
+              .select(($"event_id" + 1000000000L).as("event_id"), $"event_type")
+              .write.mode("overwrite").parquet(s"$in/part=p1")
+            val (b3, (r3, c3)) = delta(snapshot())
+            // mid-write crash debris: a .tmp- dir with a part file and no
+            // sidecar, planted inside the live artifact's group
+            val grp = new java.io.File(store).listFiles()
+              .filter(_.isDirectory).head
+            val tmpDir = new java.io.File(grp, s"$name.tmp-999-crash")
+            tmpDir.mkdirs()
+            java.nio.file.Files.writeString(
+              tmpDir.toPath.resolve("part-00000.parquet"), "junk")
+            // an orphaned artifact: built from a second staged input that
+            // is then deleted out from under the store
+            val in2 = s"$base/in2"
+            slice.limit(5).write.mode("overwrite").parquet(in2)
+            ArtifactStore.table(s, s"lifecycle_orphan_${SessionKey(s)}",
+              Seq(in2), "bv1") { s.read.parquet(in2) }.count()
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in2))
+            val ledger = ArtifactStore.vacuum(s, store, maxAgeMs = 0L)
+            val nSwept = ledger.count(_.action == "deleted").toLong
+            val nLive = ledger.count(e => e.kind == "live" && e.action == "kept").toLong
+            val (b4, (_, c4)) = delta(snapshot()) // post-vacuum warm hit
+            Seq(
+              (1, "build", b1, r1, c1, 0L),
+              (2, "warm", b2, r2, c2, 0L),
+              (3, "rewrite", b3, r3, c3, 0L),
+              (4, "vacuum", b4, nLive, c4, nSwept))
+              .toDF("step", "label", "n_builds", "n_rows", "checksum", "n_swept")
+              .orderBy($"step")
+          } finally {
+            prior match {
+              case Some(p) => s.conf.set(ArtifactStore.ConfKey, p)
+              case None => s.conf.unset(ArtifactStore.ConfKey)
+            }
+          }
+        }
+      }),
+
     // STREAM-STATIC ENRICH GATE — the broadcast dimension join run as a
     // live streaming query: the event log streams through
     // StreamCorrelator.enrich against the customer dimension (static
@@ -1439,6 +1531,29 @@ object StreamingGateQueries {
         |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
         |  CAST(count(*) AS BIGINT) AS n_roundtrip
         |FROM r GROUP BY topic ORDER BY topic""".stripMargin,
+
+    // The artifact-lifecycle law: checksums are the slice's id sums
+    // before and after the partition rewrite (+1e9 per odd id), row
+    // counts are the slice's distinct event types; the step counters are
+    // the store's contract — one publish on first build, zero on a warm
+    // hit, exactly one on a one-partition rewrite (recursive fingerprint),
+    // zero after vacuum with the live artifact kept and the two planted
+    // orphans (tmp debris + deleted-input artifact) swept.
+    "q253_artifact_lifecycle_gate" ->
+      """WITH sl AS (SELECT event_id, event_type FROM events
+        |            WHERE event_id % 41 = 0),
+        |m AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+        |             CAST(sum(event_id) AS BIGINT) AS c1,
+        |             CAST(sum(event_id + CASE WHEN event_id % 2 = 1
+        |               THEN 1000000000 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM sl)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'build' AS label, CAST(1 AS BIGINT) AS n_builds,
+        |         r AS n_rows, c1 AS checksum, CAST(0 AS BIGINT) AS n_swept FROM m
+        |  UNION ALL SELECT 2, 'warm', 0, r, c1, 0 FROM m
+        |  UNION ALL SELECT 3, 'rewrite', 1, r, c2, 0 FROM m
+        |  UNION ALL SELECT 4, 'vacuum', 0, 1, c2, 2 FROM m
+        |) ORDER BY step""".stripMargin,
 
     // The straight rollup law — the healed table must be exactly what a
     // from-scratch recompute produces: doubled in-range days, clobbered

@@ -53,10 +53,8 @@ final class SchemaRegistry extends Serializable {
     schemas.get(eventType) match {
       case None => true // unregistered types are vacuously valid
       case Some((schemaJson, version)) =>
-        if (schemaVersion != version) {
-          System.err.println(
-            s"Event schema version mismatch: expected $version, got $schemaVersion")
-        }
+        if (schemaVersion != version)
+          SchemaRegistry.warnVersionMismatch(eventType, version, schemaVersion)
         val schema = mapper.readTree(schemaJson)
         val data =
           try mapper.readTree(payloadJson)
@@ -127,5 +125,44 @@ final class SchemaRegistry extends Serializable {
     val self = this
     val fn = udf((t: String, v: String, p: String) => self.validatePayload(t, v, p))
     fn(tpe, version, payload)
+  }
+}
+
+object SchemaRegistry {
+
+  /** Version-mismatch warnings, rate-limited to ONE line per distinct
+    * (type, expected, got) per JVM. The reference warns per EVENT
+    * (schema.ts:56-61) — parity on the lossy path is the warn itself,
+    * not its line count, and at 100 TB a schema rollout emitting one
+    * stderr line per validated row on every executor is an operational
+    * hazard, not a feature. The map is bounded: past `MaxWarnKeys`
+    * distinct mismatches, one overflow notice prints and further NEW
+    * keys are silent (already-seen keys were warned). Validation
+    * semantics are untouched — mismatched versions still validate.
+    */
+  private[schema] val MaxWarnKeys = 1000
+
+  private val warned =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Boolean]()
+
+  private val overflowNoted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Spec hook: distinct mismatch keys warned so far this JVM. */
+  private[graft] def warnedCount: Int = warned.size
+
+  private def warnVersionMismatch(eventType: String, expected: String,
+      got: String): Unit = {
+    val key = (eventType, expected, got)
+    if (warned.containsKey(key)) return
+    if (warned.size >= MaxWarnKeys) {
+      if (overflowNoted.compareAndSet(false, true))
+        System.err.println(
+          s"Event schema version mismatch: more than $MaxWarnKeys distinct " +
+            "(type, expected, got) combinations — further warnings suppressed")
+      return
+    }
+    if (warned.putIfAbsent(key, java.lang.Boolean.TRUE) == null)
+      System.err.println(
+        s"Event schema version mismatch: expected $expected, got $got")
   }
 }

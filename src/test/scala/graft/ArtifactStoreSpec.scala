@@ -131,6 +131,108 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.buildCount(name) == 0, "no store root → no publishes")
   }
 
+  test("partitioned input: recursive fingerprint sees files UNDER partition dirs") {
+    // the engine's own log layout is partitionBy("topic") — all data
+    // files one level down. r10's one-level fingerprint saw ZERO data
+    // files there (a rewritten partition silently served the stale
+    // artifact); the recursive fingerprint must invalidate.
+    withStore { root =>
+      val in = tmpDir("in") + "/events"
+      spark.range(10)
+        .selectExpr("id", "id * 2 as v",
+          "CASE WHEN id % 2 = 1 THEN 'p1' ELSE 'p0' END as part")
+        .write.partitionBy("part").mode("overwrite").parquet(in)
+      val name = uniq("partd")
+      def call(): Long = ArtifactStore.table(spark, name, Seq(in)) {
+        spark.read.parquet(in).agg(sum(col("v")).as("s"))
+      }.collect()(0).getLong(0)
+      assert(call() == 90L)
+      assert(ArtifactStore.buildCount(name) == 1)
+      assert(call() == 90L && ArtifactStore.buildCount(name) == 1,
+        "unchanged partitioned input must serve the stored artifact")
+      // rewrite ONE partition subdirectory: nothing at the top level
+      // changes, only files one level down
+      spark.range(10).where("id % 2 = 1").selectExpr("id", "id * 100 as v")
+        .write.mode("overwrite").parquet(s"$in/part=p1")
+      assert(call() == 40L + 2500L,
+        "a rewritten partition must be re-derived, not served stale")
+      assert(ArtifactStore.buildCount(name) == 2)
+      // the swap left no debris at the published tier
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/*/*.tmp-*")).isEmpty)
+      assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/*/*.old-*")).isEmpty)
+    }
+  }
+
+  test("vacuum: mid-write crash debris is age-gated then swept; live artifact kept") {
+    withStore { root =>
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 5)
+      val name = uniq("vac")
+      def call(): Long = ArtifactStore.table(spark, name, Seq(in)) {
+        spark.read.parquet(in).agg(count(lit(1)).as("n"))
+      }.collect()(0).getLong(0)
+      assert(call() == 5L)
+      // a writer that died mid-df.write: part file present, no sidecar
+      val grp = new java.io.File(root).listFiles().filter(_.isDirectory).head
+      val tmp = new java.io.File(grp, s"$name.tmp-123-dead")
+      tmp.mkdirs()
+      java.nio.file.Files.writeString(tmp.toPath.resolve("part-0.parquet"), "x")
+      val gated = ArtifactStore.vacuum(spark, root) // default 1h age gate
+      assert(gated.exists(e => e.kind == "tmp" && e.action == "kept"),
+        "a FRESH tmp dir may belong to a live writer — age-gated, not swept")
+      assert(tmp.exists())
+      val swept = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
+      assert(swept.exists(e => e.kind == "tmp" && e.action == "deleted"))
+      assert(!tmp.exists())
+      assert(swept.exists(e => e.kind == "live" && e.action == "kept"))
+      assert(call() == 5L)
+      assert(ArtifactStore.buildCount(name) == 1,
+        "vacuum must never touch a live artifact")
+    }
+  }
+
+  test("vacuum: orphaned (input deleted) and stale (input rewritten) artifacts swept") {
+    withStore { root =>
+      val inA = tmpDir("in") + "/a.parquet"; writeInput(inA, 3)
+      val inB = tmpDir("in") + "/b.parquet"; writeInput(inB, 4)
+      val nA = uniq("orph"); val nB = uniq("stal")
+      ArtifactStore.table(spark, nA, Seq(inA)) { spark.read.parquet(inA) }.count()
+      ArtifactStore.table(spark, nB, Seq(inB)) { spark.read.parquet(inB) }.count()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(inA))
+      writeInput(inB, 9) // committed fingerprint no longer matches
+      val ledger = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
+      assert(ledger.exists(e =>
+        e.kind == "orphaned" && e.action == "deleted" && e.path.endsWith(nA)))
+      assert(ledger.exists(e =>
+        e.kind == "stale" && e.action == "deleted" && e.path.endsWith(nB)))
+      // stale sweep is an early free, never a correctness event
+      val n = ArtifactStore.table(spark, nB, Seq(inB)) {
+        spark.read.parquet(inB) }.count()
+      assert(n == 9 && ArtifactStore.buildCount(nB) == 2)
+    }
+  }
+
+  test("untrusted root (group/other-writable) disables the store, never serves it") {
+    val root = tmpDir("artifacts-open")
+    java.nio.file.Files.setPosixFilePermissions(java.nio.file.Paths.get(root),
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwxrwxrwx"))
+    spark.conf.set(ArtifactStore.ConfKey, root)
+    try {
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 3)
+      val name = uniq("trust")
+      def call(): Long = ArtifactStore.table(spark, name, Seq(in)) {
+        spark.read.parquet(in).agg(count(lit(1)).as("n"))
+      }.collect()(0).getLong(0)
+      assert(call() == 3L && call() == 3L, "fallback builds in-session, correctly")
+      assert(ArtifactStore.buildCount(name) == 0,
+        "a root another user can write must never be published to or read from")
+      assert(new java.io.File(root).listFiles().isEmpty)
+    } finally spark.conf.unset(ArtifactStore.ConfKey)
+  }
+
   test("hub equivalence: stored grams/termFreqs/daily rollup match fresh derivation") {
     // the real integration law behind 'all 249 hashes unchanged': for each
     // migrated hub, derived (store off) and stored (store on, cold + warm)

@@ -85,6 +85,32 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(dump("other")._2 == "2.1")
   }
 
+  test("version-mismatch warn is ONE line per (type, expected, got) per JVM; " +
+      "validation semantics unchanged") {
+    // unique keys: the rate-limit map is JVM-global by design
+    val tpe = s"rl-${java.util.UUID.randomUUID().toString.take(8)}"
+    val r = new SchemaRegistry
+    r.registerSchema(tpe, """{"type":"object","required":["a"]}""", "2.0")
+    val buf = new java.io.ByteArrayOutputStream()
+    val prior = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try {
+      // N mismatched rows: still validated (warn-and-validate parity,
+      // schema.ts:56-61) — valid payloads pass, invalid ones fail
+      (1 to 500).foreach { _ =>
+        assert(r.validatePayload(tpe, "1.0", """{"a":1}"""))
+        assert(!r.validatePayload(tpe, "1.0", """{}"""))
+      }
+      (1 to 500).foreach(_ => assert(r.validatePayload(tpe, "3.0", """{"a":1}""")))
+    } finally System.setErr(prior)
+    val lines = buf.toString("UTF-8").linesIterator
+      .filter(_.contains("schema version mismatch")).toSeq
+    assert(lines.count(_.contains("got 1.0")) == 1,
+      s"1000 rows of one mismatch key must warn once, got:\n${lines.mkString("\n")}")
+    assert(lines.count(_.contains("got 3.0")) == 1,
+      "a NEW (type, expected, got) key gets its own single warn")
+  }
+
   test("validation column works as a DataFrame predicate at query level") {
     import spark.implicits._
     val r = registry()

@@ -293,7 +293,14 @@ object Bench {
         val wbGate = wb.collect {
           case (k, v) if SparkEntry.proceduralGates(k) => v }.sum
         def r3(v: Double): Double = math.rint(v * 1000) / 1000
-        println(s"""{"metric":"warm_boot","unit":"sec","note":"cold session (no memos/caches) against the populated artifact store — the restart path; gate_sec = procedural re-proof","n":${wb.size},"n_errors":${wbErrors.size},"gate_sec":${r3(wbGate)},"derivation_sec":${r3(wbTot - wbGate)},"total_sec":${r3(wbTot)}}""")
+        // top cold-session costs by name: where a restarted deployment
+        // actually spends its first pass — the work list for deciding
+        // which intermediate deserves artifact storage next. Bounded to
+        // the top 40 so the line survives the driver's tail capture.
+        val wbTop = wb.toSeq.sortBy(-_._2).take(40)
+          .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"warm_boot","unit":"sec","note":"cold session (no memos/caches) against the populated artifact store — the restart path; gate_sec = procedural re-proof; top_ms = 40 slowest","n":${wb.size},"n_errors":${wbErrors.size},"top_ms":$wbTop,"gate_sec":${r3(wbGate)},"derivation_sec":${r3(wbTot - wbGate)},"total_sec":${r3(wbTot)}}""")
       } catch { case t: Throwable =>
         System.err.println(s"[bench] warm-boot leg failed: ${t.toString.linesIterator.next().take(200)}")
       } finally spark.conf.set("spark.graft.cacheBaseTables", "true")

@@ -345,6 +345,14 @@ object ArtifactStore {
     * `stale`) are deletable at any age because a racing reader's
     * fallback is the in-session build. Returns the full ledger, one row
     * per entry examined, action `deleted` or `kept`.
+    *
+    * Fault isolation: classification of one entry can itself fail — a
+    * sidecar recording an unparsable input path, an input deleted
+    * between the existence check and fingerprinting, a permission
+    * error on delete. One bad entry must not abort the sweep and leave
+    * every later orphan unswept: such entries ledger as kind `error`,
+    * action `kept` (never guessed at, never deleted) and the sweep
+    * continues.
     */
   def vacuum(s: SparkSession, rootDir: String,
       maxAgeMs: Long = 3600000L): Seq[VacuumEntry] = {
@@ -364,22 +372,29 @@ object ArtifactStore {
           if (del) fs.delete(entry.getPath, true)
           out += VacuumEntry(p, kind, if (del) "deleted" else "kept")
         }
-        if (name.contains(".tmp-")) drop("tmp", gated = true)
-        else if (name.contains(".old-")) drop("aside", gated = true)
-        else if (!entry.isDirectory) drop("uncommitted", gated = true)
-        else readMeta(fs, entry.getPath) match {
-          case None => drop("uncommitted", gated = true)
-          case Some(m) if m.inputs.isEmpty =>
-            out += VacuumEntry(p, "unknown", "kept")
-          case Some(m) =>
-            if (!m.inputs.forall(in => fs.exists(new Path(in))))
-              drop("orphaned", gated = false)
-            else if (fingerprint(s, m.inputs, m.params) != m.fingerprint)
-              drop("stale", gated = false)
-            else out += VacuumEntry(p, "live", "kept")
+        try {
+          if (name.contains(".tmp-")) drop("tmp", gated = true)
+          else if (name.contains(".old-")) drop("aside", gated = true)
+          else if (!entry.isDirectory) drop("uncommitted", gated = true)
+          else readMeta(fs, entry.getPath) match {
+            case None => drop("uncommitted", gated = true)
+            case Some(m) if m.inputs.isEmpty =>
+              out += VacuumEntry(p, "unknown", "kept")
+            case Some(m) =>
+              if (!m.inputs.forall(in => fs.exists(new Path(in))))
+                drop("orphaned", gated = false)
+              else if (fingerprint(s, m.inputs, m.params) != m.fingerprint)
+                drop("stale", gated = false)
+              else out += VacuumEntry(p, "live", "kept")
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            out += VacuumEntry(p, "error", "kept")
         }
       }
-      if (fs.listStatus(group.getPath).isEmpty) fs.delete(group.getPath, false)
+      try {
+        if (fs.listStatus(group.getPath).isEmpty) fs.delete(group.getPath, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     out.toSeq
   }

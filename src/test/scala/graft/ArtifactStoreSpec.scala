@@ -214,6 +214,35 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: one unclassifiable entry never aborts the sweep (fault isolation)") {
+    // red bar before the fix: `new Path("")` thrown inside the existence
+    // check propagated out of vacuum, so every entry AFTER the bad one
+    // stayed unswept. The bad entry must ledger as error/kept and the
+    // orphan behind it must still be deleted.
+    withStore { root =>
+      val grp = new java.io.File(root, "deadbeef0000"); grp.mkdirs()
+      def plant(name: String, inputsJson: String): java.io.File = {
+        val d = new java.io.File(grp, name); d.mkdirs()
+        java.nio.file.Files.writeString(
+          d.toPath.resolve(ArtifactStore.MetaFile),
+          s"""{"name":"$name","fingerprint":"ff","inputs":$inputsJson,""" +
+            """"params":"","schema":"id BIGINT"}""")
+        d
+      }
+      // listStatus order is lexicographic on the local FS: the bad entry
+      // sorts FIRST so the orphan genuinely sits behind the fault
+      val bad = plant("a_bad", """[""]""") // empty path: Path ctor throws
+      val orph = plant("z_orph", """["/nonexistent/graft-vacuum-spec"]""")
+      val ledger = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
+      assert(ledger.exists(e =>
+        e.kind == "error" && e.action == "kept" && e.path.endsWith("a_bad")))
+      assert(bad.exists(), "an unclassifiable entry is never deleted")
+      assert(ledger.exists(e =>
+        e.kind == "orphaned" && e.action == "deleted" && e.path.endsWith("z_orph")))
+      assert(!orph.exists(), "entries behind the fault must still be swept")
+    }
+  }
+
   test("untrusted root (group/other-writable) disables the store, never serves it") {
     val root = tmpDir("artifacts-open")
     java.nio.file.Files.setPosixFilePermissions(java.nio.file.Paths.get(root),

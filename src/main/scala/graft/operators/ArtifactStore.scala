@@ -34,10 +34,15 @@ import org.apache.spark.sql.types.StructType
   *
   * Builder-code identity: input identity alone cannot see a CODE change —
   * a regressed builder would silently serve tables derived by the old
-  * code. Every call site therefore folds a builder-version token into
-  * `params` (`bv1`, bumped whenever the build closure's semantics
-  * change), and the store-wide format constant below versions the store
-  * itself.
+  * code. Two layers close this: every fingerprint automatically folds in
+  * the ENGINE BUILD's code identity (the loaded jar's (mtime, len), or a
+  * recursive digest of the classes tree — see `codeIdentity`), so a
+  * recompiled build can never read artifacts a different build derived;
+  * and every call site additionally folds a builder-version token into
+  * `params` (`bv1`, bumped whenever the build closure's SEMANTICS change
+  * — the documented-intent layer, and the only guard under classloaders
+  * with no readable code source). The store-wide format constant below
+  * versions the store itself.
   *
   * Commit protocol (concurrent-writer safe): build into a nonce-suffixed
   * temp dir, write the sidecar into it LAST (sidecar presence == commit
@@ -221,13 +226,57 @@ object ArtifactStore {
       s"untrusted artifact root $root (not owned by current user, or group/other-writable)")
   }
 
+  /** Identity of the ENGINE BUILD itself, folded into every fingerprint:
+    * input identity alone cannot see a code change, and the per-call-site
+    * `bv` tokens are manual — a forgotten bump after a builder edit must
+    * not let the store serve tables derived by the old code (nor let a
+    * regressed builder pass verification by reading the previous build's
+    * correct artifact). Computed once per JVM as a CONTENT hash of the
+    * code source that loaded this class: a jar contributes the md5 of its
+    * bytes; a classes directory contributes an md5 over the sorted
+    * (relative path, bytes) of every file in the tree. Content, not
+    * (path, mtime): launchers that repackage a fresh per-run jar from
+    * unchanged classfiles (sbt `runMain` does) must keep the identity
+    * stable, while any recompiled classfile changes it. A deployment's
+    * fixed jar keeps artifacts warm across restarts; a changed build
+    * invalidates them all — the safe default. An unreadable code source
+    * (exotic classloaders) degrades to a constant, leaving the `bv`
+    * tokens as the only code guard there.
+    */
+  private lazy val codeIdentity: String =
+    try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      if (src == null || src.getLocation == null) "code:unknown"
+      else {
+        val p = java.nio.file.Paths.get(src.getLocation.toURI)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        if (java.nio.file.Files.isRegularFile(p))
+          md.update(java.nio.file.Files.readAllBytes(p))
+        else {
+          val it = java.nio.file.Files.walk(p)
+          val files =
+            try {
+              val b = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+              it.forEach(f => if (java.nio.file.Files.isRegularFile(f)) b += f)
+              b.sortBy(p.relativize(_).toString)
+            } finally it.close()
+          files.foreach { f =>
+            md.update(p.relativize(f).toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(f))
+          }
+        }
+        "code:" + md.digest().map("%02x".format(_)).mkString
+      }
+    } catch { case scala.util.control.NonFatal(_) => "code:unknown" }
+
   /** md5 over the sorted identity triples of every data file reachable
     * from `inputs` — RECURSIVELY, each keyed by its path relative to the
     * listed input, so nested layouts (`partitionBy`, bucketed logs)
     * contribute every data file and a moved file changes identity even
     * with equal (mtime, len). Hidden files and directories (`_`/`.`
     * prefixed) are metadata, not data: a rewritten `_SUCCESS` alone must
-    * not invalidate. Plus `params` and the store format version.
+    * not invalidate. Plus `params`, the store format version, and
+    * [[codeIdentity]] (the engine build that ran the builder).
     */
   def fingerprint(s: SparkSession, inputs: Seq[String],
       params: String): String = {
@@ -241,7 +290,7 @@ object ArtifactStore {
         s"${p.getName}/$rel:${f.getModificationTime}:${f.getLen}"
       }.sorted
     }
-    md5Hex((FormatVersion +: ids :+ params).mkString("\n"))
+    md5Hex((FormatVersion +: codeIdentity +: ids :+ params).mkString("\n"))
   }
 
   /** Recursive (relativePath, status) listing of the DATA files under

@@ -43,13 +43,16 @@ object GraphQueries {
     * session, not once per query.
     */
   /** The trade graph's input files — the ArtifactStore fingerprint basis
-    * for the stored score tables (q89 PageRank, q245 HITS): rewrite any
-    * of the four source tables and the scores rebuild.
+    * for the stored score tables (q89 PageRank, q245 HITS, q236
+    * triangles): rewrite any source table and the scores rebuild.
+    * nation.parquet is listed too (r11): the stored ledgers embed n_name
+    * via a nation join INSIDE the builder, so a rewritten nation table
+    * must invalidate them exactly like a rewritten fact table.
     */
   private def graphInputs(dir: String): Seq[String] = {
     val d = dir.stripSuffix("/")
     Seq(s"$d/lineitem.parquet", s"$d/orders.parquet",
-      s"$d/customer.parquet", s"$d/supplier.parquet")
+      s"$d/customer.parquet", s"$d/supplier.parquet", s"$d/nation.parquet")
   }
 
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {

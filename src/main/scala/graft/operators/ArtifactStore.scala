@@ -120,6 +120,17 @@ object ArtifactStore {
   def buildCount(name: String): Long =
     Option(builds.get(name)).map(_.longValue).getOrElse(0L)
 
+  /** Total artifact builds this JVM paid (across all names) — 0 over a
+    * bench run means every hub was served warm from the store; >0 means
+    * the run paid that many publishes (a cold or invalidated store), the
+    * flag that makes sweep-to-sweep timing differences attributable.
+    */
+  def totalBuilds: Long = {
+    var t = 0L
+    builds.values.forEach(v => t += v.longValue)
+    t
+  }
+
   def root(s: SparkSession): Option[String] =
     s.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
 
@@ -138,6 +149,23 @@ object ArtifactStore {
       params: String = "")(build: => DataFrame): DataFrame =
     tables(s, Seq(name), inputs, params)(Seq(build)).head
 
+  /** [[table]] plus a SERVED flag: true iff the returned frame is a scan
+    * of a committed store artifact (hit or fresh publish), false when the
+    * store is unset/untrusted/failed and the frame is the in-session
+    * build. Callers that change their own treatment based on the store
+    * (q122 keeps a cache+count fallback for store-off sessions) must
+    * branch on this, not on `root(s).isDefined` — the conf being set does
+    * not mean the store actually served (any storage failure falls back
+    * mid-call).
+    */
+  def tableServed(s: SparkSession, name: String, inputs: Seq[String],
+      params: String = "")(build: => DataFrame): (DataFrame, Boolean) = {
+    var served = true
+    val df = tablesImpl(s, Seq(name), inputs, params,
+      onFallback = () => served = false)(Seq(build)).head
+    (df, served)
+  }
+
   /** Multi-table variant for builds that produce SIBLING tables from one
     * chain (an IVF tower's cells + centroids; PPJoin's sets + prefix
     * rows): `builds` are evaluated only on a miss, all tables publish
@@ -146,16 +174,24 @@ object ArtifactStore {
     * different builds must never mix.
     */
   def tables(s: SparkSession, names: Seq[String], inputs: Seq[String],
-      params: String = "")(builders: => Seq[DataFrame]): Seq[DataFrame] = {
+      params: String = "")(builders: => Seq[DataFrame]): Seq[DataFrame] =
+    tablesImpl(s, names, inputs, params, onFallback = () => ())(builders)
+
+  private def tablesImpl(s: SparkSession, names: Seq[String],
+      inputs: Seq[String], params: String, onFallback: () => Unit)(
+      builders: => Seq[DataFrame]): Seq[DataFrame] = {
     root(s) match {
-      case None => builders
+      case None => onFallback(); builders
       case Some(r) =>
         try {
           val rootPath = new Path(r)
           val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
           ensureTrustedRoot(fs, rootPath)
-          val fp = fingerprint(s, inputs, params)
-          val inFp = inputsFingerprint(s, inputs, params)
+          // ONE input-tree walk per call: both hashes derive from the same
+          // listing, so an input rewritten mid-call can never leave the
+          // sidecar's fp and inputsFp describing different input states
+          // (which would make vacuum misclassify superseded vs stale)
+          val (fp, inFp) = fingerprintsFrom(inputIds(s, inputs), params)
           val dirs = names.map(n => new Path(artifactDir(r, inputs, n)))
           val lock = locks.computeIfAbsent(dirs.head.toString, _ => new Object)
           lock.synchronized {
@@ -177,6 +213,7 @@ object ArtifactStore {
             System.err.println(
               s"[graft] artifact store unavailable for ${names.mkString(",")}" +
                 s" (${e.getMessage}); building in-session")
+            onFallback()
             builders
         }
     }
@@ -287,8 +324,7 @@ object ArtifactStore {
     */
   def fingerprint(s: SparkSession, inputs: Seq[String],
       params: String): String =
-    md5Hex((FormatVersion +: codeIdentity +: inputIds(s, inputs) :+ params)
-      .mkString("\n"))
+    fingerprintsFrom(inputIds(s, inputs), params)._1
 
   /** The fingerprint WITHOUT the code identity — (inputs, params) only.
     * Recorded in the sidecar so [[vacuum]] can tell a SUPERSEDED artifact
@@ -298,7 +334,19 @@ object ArtifactStore {
     */
   def inputsFingerprint(s: SparkSession, inputs: Seq[String],
       params: String): String =
-    md5Hex((FormatVersion +: inputIds(s, inputs) :+ params).mkString("\n"))
+    fingerprintsFrom(inputIds(s, inputs), params)._2
+
+  /** Both hashes from ONE input listing — `(full fingerprint,
+    * inputs-only fingerprint)`. Callers needing both must use this (or
+    * the ids overload) so the two hashes always describe the same input
+    * state; calling [[fingerprint]] then [[inputsFingerprint]] walks the
+    * input trees twice, and an input rewritten between the walks would
+    * leave them describing different states.
+    */
+  private def fingerprintsFrom(ids: Seq[String],
+      params: String): (String, String) =
+    (md5Hex((FormatVersion +: codeIdentity +: ids :+ params).mkString("\n")),
+      md5Hex((FormatVersion +: ids :+ params).mkString("\n")))
 
   private def inputIds(s: SparkSession, inputs: Seq[String]): Seq[String] = {
     val conf = s.sessionState.newHadoopConf()
@@ -457,25 +505,14 @@ object ArtifactStore {
           out += VacuumEntry(p, kind, action)
         }
         try {
-          if (name.contains(".tmp-")) drop("tmp", gated = true)
-          else if (name.contains(".old-")) drop("aside", gated = true)
-          else if (!entry.isDirectory) drop("uncommitted", gated = true)
-          else readMeta(fs, entry.getPath) match {
-            case None => drop("uncommitted", gated = true)
-            case Some(m) if m.inputs.isEmpty =>
-              out += VacuumEntry(p, "unknown", "kept")
-            case Some(m) =>
-              if (!m.inputs.forall(in => fs.exists(new Path(in))))
-                drop("orphaned", gated = false)
-              else if (fingerprint(s, m.inputs, m.params) == m.fingerprint)
-                out += VacuumEntry(p, "live", "kept")
-              else if (m.inputsFp.contains(
-                  inputsFingerprint(s, m.inputs, m.params)))
-                // same inputs, different engine build: possibly live for
-                // a concurrent session of that build — age-gated
-                drop("superseded", gated = true)
-              else
-                drop("stale", gated = false)
+          classify(s, fs, entry) match {
+            case "live" => out += VacuumEntry(p, "live", "kept")
+            case "unknown" => out += VacuumEntry(p, "unknown", "kept")
+            // orphaned/stale: no build can ever serve them again —
+            // deletable at any age. Everything else is age-gated: a
+            // writer may be mid-publish (tmp/aside/uncommitted), another
+            // engine build's session may hold a scan (superseded).
+            case k => drop(k, gated = k != "orphaned" && k != "stale")
           }
         } catch {
           case scala.util.control.NonFatal(_) =>
@@ -485,6 +522,79 @@ object ArtifactStore {
       try {
         if (fs.listStatus(group.getPath).isEmpty) fs.delete(group.getPath, false)
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    out.toSeq
+  }
+
+  /** One store entry's lifecycle state — the shared classification both
+    * [[vacuum]] (which acts on it) and [[census]] (which reports it)
+    * read:
+    *
+    *   - `tmp` / `aside` / `uncommitted`: publish-protocol debris;
+    *   - `orphaned`: committed, but its recorded inputs are gone;
+    *   - `live`: full fingerprint matches — servable by this build;
+    *   - `superseded`: inputs still match but the engine build differs
+    *     (including pre-v2 sidecars, whose code-identity-free fingerprint
+    *     equals today's inputs-only hash) — possibly live for a
+    *     concurrent session of that build;
+    *   - `stale`: inputs changed — no build can ever serve it again;
+    *   - `unknown`: a sidecar without recorded inputs — never guessed at.
+    */
+  private def classify(s: SparkSession, fs: FileSystem,
+      entry: FileStatus): String = {
+    val name = entry.getPath.getName
+    if (name.contains(".tmp-")) "tmp"
+    else if (name.contains(".old-")) "aside"
+    else if (!entry.isDirectory) "uncommitted"
+    else readMeta(fs, entry.getPath) match {
+      case None => "uncommitted"
+      case Some(m) if m.inputs.isEmpty => "unknown"
+      case Some(m) =>
+        if (!m.inputs.forall(in => fs.exists(new Path(in)))) "orphaned"
+        else {
+          val (fp, inFp) = fingerprintsFrom(inputIds(s, m.inputs), m.params)
+          if (fp == m.fingerprint) "live"
+          else if (m.inputsFp.contains(inFp) ||
+              // pre-v2 sidecar (no inputsFp recorded): its fingerprint
+              // formula had no code identity, i.e. it EQUALS today's
+              // inputs-only fingerprint — a match means same inputs
+              // under an older build: superseded, never stale
+              (m.inputsFp.isEmpty && m.fingerprint == inFp)) "superseded"
+          else "stale"
+        }
+    }
+  }
+
+  // ---- census -------------------------------------------------------
+
+  final case class CensusEntry(group: String, name: String, state: String,
+      files: Long, bytes: Long, modifiedMs: Long)
+
+  /** Read-only store inventory — the `layoutReport`/CompactionAdvisor
+    * discipline applied to the artifact tier: one row per store entry
+    * with its lifecycle state (same classification [[vacuum]] acts on),
+    * file/byte footprint and last-modified time, so an operator can see
+    * what the stored-hub tier costs and what a sweep would reclaim
+    * BEFORE running one. Never deletes, never rebuilds; classification
+    * failures report as state `error` rather than aborting the walk.
+    */
+  def census(s: SparkSession, rootDir: String): Seq[CensusEntry] = {
+    val rootPath = new Path(rootDir)
+    val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[CensusEntry]
+    for (group <- fs.listStatus(rootPath).toSeq.filter(_.isDirectory);
+        entry <- fs.listStatus(group.getPath).toSeq) {
+      val state =
+        try classify(s, fs, entry)
+        catch { case scala.util.control.NonFatal(_) => "error" }
+      val (nFiles, nBytes) =
+        try {
+          val cs = fs.getContentSummary(entry.getPath)
+          (cs.getFileCount, cs.getLength)
+        } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+      out += CensusEntry(group.getPath.getName, entry.getPath.getName,
+        state, nFiles, nBytes, entry.getModificationTime)
     }
     out.toSeq
   }

@@ -242,6 +242,152 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: pre-v2 sidecar (no inputsFp) with matching inputs is superseded, not stale") {
+    // migration-window hazard (r12 advisor finding): a sidecar written
+    // by a pre-v2 build records no inputsFp, but its fingerprint formula
+    // HAD no code identity — i.e. it equals today's inputs-only
+    // fingerprint. Before the fix such an artifact fell through the
+    // superseded check to `stale` and was swept UNGATED — from under a
+    // possibly-live session of the old build, exactly what the age gate
+    // exists to prevent. A pre-v2 sidecar whose fingerprint matches the
+    // current inputs-only hash must be superseded (age-gated); one whose
+    // inputs truly changed stays stale (sweepable at any age).
+    withStore { root =>
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 4)
+      val inFp = ArtifactStore.inputsFingerprint(spark, Seq(in), "")
+      val grp = new java.io.File(root, "feedface0001"); grp.mkdirs()
+      def plant(name: String, fp: String): java.io.File = {
+        val d = new java.io.File(grp, name); d.mkdirs()
+        java.nio.file.Files.writeString(
+          d.toPath.resolve(ArtifactStore.MetaFile),
+          s"""{"name":"$name","fingerprint":"$fp",""" +
+            s""""inputs":["$in"],"params":"","schema":"id BIGINT"}""")
+        d
+      }
+      val oldLive = plant("prev2-live", inFp) // old build, inputs unchanged
+      val oldStale = plant("prev2-stale", "0123456789abcdef") // inputs changed
+      val fresh = ArtifactStore.vacuum(spark, root) // default 1h age gate
+      assert(fresh.exists(e => e.path.endsWith("prev2-live") &&
+        e.kind == "superseded" && e.action == "kept"),
+        "a fresh pre-v2 same-inputs artifact may be live for the old build's session")
+      assert(oldLive.exists())
+      assert(fresh.exists(e => e.path.endsWith("prev2-stale") &&
+        e.kind == "stale" && e.action == "deleted"),
+        "a pre-v2 artifact whose inputs changed is stale at any age")
+      assert(!oldStale.exists())
+      val aged = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
+      assert(aged.exists(e => e.path.endsWith("prev2-live") &&
+        e.kind == "superseded" && e.action == "deleted"))
+    }
+  }
+
+  test("concurrent sessions: a held scan survives another build's fresh vacuum") {
+    // two stores on one root, the interleaving the superseded age-gate
+    // claims is safe: session A memoizes a scan of its artifact; session
+    // B — a DIFFERENT engine build — runs vacuum. From B's sweeper the
+    // artifact fingerprint-mismatches (B's code identity differs) while
+    // its inputs-only hash matches: exactly the state simulated here by
+    // rewriting A's sidecar fingerprint to a foreign value in place. A
+    // fresh sweep must ledger it superseded/kept — A's held scan still
+    // collects the full table afterwards, never a half-swept read — and
+    // only an aged sweep (the operator's explicit window) removes it.
+    withStore { root =>
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 12)
+      val name = uniq("held")
+      val held = ArtifactStore.table(spark, name, Seq(in)) {
+        spark.read.parquet(in).groupBy((col("id") % 4).as("k"))
+          .agg(sum(col("v")).as("s"))
+      }
+      val before = held.collect().map(_.toSeq.toList).toSet
+      // session B's view: same inputs, different build → rewrite the
+      // sidecar's full fingerprint, keep inputsFp (which B recomputes
+      // identically — it has no code term)
+      val grp = new java.io.File(root).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).find(_.getName == name).get
+      val metaPath = grp.toPath.resolve(ArtifactStore.MetaFile)
+      val meta = java.nio.file.Files.readString(metaPath)
+      java.nio.file.Files.writeString(metaPath,
+        meta.replaceFirst(""""fingerprint":"[0-9a-f]+"""",
+          """"fingerprint":"feedfacefeedface""""))
+      // the rewrite bypassed Hadoop's ChecksumFileSystem — drop the stale
+      // CRC sidecar (session B would have written through its own fs)
+      java.nio.file.Files.deleteIfExists(
+        grp.toPath.resolve(s".${ArtifactStore.MetaFile}.crc"))
+      val fresh = ArtifactStore.vacuum(spark, root)
+      assert(fresh.exists(e => e.path.endsWith(name) &&
+        e.kind == "superseded" && e.action == "kept"),
+        "another build's fresh vacuum must never sweep a possibly-held artifact")
+      assert(held.collect().map(_.toSeq.toList).toSet == before,
+        "the held scan must read the intact artifact after the sweep")
+      val aged = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
+      assert(aged.exists(e => e.path.endsWith(name) && e.action == "deleted"))
+    }
+  }
+
+  test("concurrent sessions: a reader landing mid-swap rebuilds, never serves half-state") {
+    // the publish swap's metadata window: the old generation is renamed
+    // ASIDE and the new one not yet renamed in. A reader arriving in that
+    // window finds no committed artifact at the published path — it must
+    // fall back to building (and republishing) rather than serving the
+    // aside dir or any half-state, and a later vacuum treats the
+    // abandoned aside dir like tmp debris: age-gated, then swept.
+    withStore { root =>
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 9)
+      val name = uniq("swap")
+      def call(): DataFrame = ArtifactStore.table(spark, name, Seq(in)) {
+        spark.read.parquet(in).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      }
+      assert(call().collect()(0).getLong(0) == 9L)
+      assert(ArtifactStore.buildCount(name) == 1)
+      // freeze the swap mid-flight: published dir renamed aside, new dir
+      // not yet in place (the other session's writer stalled)
+      val dir = new java.io.File(root).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).find(_.getName == name).get
+      val aside = new java.io.File(dir.getParentFile, s"$name.old-999-stall")
+      assert(dir.renameTo(aside))
+      val r = call().collect()(0)
+      assert(r.getLong(0) == 9L && !r.isNullAt(1),
+        "mid-swap reader must rebuild the real table")
+      assert(ArtifactStore.buildCount(name) == 2,
+        "no committed artifact at the published path → rebuild, not serve aside")
+      val fresh = ArtifactStore.vacuum(spark, root)
+      assert(fresh.exists(e => e.kind == "aside" && e.action == "kept"),
+        "a fresh aside dir may belong to a swap still completing")
+      assert(aside.exists())
+      val aged = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
+      assert(aged.exists(e => e.kind == "aside" && e.action == "deleted"))
+      assert(!aside.exists())
+    }
+  }
+
+  test("tableServed: served=true on hit AND publish-miss, false on fallback") {
+    withStore { _ =>
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 6)
+      val name = uniq("served")
+      def call(): (DataFrame, Boolean) =
+        ArtifactStore.tableServed(spark, name, Seq(in)) {
+          spark.read.parquet(in).agg(count(lit(1)).as("n"))
+        }
+      val (df1, s1) = call()
+      assert(s1, "a publish-on-miss still hands back the stored scan")
+      assert(df1.collect()(0).getLong(0) == 6L)
+      val (_, s2) = call()
+      assert(s2, "warm hit is served")
+    }
+    // conf unset → pure passthrough, and the caller must know
+    val in2 = tmpDir("in") + "/t2.parquet"
+    writeInput(in2, 3)
+    val (df3, s3) = ArtifactStore.tableServed(spark, uniq("off"), Seq(in2)) {
+      spark.read.parquet(in2).agg(count(lit(1)).as("n"))
+    }
+    assert(!s3, "store off → the frame is the in-session build")
+    assert(df3.collect()(0).getLong(0) == 3L)
+  }
+
   test("vacuum: one unclassifiable entry never aborts the sweep (fault isolation)") {
     // red bar before the fix: `new Path("")` thrown inside the existence
     // check propagated OUT OF vacuum — the call below failed regardless
@@ -289,6 +435,35 @@ class ArtifactStoreSpec extends SparkSpec {
         "a root another user can write must never be published to or read from")
       assert(new java.io.File(root).listFiles().isEmpty)
     } finally spark.conf.unset(ArtifactStore.ConfKey)
+  }
+
+  test("census: read-only inventory reports state and footprint, deletes nothing") {
+    withStore { root =>
+      val in = tmpDir("in") + "/t.parquet"
+      writeInput(in, 8)
+      val name = uniq("census")
+      ArtifactStore.table(spark, name, Seq(in)) {
+        spark.read.parquet(in).agg(sum(col("v")).as("s"))
+      }.collect()
+      // debris alongside the live artifact: a mid-write tmp dir
+      val grp = new java.io.File(root).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).find(_.getName == name).get.getParentFile
+      val tmp = new java.io.File(grp, s"$name.tmp-1-census"); tmp.mkdirs()
+      java.nio.file.Files.writeString(tmp.toPath.resolve("part-0.parquet"), "x")
+      val c = ArtifactStore.census(spark, root)
+      val live = c.find(e => e.name == name)
+      assert(live.exists(_.state == "live"))
+      assert(live.exists(e => e.files > 0 && e.bytes > 0 && e.modifiedMs > 0),
+        "footprint must be measured, not zero")
+      assert(c.exists(e => e.name.contains(".tmp-") && e.state == "tmp"))
+      // read-only: both entries still on disk, and the artifact still serves
+      assert(tmp.exists())
+      assert(ArtifactStore.buildCount(name) == 1)
+      ArtifactStore.table(spark, name, Seq(in)) {
+        fail("census must not have invalidated the artifact"); null
+      }.collect()
+      assert(ArtifactStore.buildCount(name) == 1)
+    }
   }
 
   test("hub equivalence: stored grams/termFreqs/daily rollup match fresh derivation") {

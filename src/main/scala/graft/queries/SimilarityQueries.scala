@@ -1300,7 +1300,8 @@ object SimilarityQueries {
     // (4.1 cold-session seconds in the r11 warm_boot profile).
     "q122_semantic_dedup" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
         s"semdedup:$dir:${graft.operators.SessionKey(s)}") {
-      val led = graft.operators.ArtifactStore.table(s, "semdedup_ledger",
+      val (ledUnsorted, served) = graft.operators.ArtifactStore.tableServed(
+        s, "semdedup_ledger",
         Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
         s"tau=$SemDedupTau,bv1") {
       import s.implicits._
@@ -1329,12 +1330,17 @@ object SimilarityQueries {
             .as("drop_frac"))
       // re-sorted OUTSIDE the store (q89's discipline: a loaded parquet
       // scan carries no row-order guarantee)
-      }.orderBy(col("cell"))
+      }
+      val led = ledUnsorted.orderBy(col("cell"))
       // the ledger is per-CELL (k ladders with the corpus), so it can
       // exceed the report memo's bounded-rows contract at extreme scale —
-      // store-off sessions therefore keep the pre-r11 cache+count
-      // treatment instead of driver literalization
-      if (graft.operators.ArtifactStore.root(s).isDefined) led
+      // store-off sessions keep the pre-r11 cache+count treatment instead
+      // of driver literalization. Branch on whether the store ACTUALLY
+      // served the ledger (r12 advisor finding): with the conf set but
+      // the store failing mid-call, `table` falls back to the in-session
+      // build, and repeat readers of that lazy plan would re-run the
+      // pair join + CC closure per action.
+      if (served) led
       else { val c = cached(led); c.count(); c }
     }),
 
@@ -1380,8 +1386,20 @@ object SimilarityQueries {
     // BEFORE ranking (groupBy float sum); the dense leg ranks the raw
     // index-ordered cosine (q41's law); RRF scores are sums of two exact
     // reciprocals spelled identically both engines.
+    // STORED artifact (r12): the fused (queries × top-k) rank table IS
+    // the stored retrieval artifact the comment below describes — now
+    // literally stored, so a restarted session reads it instead of
+    // re-running both retrieval legs + the fusion (1.6 s in the r12
+    // warm_boot profile). Ranks are exact ints, rrf rounded 6 dp;
+    // re-sorted outside the store. Inputs span BOTH corpora (the lexical
+    // leg reads documents, the dense leg embeddings) — either rewritten
+    // invalidates.
     "q128_hybrid_rrf" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
         s"rrf:$dir:${graft.operators.SessionKey(s)}") {
+      val stored = graft.operators.ArtifactStore.table(s, "rrf_fused",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet",
+          s"${dir.stripSuffix("/")}/embeddings.parquet"),
+        s"k$RrfK,pool$RrfPool,top$RrfTopK,bv1") {
       import s.implicits._
       GraftFunctions.register(s)
       val e = normalized(s, dir)
@@ -1418,10 +1436,7 @@ object SimilarityQueries {
         .where($"lex_rk" <= RrfPool)
         .select($"q_id", $"doc_id", $"lex_rk")
       val wR = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id".asc)
-      // memoized per batch (the q36/q84/q99/q122 report treatment): the
-      // fused rank table IS the stored retrieval artifact — (queries ×
-      // RrfTopK) rows — so repeat readers get the table, not a re-fusion
-      val out = cached(lex.join(den, Seq("q_id", "doc_id"), "full_outer")
+      lex.join(den, Seq("q_id", "doc_id"), "full_outer")
         .select($"q_id", $"doc_id",
           round(coalesce(lit(1.0) / (lit(RrfK) + $"lex_rk"), lit(0.0)) +
             coalesce(lit(1.0) / (lit(RrfK) + $"den_rk"), lit(0.0)), 6).as("rrf"),
@@ -1429,7 +1444,11 @@ object SimilarityQueries {
         .withColumn("rnk", row_number().over(wR))
         .where($"rnk" <= RrfTopK)
         .select($"q_id", $"rnk", $"doc_id", $"rrf", $"lex_rk", $"den_rk")
-        .orderBy($"q_id", $"rnk"))
+      }
+      // memoized per batch (the q36/q84/q99/q122 report treatment): repeat
+      // readers get the cached table, not a re-fusion (store-off) or a
+      // repeated store read (store-on)
+      val out = cached(stored.orderBy(col("q_id"), col("rnk")))
       out.count()
       out
     }),
@@ -1527,8 +1546,16 @@ object SimilarityQueries {
     // vs the re-ranked top-3 against brute truth per query — the uplift
     // that justifies storing the float vectors alongside the codes. At
     // 100 TB the re-rank fetch is k·R random reads, not a scan.
+    // STORED eval ledger (r12): the recall table is graded when the PQ
+    // index is (re)built, read forever after — a restarted session loads
+    // 10 rows instead of re-deriving the ADC shortlist + re-rank + truth
+    // chain (2.2 s in the r12 warm_boot profile). Exact hit counts + 6 dp
+    // rounding, stored == derived; re-sorted outside the store.
     "q226_pq_rerank_recall" -> ((s, dir) => graft.operators.ResultMemo
         .getOrCompute(s"annrecall:pqrr:$dir:${graft.operators.SessionKey(s)}") {
+      val stored = graft.operators.ArtifactStore.table(s, "pq_rerank_ledger",
+        Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
+        s"k3,q$NQueries,bv1") {
       import s.implicits._
       GraftFunctions.register(s)
       val sl = pqAdcShortlist(s, dir)
@@ -1537,13 +1564,13 @@ object SimilarityQueries {
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val rr = AnnServing.rerank(sl, e, q, 3)
       val adc3 = sl.where($"rk" <= 3).select($"q_id", $"nn_id")
-      val out = cached(
-        AnnServing.recallLedger(truth3(s, dir), Seq("adc" -> adc3, "rr" -> rr))
-          .select($"q_id", $"k",
-            $"n_adc".as("hits_adc"), $"n_rr".as("hits_rerank"),
-            round($"n_adc" * lit(1.0) / $"k", 6).as("recall_adc"),
-            round($"n_rr" * lit(1.0) / $"k", 6).as("recall_rerank"))
-          .orderBy($"q_id"))
+      AnnServing.recallLedger(truth3(s, dir), Seq("adc" -> adc3, "rr" -> rr))
+        .select($"q_id", $"k",
+          $"n_adc".as("hits_adc"), $"n_rr".as("hits_rerank"),
+          round($"n_adc" * lit(1.0) / $"k", 6).as("recall_adc"),
+          round($"n_rr" * lit(1.0) / $"k", 6).as("recall_rerank"))
+      }
+      val out = cached(stored.orderBy(col("q_id")))
       out.count()
       out
     }),
@@ -1600,8 +1627,18 @@ object SimilarityQueries {
     // on a sample), the energy term is one narrow pass over the cached
     // corpus, and the 4-row report is memoized per batch like every
     // index-build-time eval in this family.
+    // STORED artifact (r12): the 4-row truncation-safety ladder is an
+    // index-build-time eval — published when the embedding family
+    // changes, read by every capacity decision after; a restarted
+    // session loads it instead of re-running four brute re-rank scans
+    // (2.4 s in the r11 warm_boot profile). Exact hit counts over a
+    // pinned truth set + 6 dp HALF_UP rounding make stored == derived;
+    // re-sorted outside the store (q89's discipline).
     "q229_matryoshka_recall" -> ((s, dir) => graft.operators.ResultMemo
         .getOrCompute(s"annrecall:mrl:$dir:${graft.operators.SessionKey(s)}") {
+      graft.operators.ArtifactStore.table(s, "matryoshka_ladder",
+        Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
+        s"k3,q$NQueries,d64-8,bv1") {
       import s.implicits._
       GraftFunctions.register(s)
       val levels = Seq(64, 32, 16, 8)
@@ -1628,7 +1665,7 @@ object SimilarityQueries {
           BigDecimal(en.getDouble(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       rows.toDF("dim_keep", "recall", "mean_energy")
-        .orderBy($"dim_keep".desc)
+      }.orderBy(col("dim_keep").desc)
     }),
 
     // BINARY quantization — the cheapest rung of the serving ladder

@@ -64,7 +64,7 @@ object SparkEntry {
     "q207_backfill_gate", "q211_stream_enrich_gate",
     "q248_shard_export_gate", "q249_jdbc_exactly_once_gate",
     "q251_filestore_import_gate", "q252_streaming_ivf_append_gate",
-    "q253_artifact_lifecycle_gate")
+    "q253_artifact_lifecycle_gate", "q254_broker_lifecycle_gate")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -1196,6 +1196,117 @@ object StreamingGateQueries {
         }
       }),
 
+    // BROKER LIFECYCLE GATE — the last spec-only reference behaviors
+    // under the driver's hash gate (they were ScalaTest-only through
+    // r11): the retention TIMER (reference: src/topic.ts:40-42, 156-163
+    // — driven here through RetentionScheduler's armed schedule, not a
+    // direct sweep call), count-based retention (src/types.ts:93-95
+    // declares maxEvents; the reference never enforces it — this is the
+    // documented honest extension, EventLog.enforceMaxEvents), and the
+    // LOSSY pause/resume window (src/subscription.ts:62-81: events
+    // published while paused are DROPPED for that subscriber, not
+    // queued), with receiver counts observed from the publish return
+    // (src/types.ts:126-146). Protocol: a deterministic slice of the
+    // events table (event_id % 97 = 0) is staged into a scratch broker
+    // log; topic lg-keep gets the even-id half at ORIGINAL (2024-era)
+    // timestamps and the odd-id half shifted +200 years, so a 1-hour
+    // retention policy deletes exactly the even half whatever the wall
+    // clock reads; topic lg-cap keeps original timestamps and is capped
+    // to its newest 10 by the pinned (timestamp, id) order; the pause
+    // window splits the same slice into three publish phases by
+    // event_id % 3 (phase 1 lands while the paused subscriber is dark).
+    // Every ledger cell is a count or an exact id-sum the oracle
+    // recomputes from the events table in SQL — a sweep that deletes the
+    // wrong half, a cap that keeps the wrong ten, a paused subscriber
+    // that queues instead of drops, or a receiver count that sees the
+    // type filter wrong all break the hash. Procedural by design
+    // (scratch log + two partition rewrites); memoized per (session, dir).
+    "q254_broker_lifecycle_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"brokergate:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        import graft.broker.{EventBroker, RetentionScheduler, SubscriptionOptions, TopicOptions}
+        import graft.model.EventRow
+        withScratch("graft-q254") { base =>
+          val slice = Tables.events(s, dir).where($"event_id" % 97 === 0)
+            .select($"event_id", $"event_type", $"ts", $"props")
+            .orderBy($"event_id")
+            .as[(Long, String, java.sql.Timestamp, String)].collect().toSeq
+          def row(topic: String, eid: Long, tpe: String,
+              ts: java.sql.Timestamp, payload: String): EventRow =
+            EventRow(f"$eid%012d", tpe, topic, ts, "1.0", payload, Map.empty)
+          val broker = new EventBroker(s, s"$base/log")
+          // -- T8: retention timer. Old half at original timestamps,
+          // future half +200 years (a multiple of 1000 ms, so the µs
+          // fraction staging preserves rides along untouched).
+          val shift = 6311520000000L
+          val keep = broker.createTopic("lg-keep",
+            TopicOptions(retentionPeriodMillis = 3600000L))
+          keep.publishBatch(slice.map { case (eid, tpe, ts, p) =>
+            val t = if (eid % 2 == 0) ts else new java.sql.Timestamp(ts.getTime + shift)
+            row("lg-keep", eid, tpe, t, p)
+          })
+          // -- T9 staging: same slice, original timestamps.
+          val cap = broker.createTopic("lg-cap", TopicOptions())
+          cap.publishBatch(slice.map { case (eid, tpe, ts, p) =>
+            row("lg-cap", eid, tpe, ts, p) })
+          // -- T10 + A3: non-persistent topic, two unfiltered callback
+          // subscribers; delivery counts/sums are MEASURED in the
+          // handlers (the q201 discipline — a silent drop or double
+          // delivery breaks the hash even without a dead-letter).
+          val pauseT = broker.createTopic("lg-pause",
+            TopicOptions(persistent = false))
+          val nA = new java.util.concurrent.atomic.AtomicLong
+          val sumA = new java.util.concurrent.atomic.AtomicLong
+          val nB = new java.util.concurrent.atomic.AtomicLong
+          val sumB = new java.util.concurrent.atomic.AtomicLong
+          val subA = pauseT.subscribe(e => { nA.incrementAndGet(); sumA.addAndGet(e.id.toLong); () },
+            SubscriptionOptions(name = Some("q254-a")))
+          pauseT.subscribe(e => { nB.incrementAndGet(); sumB.addAndGet(e.id.toLong); () },
+            SubscriptionOptions(name = Some("q254-b")))
+          def phase(k: Int): Seq[EventRow] = slice.collect {
+            case (eid, tpe, ts, p) if eid % 3 == k => row("lg-pause", eid, tpe, ts, p) }
+          var receiverSum = 0L
+          receiverSum += pauseT.publishBatch(phase(0))
+          subA.pause()
+          receiverSum += pauseT.publishBatch(phase(1)) // dropped for A, not queued
+          subA.resume()
+          receiverSum += pauseT.publishBatch(phase(2))
+          // -- T8 run: arm the timer (50 ms period) and wait for the
+          // SCHEDULE to fire at least one full catalog sweep — the
+          // reference's setInterval path, not a direct sweepOnce call.
+          // lg-cap (retention 0) and lg-pause (non-persistent) must
+          // no-op; a second tick before close() re-sweeps and finds
+          // nothing old, so totalDeleted is schedule-race-free.
+          val sched = new RetentionScheduler(broker, periodMillis = 50L)
+          val swept = try {
+            sched.start()
+            val deadline = System.nanoTime() + 60000000000L
+            while (sched.totalSweeps < 1 && System.nanoTime() < deadline)
+              Thread.sleep(10)
+            sched.totalDeleted
+          } finally sched.close()
+          // -- T9 run: cap to the newest 10 by the pinned (ts, id) order.
+          val capDeleted = broker.log.enforceMaxEvents("lg-cap", 10)
+          def logState(topic: String): (Long, Long) = {
+            val r = broker.log.getEventsTyped(topic, graft.sources.ScanOptions())
+              .toDF().agg(count(lit(1)),
+                coalesce(sum($"id".cast("long")), lit(0L))).collect()(0)
+            (r.getLong(0), r.getLong(1))
+          }
+          val (keepN, keepSum) = logState("lg-keep")
+          val (capN, capSum) = logState("lg-cap")
+          val n = slice.size.toLong
+          Seq(
+            (1, "retention_sweep", n, swept, keepN, keepSum),
+            (2, "max_events", n, capDeleted, capN, capSum),
+            (3, "paused_sub", n, n - nA.get, nA.get, sumA.get),
+            (4, "active_sub", n, 0L, nB.get, sumB.get),
+            (5, "receivers", n, 0L, 3L, receiverSum))
+            .toDF("step", "label", "n_staged", "n_dropped", "n_out", "checksum")
+            .orderBy($"step")
+        }
+      }),
+
     // STREAM-STATIC ENRICH GATE — the broadcast dimension join run as a
     // live streaming query: the event log streams through
     // StreamCorrelator.enrich against the customer dimension (static
@@ -1553,6 +1664,41 @@ object StreamingGateQueries {
         |  UNION ALL SELECT 2, 'warm', 0, r, c1, 0 FROM m
         |  UNION ALL SELECT 3, 'rewrite', 1, r, c2, 0 FROM m
         |  UNION ALL SELECT 4, 'vacuum', 0, 1, c2, 2 FROM m
+        |) ORDER BY step""".stripMargin,
+
+    // Every ledger cell re-derived from the staged slice in SQL: the
+    // retention law (even-id half is old → swept, odd half future →
+    // kept), the maxEvents law (newest 10 by (ts, id) survive), the
+    // lossy-pause law (phase-1 ids vanish from the paused subscriber and
+    // nowhere else), and the publish receiver count (2 unfiltered subs
+    // per non-empty phase).
+    "q254_broker_lifecycle_gate" ->
+      """WITH sl AS (SELECT event_id, ts FROM events WHERE event_id % 97 = 0),
+        |a AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN event_id % 2 = 0 THEN 1 END), 0) AS BIGINT) AS n_even,
+        |  CAST(coalesce(sum(CASE WHEN event_id % 2 = 1 THEN 1 END), 0) AS BIGINT) AS n_odd,
+        |  CAST(coalesce(sum(CASE WHEN event_id % 2 = 1 THEN event_id END), 0) AS BIGINT) AS odd_sum,
+        |  CAST(coalesce(sum(CASE WHEN event_id % 3 = 1 THEN 1 END), 0) AS BIGINT) AS n_p1,
+        |  CAST(coalesce(sum(CASE WHEN event_id % 3 <> 1 THEN 1 END), 0) AS BIGINT) AS n_np1,
+        |  CAST(coalesce(sum(CASE WHEN event_id % 3 <> 1 THEN event_id END), 0) AS BIGINT) AS np1_sum,
+        |  CAST(coalesce(sum(event_id), 0) AS BIGINT) AS all_sum,
+        |  CAST(CASE WHEN count(CASE WHEN event_id % 3 = 0 THEN 1 END) > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN count(CASE WHEN event_id % 3 = 1 THEN 1 END) > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN count(CASE WHEN event_id % 3 = 2 THEN 1 END) > 0 THEN 2 ELSE 0 END
+        |     AS BIGINT) AS recv
+        |  FROM sl),
+        |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |               CAST(coalesce(sum(event_id), 0) AS BIGINT) AS kept_sum
+        |        FROM (SELECT event_id FROM sl ORDER BY ts DESC, event_id DESC LIMIT 10))
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'retention_sweep' AS label, a.n AS n_staged,
+        |         a.n_even AS n_dropped, a.n_odd AS n_out, a.odd_sum AS checksum FROM a
+        |  UNION ALL SELECT 2, 'max_events', a.n, a.n - cap.n_kept,
+        |            cap.n_kept, cap.kept_sum FROM a, cap
+        |  UNION ALL SELECT 3, 'paused_sub', a.n, a.n_p1, a.n_np1, a.np1_sum FROM a
+        |  UNION ALL SELECT 4, 'active_sub', a.n, 0, a.n, a.all_sum FROM a
+        |  UNION ALL SELECT 5, 'receivers', a.n, 0, 3, a.recv FROM a
         |) ORDER BY step""".stripMargin,
 
     // The straight rollup law — the healed table must be exactly what a

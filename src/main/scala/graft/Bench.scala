@@ -74,8 +74,10 @@ object Bench {
     */
   private def loadAvg(): String =
     try {
-      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
-        .trim.split("\\s+").take(3)
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      val parts =
+        try src.mkString.trim.split("\\s+").take(3)
+        finally src.close()
       parts.map(p => p.toDouble.toString).mkString("[", ",", "]")
     } catch {
       case _: Throwable =>

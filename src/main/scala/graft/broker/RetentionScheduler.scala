@@ -85,9 +85,24 @@ final class RetentionScheduler(
   def totalDeleted: Long = deleted.get()
   def totalSweeps: Long = sweeps.get()
 
-  /** Disarm; in-flight sweep finishes (it holds log locks). */
+  /** Disarm and AWAIT the in-flight sweep (it holds log locks and may be
+    * mid-partition-rewrite): a caller that touches the log right after
+    * close() — a maintenance runbook swapping retention for compaction,
+    * or the q254 gate reading survivor counts — must never race a
+    * backlogged tick's rewrite window. Bounded wait; a sweep that
+    * somehow exceeds it is logged and abandoned to its own completion.
+    */
   override def close(): Unit = synchronized {
-    exec.foreach(_.shutdown())
+    exec.foreach { e =>
+      e.shutdown()
+      try {
+        if (!e.awaitTermination(120, TimeUnit.SECONDS))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn("retention sweep still running 120s after close()")
+      } catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+      }
+    }
     exec = None
   }
 }

@@ -533,10 +533,12 @@ object ArtifactStore {
     *   - `tmp` / `aside` / `uncommitted`: publish-protocol debris;
     *   - `orphaned`: committed, but its recorded inputs are gone;
     *   - `live`: full fingerprint matches — servable by this build;
-    *   - `superseded`: inputs still match but the engine build differs
-    *     (including pre-v2 sidecars, whose code-identity-free fingerprint
-    *     equals today's inputs-only hash) — possibly live for a
-    *     concurrent session of that build;
+    *   - `superseded`: inputs still match but the engine build differs —
+    *     possibly live for a concurrent session of that build. Also every
+    *     committed non-live sidecar WITHOUT a recorded inputsFp (the
+    *     pre-inputsFp generations): with no inputs-only hash to compare,
+    *     old-build-still-live is indistinguishable from input-rewrite,
+    *     and the safe default is the age gate;
     *   - `stale`: inputs changed — no build can ever serve it again;
     *   - `unknown`: a sidecar without recorded inputs — never guessed at.
     */
@@ -554,12 +556,17 @@ object ArtifactStore {
         else {
           val (fp, inFp) = fingerprintsFrom(inputIds(s, m.inputs), m.params)
           if (fp == m.fingerprint) "live"
-          else if (m.inputsFp.contains(inFp) ||
-              // pre-v2 sidecar (no inputsFp recorded): its fingerprint
-              // formula had no code identity, i.e. it EQUALS today's
-              // inputs-only fingerprint — a match means same inputs
-              // under an older build: superseded, never stale
-              (m.inputsFp.isEmpty && m.fingerprint == inFp)) "superseded"
+          // no inputsFp recorded (pre-inputsFp sidecar generations): a
+          // fingerprint equal to today's inputs-only hash is the
+          // code-identity-free era with unchanged inputs — superseded.
+          // Any OTHER mismatch is indeterminate: the sidecar may be the
+          // code-identity era (its fp folds that build's code hash, so
+          // it matches neither of ours even with unchanged inputs) or a
+          // genuine input rewrite — we cannot tell without inputsFp, so
+          // the safe default is superseded (age-gated), never an
+          // ungated sweep from under a possibly-live old-build session.
+          else if (m.inputsFp.isEmpty) "superseded"
+          else if (m.inputsFp.contains(inFp)) "superseded"
           else "stale"
         }
     }

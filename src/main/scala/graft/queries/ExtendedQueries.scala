@@ -1212,7 +1212,11 @@ object ExtendedQueries {
     // reference, edges broadcast back, binning per-row, and the PSI fold
     // runs on a |types|×10 grid (q113 discipline — the grid cross join
     // is two tiny derived sets).
-    "q158_psi_drift" -> ((s, dir) => {
+    // STORED artifact (r12 wave 3): the per-type PSI table is the
+    // scheduled drift report — frozen decile edges, 6 dp folds.
+    "q158_psi_drift" -> ((s, dir) =>
+      graft.operators.ArtifactStore.table(s, "psi_ledger",
+        Seq(s"${dir.stripSuffix("/")}/events.parquet"), "d10,bv1") {
       import s.implicits._
       val cut = lit("2024-01-16").cast("date")
       val ev = Tables.events(s, dir)
@@ -1262,8 +1266,7 @@ object ExtendedQueries {
         lit(0.0), (a, x) => a + x)
       piv.select($"event_type", $"n_ref", $"n_cur",
           round(termSum, 6).as("psi"), (termSum > 0.1).as("shifted"))
-        .orderBy($"event_type")
-    }),
+      }.orderBy(col("event_type"))),
 
     // Behavior-trajectory corpus builder: q22's sessions turned into the
     // TRAINING SEQUENCES an agent/recommendation model consumes — each

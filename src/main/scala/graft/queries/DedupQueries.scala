@@ -207,15 +207,24 @@ object DedupQueries {
     * passes, would each pay the full loop. One run per batch instead;
     * the memo clears with the cache registry at batch boundaries.
     */
+  /** STORED artifact (r12 wave 3): the verified near-dup COMPONENT table
+    * is what the scheduled dedup job publishes — min-id component labels
+    * are deterministic, and all five consumers (q36/q84/q99/q139/q224)
+    * read it instead of whichever runs first per restart re-paying the
+    * candidate verify + iterative closure (2.3 s in the r12 warm_boot
+    * profile).
+    */
   private def docComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.ResultMemo.getOrCompute(
       s"cc:docs:$dir:${graft.operators.SessionKey(s)}") {
       graft.operators.CacheRegistry.track(
-        graft.operators.ConnectedComponents
-          .components(verifiedPairs(s, dir).select($"a_id", $"b_id"),
-            unpersistEdges = false)
-          .cache())
+        graft.operators.ArtifactStore.table(s, "doc_components",
+          Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "jac0.8,bv1") {
+          graft.operators.ConnectedComponents
+            .components(verifiedPairs(s, dir).select($"a_id", $"b_id"),
+              unpersistEdges = false)
+        }.cache())
     }
   }
 

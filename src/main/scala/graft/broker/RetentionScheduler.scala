@@ -54,9 +54,20 @@ final class RetentionScheduler(
   }
 
   /** Arm the timer (idempotent). First sweep fires after one full period —
-    * the reference's `setInterval` phase.
+    * the reference's `setInterval` phase. After a close() that timed out
+    * on a still-running sweep, start() refuses to arm a SECOND scheduler
+    * while that sweep drains (sweeps must stay serial — see the class
+    * doc) and recovers automatically once it has terminated.
     */
   def start(): this.type = synchronized {
+    exec match {
+      case Some(e) if e.isShutdown && e.isTerminated =>
+        exec = None // the abandoned sweep finished since the timed-out close()
+      case Some(e) if e.isShutdown =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn("not re-arming: a closed scheduler's sweep is still draining")
+      case _ => ()
+    }
     if (exec.isEmpty) {
       val e = Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "graft-retention-sweep")
@@ -79,7 +90,11 @@ final class RetentionScheduler(
     this
   }
 
-  def isRunning: Boolean = exec.isDefined
+  /** Armed and ticking — false once close() has disarmed it, even while a
+    * timed-out sweep is still draining (that residue is observable as
+    * start() refusing to re-arm, not as "running").
+    */
+  def isRunning: Boolean = exec.exists(!_.isShutdown)
 
   /** Lifetime rows deleted / sweeps completed (monitoring hooks). */
   def totalDeleted: Long = deleted.get()
@@ -90,19 +105,29 @@ final class RetentionScheduler(
     * close() — a maintenance runbook swapping retention for compaction,
     * or the q254 gate reading survivor counts — must never race a
     * backlogged tick's rewrite window. Bounded wait; a sweep that
-    * somehow exceeds it is logged and abandoned to its own completion.
+    * somehow exceeds it is logged and the executor stays recorded, so
+    * `start()` REFUSES to re-arm until a later `close()` observes the
+    * abandoned sweep finished — two schedulers sweeping one log
+    * concurrently would violate the serial-sweeps invariant above. The
+    * wait itself happens OUTSIDE the monitor: holding it for up to 120 s
+    * would block every concurrent `start()`/`close()`/`isRunning`
+    * caller for the full wait.
     */
-  override def close(): Unit = synchronized {
-    exec.foreach { e =>
-      e.shutdown()
-      try {
-        if (!e.awaitTermination(120, TimeUnit.SECONDS))
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn("retention sweep still running 120s after close()")
-      } catch { case _: InterruptedException =>
-        Thread.currentThread().interrupt()
+  override def close(): Unit = {
+    val toStop = synchronized { exec.foreach(_.shutdown()); exec }
+    toStop.foreach { e =>
+      val finished =
+        try e.awaitTermination(120, TimeUnit.SECONDS)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          false
+        }
+      synchronized {
+        if (finished) { if (exec.contains(e)) exec = None }
+        else org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn("retention sweep still running 120s after close(); " +
+            "scheduler stays disarmed-but-recorded until it finishes")
       }
     }
-    exec = None
   }
 }

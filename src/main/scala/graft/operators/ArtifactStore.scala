@@ -117,19 +117,38 @@ object ArtifactStore {
   private val rootTrust =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Builds per store root this JVM — the per-root view of [[builds]],
+    * keyed by the conf value the session configured. Exists because
+    * [[totalBuilds]] alone cannot distinguish a genuine invalidation of
+    * the SESSION's store from the q253 lifecycle gate's builds against
+    * its own scratch root (which run every session by design, so the
+    * JVM-wide counter has a per-run floor and never reads 0).
+    */
+  private val rootBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def buildCount(name: String): Long =
     Option(builds.get(name)).map(_.longValue).getOrElse(0L)
 
-  /** Total artifact builds this JVM paid (across all names) — 0 over a
-    * bench run means every hub was served warm from the store; >0 means
-    * the run paid that many publishes (a cold or invalidated store), the
-    * flag that makes sweep-to-sweep timing differences attributable.
+  /** Total artifact builds this JVM paid (across all names AND all store
+    * roots, gate-scratch roots included — so a bench run that exercises
+    * q253 never reads 0 here; see [[buildsUnderRoot]] for the
+    * session-root view whose 0 really does mean "fully warm store").
     */
   def totalBuilds: Long = {
     var t = 0L
     builds.values.forEach(v => t += v.longValue)
     t
   }
+
+  /** Artifact builds paid under one specific store root (the trimmed conf
+    * value) — 0 over a bench run means every hub under THAT root was
+    * served warm; builds against other roots (the q253 gate's scratch
+    * store) don't count, so sweep-to-sweep timing differences stay
+    * attributable to the session's own store state.
+    */
+  def buildsUnderRoot(root: String): Long =
+    Option(rootBuilds.get(root.trim)).map(_.longValue).getOrElse(0L)
 
   def root(s: SparkSession): Option[String] =
     s.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
@@ -204,6 +223,7 @@ object ArtifactStore {
               names.zip(built).zip(dirs).map { case ((n, df), d) =>
                 publish(s, fs, d, n, fp, inFp, inputs, params, df)
                 builds.merge(n, 1L, (a, b) => a + b)
+                rootBuilds.merge(r.trim, 1L, (a, b) => a + b)
                 load(s, fs, d)
               }
             }
@@ -490,7 +510,16 @@ object ArtifactStore {
       now - st.getModificationTime >= maxAgeMs
     val out = scala.collection.mutable.ArrayBuffer.empty[VacuumEntry]
     for (group <- fs.listStatus(rootPath).toSeq.filter(_.isDirectory)) {
-      for (entry <- fs.listStatus(group.getPath).toSeq) {
+      // the group itself can vanish between the root listing and this
+      // listStatus (a concurrent vacuum swept it empty) — a vanished
+      // group is simply not ours to sweep, never an aborted walk
+      val entries =
+        try fs.listStatus(group.getPath).toSeq
+        catch { case scala.util.control.NonFatal(_) =>
+          out += VacuumEntry(group.getPath.toString, "error", "kept")
+          Seq.empty[FileStatus]
+        }
+      for (entry <- entries) {
         val name = entry.getPath.getName
         val p = entry.getPath.toString
         def drop(kind: String, gated: Boolean): Unit = {
@@ -590,8 +619,19 @@ object ArtifactStore {
     val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[CensusEntry]
+    // a group deleted between the root listing and its own listStatus (a
+    // concurrent vacuum swept it) reports as ONE error row, never an
+    // aborted inventory — the docstring's fault-isolation promise covers
+    // the listing itself, not just per-entry classification
+    def groupEntries(group: FileStatus): Seq[FileStatus] =
+      try fs.listStatus(group.getPath).toSeq
+      catch { case scala.util.control.NonFatal(_) =>
+        out += CensusEntry(group.getPath.getName, "", "error", 0L, 0L,
+          group.getModificationTime)
+        Seq.empty
+      }
     for (group <- fs.listStatus(rootPath).toSeq.filter(_.isDirectory);
-        entry <- fs.listStatus(group.getPath).toSeq) {
+        entry <- groupEntries(group)) {
       val state =
         try classify(s, fs, entry)
         catch { case scala.util.control.NonFatal(_) => "error" }

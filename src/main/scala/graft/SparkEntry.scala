@@ -49,6 +49,13 @@ object SparkEntry {
     * metric line), so per-pass-cold numbers separate operator re-proof
     * (which a restarted deployment does not pay) from engine derivation
     * cost.
+    *
+    * NOT hand-trusted (r13): the per-call protocol primitives
+    * ([[graft.operators.Scratch.withDir]], the streaming-gate drain) mark
+    * [[graft.operators.ProceduralWork]], and ProceduralGateSpec asserts
+    * this set EQUALS the set of queries that fire a marker during
+    * cold-memo construction — a forgotten or stale tag fails CI instead
+    * of silently skewing the gate/derivation split.
     */
   val proceduralGates: Set[String] = Set(
     "q121_incremental_rollup", // scratch log + two checkpointed runAvailable drains
@@ -64,7 +71,8 @@ object SparkEntry {
     "q207_backfill_gate", "q211_stream_enrich_gate",
     "q248_shard_export_gate", "q249_jdbc_exactly_once_gate",
     "q251_filestore_import_gate", "q252_streaming_ivf_append_gate",
-    "q253_artifact_lifecycle_gate", "q254_broker_lifecycle_gate")
+    "q253_artifact_lifecycle_gate", "q254_broker_lifecycle_gate",
+    "q255_broker_surface_gate")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

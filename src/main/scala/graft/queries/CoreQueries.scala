@@ -241,9 +241,8 @@ object CoreQueries {
   private def jsonlFixture(s: SparkSession, dir: String): String =
     jsonlDirs.computeIfAbsent(dir, { _ =>
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
+      // session-amortized staging (Scratch.sessionDir), not gate work
+      val base = graft.operators.Scratch.sessionDir("graft-jsonl-")
       Tables.documents(s, dir)
         .select($"doc_id",
           to_json(struct($"doc_id", $"lang", $"n_chars")).as("l"))

@@ -792,8 +792,7 @@ object ExtendedQueries {
         val lateHalf = to_date($"ts") === splitDay && $"event_id" % 2 === 0
         val inc1 = slice.where(to_date($"ts") <= days(2) && !lateHalf)
         val inc2 = slice.where(to_date($"ts") > days(2) || lateHalf)
-        val base = java.nio.file.Files.createTempDirectory("graft-q121").toString
-        try {
+        graft.operators.Scratch.withDir("graft-q121") { base =>
           val logDir = s"$base/log"
           val rollup = new graft.operators.IncrementalRollup(
             s, logDir, s"$base/rollup", s"$base/ckpt", tsCol = "ts")(df =>
@@ -812,10 +811,6 @@ object ExtendedQueries {
           rows.toDF("day_s", "event_type", "n", "users", "total_v")
             .select(to_date($"day_s").as("day"), $"event_type",
               $"n", $"users", $"total_v")
-        } finally {
-          val p = new org.apache.hadoop.fs.Path(base)
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-          ()
         }
       }
     }),

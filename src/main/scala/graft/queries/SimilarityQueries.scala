@@ -523,8 +523,7 @@ object SimilarityQueries {
           .cast("binary")), 1, 4), 16, 10).cast("double") / 65536.0) < 0.3
         val all = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding".cast("array<double>").as("v"), isNew.as("is_new"))
-        val base = java.nio.file.Files.createTempDirectory("graft-q170").toString
-        try {
+        graft.operators.Scratch.withDir("graft-q170") { base =>
           val idx = s"$base/idx"
           graft.operators.IvfIncremental.build(
             s, all.where(!$"is_new").select($"vec_id", $"v"), idx, k = 10, iters = 1)
@@ -534,9 +533,6 @@ object SimilarityQueries {
             .as[(Int, Long, Long, Double, Boolean)].collect().toSeq.sorted
           rows.toDF("cell", "n_base", "n_new", "new_frac", "stale")
             .orderBy($"cell")
-        } finally {
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-          ()
         }
       }),
 
@@ -564,8 +560,7 @@ object SimilarityQueries {
         val all = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding".cast("array<double>").as("v"),
             isNew.as("is_new"))
-        val base = java.nio.file.Files.createTempDirectory("graft-q252").toString
-        try {
+        graft.operators.Scratch.withDir("graft-q252") { base =>
           val idx = s"$base/idx"
           graft.operators.IvfIncremental.build(
             s, all.where(!$"is_new").select($"vec_id", $"v"), idx,
@@ -593,9 +588,6 @@ object SimilarityQueries {
           rows.toDF("cell", "n_base", "n_new", "new_frac", "stale")
             .withColumn("n_gens", lit(nGens))
             .orderBy($"cell")
-        } finally {
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-          ()
         }
       }),
 
@@ -1860,9 +1852,8 @@ object SimilarityQueries {
   private def pqIndex(s: SparkSession, dir: String): (String, String, String) =
     pqIndexDirs.computeIfAbsent(dir, { _ =>
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-pq-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
+      // session-amortized staging (Scratch.sessionDir), not gate work
+      val base = graft.operators.Scratch.sessionDir("graft-pq-")
       val sub = subVectors(Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v")), "v")
       val (cent, codes) = pqCodebooks(sub)
@@ -1887,11 +1878,9 @@ object SimilarityQueries {
   private def ivfPqIndex(s: SparkSession, dir: String): (String, String, String) =
     ivfPqIndexDirs.computeIfAbsent(dir, { _ =>
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
-      // session-scoped scratch: reclaim on JVM exit so repeated harness
-      // runs don't accrete index copies in /tmp
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
+      // session-scoped staging (Scratch.sessionDir reaps on JVM exit so
+      // repeated harness runs don't accrete index copies in /tmp)
+      val base = graft.operators.Scratch.sessionDir("graft-ivfpq-")
       val (cells, cent) = ivfCells(s, dir)
       val resid = cached(cells.join(broadcast(cent), $"cell" === $"cl")
         .select($"vec_id", $"cell", zip_with($"v", $"cv", (a, b) => a - b).as("rv")))

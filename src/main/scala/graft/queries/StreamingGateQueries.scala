@@ -38,19 +38,18 @@ object StreamingGateQueries {
   private def pctSql: String =
     "CAST(('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0"
 
-  private def withScratch[T](prefix: String)(f: String => T): T = {
-    val base = java.nio.file.Files.createTempDirectory(prefix).toString
-    try f(base)
-    finally { org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)); () }
-  }
+  private def withScratch[T](prefix: String)(f: String => T): T =
+    graft.operators.Scratch.withDir(prefix)(f) // marks ProceduralWork
 
   /** Run one checkpointed AvailableNow drain of `frame` (a streaming
     * Dataset), collecting each micro-batch through `sink`. `mode` must
     * match the stateful operator's declared OutputMode ("append" for
-    * bandHits, "update" for quantiles).
+    * bandHits, "update" for quantiles). Marks [[graft.operators
+    * .ProceduralWork]]: a checkpointed drain is per-call gate protocol.
     */
   private def drain[R](frame: Dataset[R], ckpt: String, mode: String)(
       sink: (Dataset[R], Long) => Unit): Unit = {
+    graft.operators.ProceduralWork.mark()
     val q = frame.writeStream.outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -1314,6 +1313,141 @@ object StreamingGateQueries {
         }
       }),
 
+    // BROKER SURFACE GATE — the last five spec-only §2 rows under the
+    // driver's hash gate (they were ScalaTest-only through r12; r12
+    // verdict ask #4): F5 topic auto-create on both publish AND subscribe
+    // (reference: src/broker.ts:76-98 — a missing topic is created with
+    // default options, never an error), T2 store-then-forward (src/topic
+    // .ts:112-115 — the event is IN the persistent log before any
+    // subscriber sees it; measured by a handler that counts the topic's
+    // log rows at its FIRST delivery, after a whole-batch append),
+    // X1 generateId format/chronology (src/utils.ts:13-40 — the
+    // reference's per-call closure pins its counter at 000001, ours is
+    // genuinely monotonic, the documented fix; the gate pins the
+    // <ts base36 9>-<counter 6>-<rand 8 hex> shape, same-process
+    // lexicographic chronology and distinctness over 1000 draws),
+    // V4 getSchemas (src/schema.ts:69-78 — re-registration REPLACES, the
+    // dump returns exactly the registered (schema, version) pairs), and
+    // the §2.11 registration surface (all six graft_* functions resolve
+    // through the session catalog and evaluate to pinned values; the
+    // typed UDAF leg folds latest-payload over a 3-row group). Cells are
+    // counts/id-sums the oracle recomputes from the events table, or
+    // protocol constants (incl. the getSchemas dump md5) it respells in
+    // SQL. Procedural by design (scratch broker log + per-event appends);
+    // memoized per (session, dir).
+    "q255_broker_surface_gate" -> ((s, dir) =>
+      ResultMemo.getOrCompute(s"brokersurf:$dir:${SessionKey(s)}") {
+        import s.implicits._
+        import graft.broker.{EventBroker, SubscriptionOptions}
+        import graft.model.EventRow
+        withScratch("graft-q255") { base =>
+          val slice = Tables.events(s, dir).where($"event_id" % 89 === 0)
+            .select($"event_id", $"event_type", $"ts", $"props")
+            .orderBy($"event_id")
+            .as[(Long, String, java.sql.Timestamp, String)].collect().toSeq
+          val n = slice.size.toLong
+          val sumIds = slice.map(_._1).sum
+          def rows(topic: String): Seq[EventRow] = slice.map {
+            case (eid, tpe, ts, p) =>
+              EventRow(f"$eid%012d", tpe, topic, ts, "1.0", p, Map.empty)
+          }
+          val broker = new EventBroker(s, s"$base/log")
+          def logCount(topic: String): Long =
+            broker.log.getEventsTyped(topic, graft.sources.ScanOptions())
+              .toDF().count()
+          // -- F5, publish side: one publish to a topic nobody created.
+          val before = broker.topicNames.size.toLong
+          val pr = broker.publish("auto-pub", "probe", """{"probe":1}""")
+          val pubOk = before == 0 && pr.success &&
+            broker.getTopic("auto-pub").isDefined
+          // -- F5, subscribe side: subscribing a missing topic creates it
+          // with default options; the batch then routes to the handler.
+          val nH = new java.util.concurrent.atomic.AtomicLong
+          val sumH = new java.util.concurrent.atomic.AtomicLong
+          broker.subscribe("auto-sub",
+            e => { nH.incrementAndGet(); sumH.addAndGet(e.id.toLong); () },
+            SubscriptionOptions(name = Some("q255-sub")))
+          val subOk = broker.getTopic("auto-sub").isDefined
+          broker.getTopic("auto-sub").get.publishBatch(rows("auto-sub"))
+          // -- T2: at the FIRST delivery the whole batch is already in
+          // the log (append happens before fan-out); an n == 0 slice has
+          // no delivery to observe and passes vacuously.
+          val stf = broker.createTopic("stf")
+          @volatile var firstSeen = -1L
+          val nS = new java.util.concurrent.atomic.AtomicLong
+          val sumS = new java.util.concurrent.atomic.AtomicLong
+          stf.subscribe(e => {
+            if (firstSeen < 0) firstSeen = logCount("stf")
+            nS.incrementAndGet(); sumS.addAndGet(e.id.toLong); ()
+          }, SubscriptionOptions(name = Some("q255-stf")))
+          stf.publishBatch(rows("stf"))
+          val stfOk = n == 0 || firstSeen == n
+          // -- X1: 1000 ids from one thread.
+          val ids = Vector.fill(1000)(graft.model.Event.generateId())
+          val nFmt = ids.count(_.matches("[0-9a-z]{9}-[0-9]{6}-[0-9a-f]{8}")).toLong
+          val nMono = ids.sliding(2).count(p => p(1) > p(0)).toLong
+          val nDistinct = ids.distinct.size.toLong
+          // -- V4: re-registration replaces; the dump round-trips exactly.
+          val reg = new graft.schema.SchemaRegistry()
+          val orderSchema = """{"type":"object","required":["amount"]}"""
+          val clickSchema = """{"type":"object","required":["target"]}"""
+          reg.registerSchema("order", orderSchema, "0.9")
+          reg.registerSchema("order", orderSchema, "1.0") // replaces 0.9
+          reg.registerSchema("click", clickSchema, "2.0")
+          val dump = reg.getSchemas
+          val nRoundtrip = Seq(
+            "order" -> ((orderSchema, "1.0")),
+            "click" -> ((clickSchema, "2.0")))
+            .count { case (t, v) => dump.get(t).contains(v) }.toLong
+          val dumpStr = dump.toSeq.sortBy(_._1)
+            .map { case (t, (_, v)) => s"$t:$v" }.mkString("|")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(dumpStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val dumpCk = java.lang.Long.parseLong(md.take(7), 16)
+          // -- §2.11: the registered expression surface evaluates to
+          // pinned values; the typed UDAF folds latest-by-(ts, id).
+          graft.functions.expressions.GraftFunctions.register(s)
+          val fnNames = Seq("graft_dot", "graft_bloom_agg",
+            "graft_bloom_contains", "graft_token_entropy",
+            "graft_top_token_share", "graft_shingles")
+          val nExist = fnNames.count(s.catalog.functionExists).toLong
+          val r = s.sql(
+            """SELECT graft_dot(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D)) AS dot,
+              |  size(graft_shingles(array('a','b','c','d'), 2)) AS nsh,
+              |  graft_top_token_share(array('a','b','a','b')) AS share,
+              |  graft_token_entropy(array('a','a','a','a')) AS ent""".stripMargin)
+            .collect()(0)
+          val bloomOk = s.sql(
+            """SELECT graft_bloom_contains(
+              |  (SELECT graft_bloom_agg(xxhash64(id)) FROM range(100)),
+              |  xxhash64(42L)) AS ok""".stripMargin)
+            .collect()(0).getBoolean(0)
+          def ts(ms: Long) = new java.sql.Timestamp(ms)
+          val latest = Seq(
+            EventRow("a", "t", "x", ts(1000L), "1.0", "p1", Map.empty),
+            EventRow("b", "t", "x", ts(3000L), "1.0", "p3", Map.empty),
+            EventRow("c", "t", "x", ts(2000L), "1.0", "p2", Map.empty)).toDS()
+            .groupByKey(_.topic)
+            .agg(graft.functions.LatestPayloadAggregator.toColumn.name("latest"))
+            .collect()(0)._2
+          val nChecks = Seq(r.getDouble(0) == 32.0, r.getInt(1) == 3,
+            r.getDouble(2) == 0.5, r.getDouble(3) == 0.0, bloomOk,
+            latest == "p3").count(identity).toLong
+          Seq(
+            (1, "auto_create_publish", 1L, if (pubOk) 1L else 0L,
+              logCount("auto-pub"), pr.receiverCount.toLong),
+            (2, "auto_create_subscribe", n, if (subOk) 1L else 0L,
+              nH.get, sumH.get),
+            (3, "store_then_forward", n, if (stfOk) 1L else 0L,
+              nS.get, sumS.get),
+            (4, "generate_id", 1000L, nFmt, nMono, nDistinct),
+            (5, "get_schemas", 3L, dump.size.toLong, nRoundtrip, dumpCk),
+            (6, "udf_registration", fnNames.size.toLong, nExist, nChecks, 32L))
+            .toDF("step", "label", "n_in", "n_ok", "n_out", "checksum")
+            .orderBy($"step")
+        }
+      }),
+
     // STREAM-STATIC ENRICH GATE — the broadcast dimension join run as a
     // live streaming query: the event log streams through
     // StreamCorrelator.enrich against the customer dimension (static
@@ -1706,6 +1840,28 @@ object StreamingGateQueries {
         |  UNION ALL SELECT 3, 'paused_sub', a.n, a.n_p1, a.n_np1, a.np1_sum FROM a
         |  UNION ALL SELECT 4, 'active_sub', a.n, 0, a.n, a.all_sum FROM a
         |  UNION ALL SELECT 5, 'receivers', a.n, 0, 3, a.recv FROM a
+        |) ORDER BY step""".stripMargin,
+
+    // Every slice-derived cell (auto-created routing counts, the
+    // store-then-forward delivery count and id sum) recomputed from the
+    // events table; the protocol cells are the laws themselves — 1000
+    // well-formed distinct chronological ids, a 2-entry schema dump whose
+    // md5 the SQL respells, six resolvable functions with six pinned
+    // evaluations (graft_dot([1,2,3],[4,5,6]) = 32 is the checksum).
+    "q255_broker_surface_gate" ->
+      """WITH sl AS (SELECT event_id FROM events WHERE event_id % 89 = 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(coalesce(sum(event_id), 0) AS BIGINT) AS s FROM sl)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'auto_create_publish' AS label,
+        |         CAST(1 AS BIGINT) AS n_in, CAST(1 AS BIGINT) AS n_ok,
+        |         CAST(1 AS BIGINT) AS n_out, CAST(0 AS BIGINT) AS checksum
+        |  UNION ALL SELECT 2, 'auto_create_subscribe', a.n, 1, a.n, a.s FROM a
+        |  UNION ALL SELECT 3, 'store_then_forward', a.n, 1, a.n, a.s FROM a
+        |  UNION ALL SELECT 4, 'generate_id', 1000, 1000, 999, 1000
+        |  UNION ALL SELECT 5, 'get_schemas', 3, 2, 2,
+        |    CAST(CAST(('0x' || substr(md5('click:2.0|order:1.0'), 1, 7)) AS INT) AS BIGINT)
+        |  UNION ALL SELECT 6, 'udf_registration', 6, 6, 6, 32
         |) ORDER BY step""".stripMargin,
 
     // The straight rollup law — the healed table must be exactly what a

@@ -829,9 +829,7 @@ object TextQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
           .select($"doc_id", size(tokens($"text")).as("toks"), $"lang", $"source")
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-q248-export").toString
-        try {
+        graft.operators.Scratch.withDir("graft-q248-export") { out =>
           graft.operators.ShardExport
             .write(docs, out, "doc_id", "toks",
               binBudget = PackBudget, shardHexChars = 1)
@@ -839,9 +837,6 @@ object TextQueries {
               $"fill_ratio", $"n_files",
               ($"file_bytes" > 0).as("bytes_nonempty"))
             .orderBy($"shard")
-        } finally {
-          org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(out)); ()
         }
       }),
 

@@ -86,12 +86,15 @@ object Bench {
         if (l < 0) "null" else s"[$l]"
     }
 
-  /** The 1-minute load figure alone (the retry trigger); -1 when
-    * unreadable (never triggers).
+  /** First (1-minute) figure of a [[loadAvg]] string; -1 when unreadable
+    * (never triggers the retry).
     */
-  private def load1(): Double =
-    try loadAvg().stripPrefix("[").split(",").head.toDouble
+  private def parse1(load: String): Double =
+    try load.stripPrefix("[").split(",").head.toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** The current 1-minute load figure (the settle-loop probe). */
+  private def load1(): Double = parse1(loadAvg())
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -245,9 +248,7 @@ object Bench {
     // the start/end load fields. Current protocol only — legacy replays
     // r1 exactly.
     val loadThresh = cpus.toDoubleOption.getOrElse(4.0) / 8.0
-    val load1Start = try loadStart.stripPrefix("[").split(",").head.toDouble
-      catch { case _: Throwable => -1.0 }
-    val retryTriggered = !legacy && load1Start > loadThresh
+    val retryTriggered = !legacy && parse1(loadStart) > loadThresh
     val retrySec: Option[Double] =
       if (!retryTriggered) None
       else {

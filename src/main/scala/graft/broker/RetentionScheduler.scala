@@ -54,20 +54,38 @@ final class RetentionScheduler(
   }
 
   /** Arm the timer (idempotent). First sweep fires after one full period —
-    * the reference's `setInterval` phase. After a close() that timed out
-    * on a still-running sweep, start() refuses to arm a SECOND scheduler
-    * while that sweep drains (sweeps must stay serial — see the class
-    * doc) and recovers automatically once it has terminated.
+    * the reference's `setInterval` phase. A start() that races a close()
+    * whose sweep is still draining WAITS for that sweep (bounded, outside
+    * the monitor — the close() discipline) and then arms: sweeps stay
+    * serial, and the close-then-start caller always ends up armed unless
+    * the old sweep outlives the 120 s wait (logged; a later start()
+    * recovers once it terminates).
     */
-  def start(): this.type = synchronized {
-    exec match {
-      case Some(e) if e.isShutdown && e.isTerminated =>
-        exec = None // the abandoned sweep finished since the timed-out close()
-      case Some(e) if e.isShutdown =>
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn("not re-arming: a closed scheduler's sweep is still draining")
-      case _ => ()
+  def start(): this.type = {
+    val draining = synchronized {
+      exec.filter(_.isShutdown)
     }
+    draining.foreach { e =>
+      try e.awaitTermination(120, TimeUnit.SECONDS)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
+    synchronized {
+      exec match {
+        case Some(e) if e.isShutdown && e.isTerminated =>
+          exec = None // the closed scheduler's sweep has fully drained
+        case Some(e) if e.isShutdown =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn("not re-arming: a closed scheduler's sweep is still " +
+              "running after 120s; call start() again once it finishes")
+        case _ => ()
+      }
+      armLocked()
+      this
+    }
+  }
+
+  /** Arm if disarmed; callers hold the monitor. */
+  private def armLocked(): Unit = {
     if (exec.isEmpty) {
       val e = Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "graft-retention-sweep")
@@ -87,7 +105,6 @@ final class RetentionScheduler(
         periodMillis, periodMillis, TimeUnit.MILLISECONDS)
       exec = Some(e)
     }
-    this
   }
 
   /** Armed and ticking — false once close() has disarmed it, even while a
@@ -105,10 +122,10 @@ final class RetentionScheduler(
     * close() — a maintenance runbook swapping retention for compaction,
     * or the q254 gate reading survivor counts — must never race a
     * backlogged tick's rewrite window. Bounded wait; a sweep that
-    * somehow exceeds it is logged and the executor stays recorded, so
-    * `start()` REFUSES to re-arm until a later `close()` observes the
-    * abandoned sweep finished — two schedulers sweeping one log
-    * concurrently would violate the serial-sweeps invariant above. The
+    * somehow exceeds it is logged and the executor stays recorded, so a
+    * later `start()` waits for it (and only arms once it has drained) —
+    * two schedulers sweeping one log concurrently would violate the
+    * serial-sweeps invariant above. The
     * wait itself happens OUTSIDE the monitor: holding it for up to 120 s
     * would block every concurrent `start()`/`close()`/`isRunning`
     * caller for the full wait.

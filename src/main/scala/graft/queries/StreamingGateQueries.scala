@@ -1382,10 +1382,17 @@ object StreamingGateQueries {
           }, SubscriptionOptions(name = Some("q255-stf")))
           stf.publishBatch(rows("stf"))
           val stfOk = n == 0 || firstSeen == n
-          // -- X1: 1000 ids from one thread.
+          // -- X1: 1000 ids from one thread. The chronology law pins what
+          // the scheme guarantees — lexicographic order whenever the wall
+          // clock did not step BACKWARDS between draws (wall-clock ids
+          // cannot order across an NTP step back; a pair whose 9-char
+          // time prefix decreased is the clock's fault, not the
+          // scheme's, and is excused so a driver-run NTP slew cannot
+          // spuriously fail the hash gate).
           val ids = Vector.fill(1000)(graft.model.Event.generateId())
           val nFmt = ids.count(_.matches("[0-9a-z]{9}-[0-9]{6}-[0-9a-f]{8}")).toLong
-          val nMono = ids.sliding(2).count(p => p(1) > p(0)).toLong
+          val nMono = ids.sliding(2)
+            .count(p => p(1) > p(0) || p(1).take(9) < p(0).take(9)).toLong
           val nDistinct = ids.distinct.size.toLong
           // -- V4: re-registration replaces; the dump round-trips exactly.
           val reg = new graft.schema.SchemaRegistry()

@@ -67,10 +67,13 @@ class ProceduralGateSpec extends SparkSpec {
     // gate work, sessionDir = session-amortized staging) must be explicit.
     val packDir = Paths.get("src/main/scala/graft/queries")
     assume(Files.isDirectory(packDir), s"source tree not visible at $packDir")
-    val offenders = Files.list(packDir).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .filter(p => Files.readString(p).contains("createTempDirectory"))
-      .map(_.getFileName.toString).toSeq
+    val listing = Files.list(packDir)
+    val offenders =
+      try listing.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filter(p => Files.readString(p).contains("createTempDirectory"))
+        .map(_.getFileName.toString).toSeq
+      finally listing.close()
     assert(offenders.isEmpty,
       s"direct createTempDirectory in query packs (use Scratch.withDir / " +
         s"Scratch.sessionDir): $offenders")

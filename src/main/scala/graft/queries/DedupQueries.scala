@@ -292,18 +292,28 @@ object DedupQueries {
       .where($"jac" >= 0.8)
   }
 
+  /** STORED artifact (r13 triage): the complete verified pair set at
+    * jac >= 0.8 is what the exact-dedup job PUBLISHES — pair rows are
+    * deterministic (exact integer intersections), and both consumers
+    * (q219's report, q222's recall-audit truth side) read the table
+    * instead of a restart re-paying the prefix self-join + verify
+    * (1.6 s in the quiet r13 warm_boot profile).
+    */
   private def exactPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (sets, pre) = ppjoinIndex(s, dir)
-    // shuffle_hash PINNED (r10): prefix self-join buckets on g — the
-    // stored index's small file stats must not flip it to a broadcast
-    val cand = pre.as("a").hint("shuffle_hash").join(pre.as("b"),
-        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
-          $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
-          $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
     graft.operators.CacheRegistry.track(
-      ppjoinVerify(s, sets, cand).cache())
+      graft.operators.ArtifactStore.table(s, "ppjoin_pairs",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "jac0.8,bv1") {
+        val (sets, pre) = ppjoinIndex(s, dir)
+        // shuffle_hash PINNED (r10): prefix self-join buckets on g — the
+        // stored index's small file stats must not flip it to a broadcast
+        val cand = pre.as("a").hint("shuffle_hash").join(pre.as("b"),
+            $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
+              $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
+              $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
+          .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+        ppjoinVerify(s, sets, cand)
+      }.cache())
   }
 
   /** (doc_id, simhash): `bits`-bit SimHash per document (bits <= 32 — one
@@ -553,14 +563,21 @@ object DedupQueries {
             $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
             $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
         .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
-      // session-cached like its q219 sibling (exactPairs): the verified
-      // incremental pair table is what an ingest batch PUBLISHES — repeat
-      // readers get the table, not a re-verify of the same arrivals
-      graft.operators.CacheRegistry.track(ppjoinVerify(s, sets, cand)
-        .select($"a_id".as("arrival_id"), $"b_id".as("corpus_id"),
-          round($"jac", 6).as("jac"))
+      // STORED artifact (r13 triage, like its q219 sibling): the verified
+      // incremental pair table is what an ingest batch PUBLISHES — a
+      // restart reads the published table instead of re-verifying the
+      // same arrivals (1.6 s in the quiet r13 warm_boot profile). Row
+      // order is imposed OUTSIDE the store (a parquet scan guarantees
+      // none).
+      graft.operators.CacheRegistry.track(
+        graft.operators.ArtifactStore.table(s, "ppjoin_incremental_pairs",
+          Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
+          "jac0.8,arr0.9,bv1") {
+          ppjoinVerify(s, sets, cand)
+            .select($"a_id".as("arrival_id"), $"b_id".as("corpus_id"),
+              round($"jac", 6).as("jac"))
+        }.cache())
         .orderBy($"arrival_id", $"corpus_id")
-        .cache())
     }),
 
     // LSH RECALL audit — the exact pair law (q219) left-joined with the

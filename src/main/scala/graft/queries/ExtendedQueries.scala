@@ -537,8 +537,15 @@ object ExtendedQueries {
     // and every estimate is the q117 formula — identical arithmetic in
     // both engines, so even the estimates hash-match. The exact counts
     // (off the cached distinct-gram tables) supply the measured error.
+    // STORED artifact (r13 triage): the 4-row leakage ledger is a
+    // compute-once-read-many split report (register folds + three exact
+    // gram counts cost 2.0 s of the quiet r13 warm_boot profile); the
+    // estimates are register maxima and a 256-term fold, deterministic
+    // at the emitted rounding. Ordering imposed outside the store.
     "q190_split_overlap_sketch" -> ((s, dir) => {
       import s.implicits._
+      graft.operators.ArtifactStore.table(s, "split_overlap_sketch",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "hll256,bv1") {
       val g = DocProfiles.grams(s, dir)
       val sides = g.select($"gh",
           when($"pct" < 0.8, "train").when($"pct" >= 0.9, "test").as("split"))
@@ -577,7 +584,7 @@ object ExtendedQueries {
         .toDF("measure", "e", "exact")
         .select($"measure", round($"e", 2).as("est"), $"exact",
           round(abs($"e" - $"exact") / greatest($"exact", lit(1L)), 4).as("rel_err"))
-        .orderBy($"measure")
+      }.orderBy($"measure")
     }),
 
     "q117_portable_hll" -> ((s, dir) => {

@@ -514,27 +514,33 @@ object TextQueries {
     // the split even after q157's fingerprint pass. Rides the shared
     // gram cache; the train gram index is the q130 Bloom-prefilterable
     // shape at 100 TB. One distinct + one gh-keyed left join.
-    // Memoized (r9 report treatment): the novelty-bin ledger is a
-    // per-batch curation artifact - computed once per (session, dir).
+    // Memoized (r9 report treatment) + STORED artifact (r13 triage): the
+    // per-source novelty ledger is a per-batch curation artifact —
+    // computed once per (session, dir), and a restart reads the
+    // published table instead of re-paying the gh-keyed join (1.55 s in
+    // the quiet r13 warm_boot profile). Ordering imposed outside the
+    // store.
     "q162_gram_novelty" -> ((s, dir) => graft.operators.ResultMemo
         .report(s"gramnov:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
-      val g = DocProfiles.grams(s, dir)
-      val trainG = DocProfiles.trainGrams(s, dir).withColumn("seen", lit(true))
-      val perDoc = g.where($"pct" >= 0.9)
-        .join(trainG, Seq("gh"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
-      perDoc
-        .join(Tables.documents(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
-        .select($"source", ($"n_novel" * lit(1.0) / $"n_grams").as("nf"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg($"nf"), 6).as("avg_novelty"),
-          round(min($"nf"), 6).as("min_novelty"),
-          round(max($"nf"), 6).as("max_novelty"))
-        .orderBy($"source")
+      graft.operators.ArtifactStore.table(s, "gram_novelty",
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "g5,bv1") {
+        val g = DocProfiles.grams(s, dir)
+        val trainG = DocProfiles.trainGrams(s, dir).withColumn("seen", lit(true))
+        val perDoc = g.where($"pct" >= 0.9)
+          .join(trainG, Seq("gh"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+        perDoc
+          .join(Tables.documents(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
+          .select($"source", ($"n_novel" * lit(1.0) / $"n_grams").as("nf"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"nf"), 6).as("avg_novelty"),
+            round(min($"nf"), 6).as("min_novelty"),
+            round(max($"nf"), 6).as("max_novelty"))
+      }.orderBy($"source")
     }),
 
     // Token counting, two tokenizers: whitespace split and a BPE-ish

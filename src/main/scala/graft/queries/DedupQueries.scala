@@ -301,9 +301,16 @@ object DedupQueries {
     */
   private def exactPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // params fold in the index generation's width/threshold token
+    // (ppjoin_prefix's "w3-t0.8"): in the degraded code-identity mode the
+    // bv/params tokens are the only code guard, and a width change that
+    // bumps the prefix artifact must invalidate the pairs derived from it
+    // too. Only the published columns (a_id, b_id, jac) are stored — the
+    // verify-internal i/ca/cb have no consumer here.
     graft.operators.CacheRegistry.track(
       graft.operators.ArtifactStore.table(s, "ppjoin_pairs",
-        Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "jac0.8,bv1") {
+        Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
+        "w3-t0.8,jac0.8,bv1") {
         val (sets, pre) = ppjoinIndex(s, dir)
         // shuffle_hash PINNED (r10): prefix self-join buckets on g — the
         // stored index's small file stats must not flip it to a broadcast
@@ -312,7 +319,7 @@ object DedupQueries {
               $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
               $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
           .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
-        ppjoinVerify(s, sets, cand)
+        ppjoinVerify(s, sets, cand).select($"a_id", $"b_id", $"jac")
       }.cache())
   }
 
@@ -552,27 +559,30 @@ object DedupQueries {
     // needed the two sides to be the same relation).
     "q223_ppjoin_incremental" -> ((s, dir) => {
       import s.implicits._
-      val (sets, pre) = ppjoinIndex(s, dir)
-      def isNew(c: Column): Column =
-        (conv(substring(md5(concat(lit(""), c.cast("string")).cast("binary")),
-          1, 4), 16, 10).cast("double") / 65536.0) >= 0.9
-      val arr = pre.where(isNew($"doc_id"))
-      val corp = pre.where(!isNew($"doc_id"))
-      val cand = arr.as("a").join(corp.as("b"),
-          $"a.g" === $"b.g" &&
-            $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
-            $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
-        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
       // STORED artifact (r13 triage, like its q219 sibling): the verified
       // incremental pair table is what an ingest batch PUBLISHES — a
       // restart reads the published table instead of re-verifying the
-      // same arrivals (1.6 s in the quiet r13 warm_boot profile). Row
-      // order is imposed OUTSIDE the store (a parquet scan guarantees
-      // none).
+      // same arrivals (1.6 s in the quiet r13 warm_boot profile). The
+      // WHOLE derivation (index scans included) lives inside the build
+      // closure so a warm hit pays one sidecar read, not the index-side
+      // store machinery; params fold in the index generation's
+      // width/threshold token (the exactPairs rationale). Row order is
+      // imposed OUTSIDE the store (a parquet scan guarantees none).
       graft.operators.CacheRegistry.track(
         graft.operators.ArtifactStore.table(s, "ppjoin_incremental_pairs",
           Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
-          "jac0.8,arr0.9,bv1") {
+          "w3-t0.8,jac0.8,arr0.9,bv1") {
+          val (sets, pre) = ppjoinIndex(s, dir)
+          def isNew(c: Column): Column =
+            (conv(substring(md5(concat(lit(""), c.cast("string")).cast("binary")),
+              1, 4), 16, 10).cast("double") / 65536.0) >= 0.9
+          val arr = pre.where(isNew($"doc_id"))
+          val corp = pre.where(!isNew($"doc_id"))
+          val cand = arr.as("a").join(corp.as("b"),
+              $"a.g" === $"b.g" &&
+                $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
+                $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
+            .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
           ppjoinVerify(s, sets, cand)
             .select($"a_id".as("arrival_id"), $"b_id".as("corpus_id"),
               round($"jac", 6).as("jac"))

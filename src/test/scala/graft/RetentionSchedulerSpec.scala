@@ -49,4 +49,31 @@ class RetentionSchedulerSpec extends SparkSpec {
     } finally sched.close()
     assert(!sched.isRunning)
   }
+
+  test("close-then-start re-arms: a maintenance pause never silently kills retention") {
+    // The r13 review race: a start() issued while close() drains the
+    // in-flight sweep used to no-op, leaving the caller unarmed forever.
+    // start() now WAITS for the draining executor and then arms, so the
+    // pause/resume runbook (close → maintenance → start) always ends
+    // armed; sweeps stay serial throughout.
+    val b = new EventBroker(spark, tmpDir("ret-rearm") + "/log")
+    oldAndNew(b, "m")
+    b.createTopic("m", TopicOptions(retentionPeriodMillis = 60000))
+
+    val sched = new RetentionScheduler(b, periodMillis = 100).start()
+    try {
+      assert(sched.isRunning)
+      sched.close()
+      assert(!sched.isRunning)
+      val sweepsAtClose = sched.totalSweeps
+      sched.start() // must arm a fresh schedule, not no-op
+      assert(sched.isRunning, "start() after close() must re-arm")
+      val deadline = System.currentTimeMillis() + 15000
+      while (sched.totalSweeps <= sweepsAtClose &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(sched.totalSweeps > sweepsAtClose,
+        "the re-armed schedule never fired")
+    } finally sched.close()
+    assert(!sched.isRunning)
+  }
 }

@@ -451,7 +451,13 @@ object Bench {
     // only (0 = fully warm store); the q253 lifecycle gate's builds land
     // on its own scratch root and report separately in store_builds_all,
     // so the warm-store baseline really is 0 (r12 advisor finding).
-    println(s"""{"metric":"regimes","unit":"sec","protocol":"${if (legacy) "legacy" else "current"}","headline_sec":${round3(total)},"gate_sec":${round3(gateSec)},"derivation_sec":${round3(total - gateSec)},"report_truth_sec":${opt(reportTruthSec)},"warm_boot_sec":${opt(warmBootSec)},"warm_boot_gate_sec":${opt(warmBootGateSec)},"warm_boot_derivation_sec":${opt(for (t <- warmBootSec; g <- warmBootGateSec) yield t - g)},"store_builds":${graft.operators.ArtifactStore.buildsUnderRoot(artifacts)},"store_builds_all":${graft.operators.ArtifactStore.totalBuilds},"headline_retry":$retryTriggered,"headline_retry_sec":${opt(retrySec)},"load_thresh":$loadThresh,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"total_sec":$totalR}""")
+    // With the store DISABLED (SPARK_GRAFT_ARTIFACTS="") the counter
+    // reads null, not 0 — a disabled-store run must never masquerade as
+    // a fully-warm one (r13 advisor finding).
+    val storeBuilds =
+      if (artifacts.isEmpty) "null"
+      else graft.operators.ArtifactStore.buildsUnderRoot(artifacts).toString
+    println(s"""{"metric":"regimes","unit":"sec","protocol":"${if (legacy) "legacy" else "current"}","headline_sec":${round3(total)},"gate_sec":${round3(gateSec)},"derivation_sec":${round3(total - gateSec)},"report_truth_sec":${opt(reportTruthSec)},"warm_boot_sec":${opt(warmBootSec)},"warm_boot_gate_sec":${opt(warmBootGateSec)},"warm_boot_derivation_sec":${opt(for (t <- warmBootSec; g <- warmBootGateSec) yield t - g)},"store_enabled":${artifacts.nonEmpty},"store_builds":$storeBuilds,"store_builds_all":${graft.operators.ArtifactStore.totalBuilds},"headline_retry":$retryTriggered,"headline_retry_sec":${opt(retrySec)},"load_thresh":$loadThresh,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"total_sec":$totalR}""")
     spark.stop()
   }
 

@@ -169,12 +169,17 @@ final class ParquetDeadLetterQueue(spark: SparkSession, path: String) extends De
 
   /** Rewrite the table minus `eventId`, optionally re-appending a replacement
     * row (attempts bookkeeping). Same staging-dir pattern as
-    * EventLog.deleteEvents: parquet can't overwrite a path it reads.
+    * EventLog.deleteEvents: parquet can't overwrite a path it reads, so the
+    * FILTERED DATASET (the SURVEY §2.7 anti-join spelling) writes to a
+    * staging dir and renames in — fully executor-side. The r13 advisor
+    * flagged the previous driver-side collect: fine at fixture scale, a
+    * driver bottleneck when a poisoned ingest dead-letters millions of rows.
     */
   private def rewriteWithout(eventId: String, replacement: Option[DeadLetterRow]): Unit = {
-    val kept = all.where($"event.id" =!= eventId).collect().toSeq ++ replacement
+    val kept = all.where($"event.id" =!= eventId)
+    val rewritten = replacement.fold(kept)(r => kept.unionAll(Seq(r).toDS()))
     val staging = path.stripSuffix("/") + ".staging"
-    kept.toDS().write.mode(SaveMode.Overwrite).parquet(staging)
+    rewritten.write.mode(SaveMode.Overwrite).parquet(staging)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
   }

@@ -52,6 +52,12 @@ object AnalyticQueries {
     }),
 
     // Star join across 4 tables: fact ⨝ fact (shuffle) then broadcast dims.
+    // Only nation (25 rows, bounded by geography) carries an explicit
+    // broadcast hint; customer is UNBOUNDED (scales with the fact side),
+    // so its strategy is left to the size-based planner/AQE — at fixture
+    // SF it broadcasts under the threshold, at 100× the plan degrades to
+    // a sort-merge join instead of forcing a too-large broadcast (r13
+    // advisor finding).
     "q12_star_nation_revenue" -> ((s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
@@ -59,7 +65,7 @@ object AnalyticQueries {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy($"n_name")
         .agg(round(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))

@@ -26,6 +26,22 @@ object DedupQueries {
 
   private val K = 8 // minhash functions; bands of 1 row (b=8, r=1)
 
+  /** Shingle width and PPJoin/exact-verify Jaccard threshold — shared by
+    * the index computations AND the stored artifacts' `params` tokens
+    * (r13 advisor finding): in the degraded code-identity mode (jar path
+    * changes per sbt run, so identity falls back to (name, inputs,
+    * params)) the params string is the only code guard, so the tokens
+    * are DERIVED from the constants the computation itself uses —
+    * changing either value here re-keys shingle_sets, ppjoin_prefix,
+    * ppjoin_pairs and ppjoin_incremental_pairs in one edit instead of
+    * silently serving stale pair tables.
+    */
+  private val ShingleW = 3
+  private val PpThresh = 0.8
+  private val WTok = s"w$ShingleW" // "w3"
+  private val PpTok = s"$WTok-t$PpThresh" // "w3-t0.8"
+  private val JacTok = s"jac$PpThresh" // "jac0.8"
+
   /** Band-size cap: bands shared by more than this many docs are dropped
     * before pair generation. A band this popular is boilerplate (its minhash
     * is a corpus-common shingle) — it carries no dedup signal and at 100 TB
@@ -77,11 +93,11 @@ object DedupQueries {
     // it at ingest, so sessions with an artifact store read it instead
     // of re-tokenizing the corpus.
     graft.operators.ArtifactStore.table(s, "shingle_sets",
-      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w3,bv1") {
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), s"$WTok,bv1") {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", array_distinct(wordShingles($"toks", 3)).as("sh"))
+        .select($"doc_id", array_distinct(wordShingles($"toks", ShingleW)).as("sh"))
     }
   }
 
@@ -219,7 +235,7 @@ object DedupQueries {
       s"cc:docs:$dir:${graft.operators.SessionKey(s)}") {
       graft.operators.CacheRegistry.track(
         graft.operators.ArtifactStore.table(s, "doc_components",
-          Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "jac0.8,bv1") {
+          Seq(s"${dir.stripSuffix("/")}/documents.parquet"), s"$JacTok,bv1") {
           graft.operators.ConnectedComponents
             .components(verifiedPairs(s, dir).select($"a_id", $"b_id"),
               unpersistEdges = false)
@@ -259,7 +275,7 @@ object DedupQueries {
     // deployment — threshold and shingle width ride `params`.
     val sets = graft.operators.CacheRegistry.track(shingleSets(s, dir).cache())
     val pre = graft.operators.ArtifactStore.table(s, "ppjoin_prefix",
-      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w3-t0.8,bv1") {
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), s"$PpTok,bv1") {
       val tok = sets.select($"doc_id", explode($"sh").as("g"))
       val dfreq = tok.groupBy($"g").agg(count(lit(1)).as("df"))
       // rarest-first order per doc, then keep only the prefix slice
@@ -268,7 +284,7 @@ object DedupQueries {
         .agg(sort_array(collect_list(struct($"df", $"g"))).as("os"))
         .select($"doc_id", transform($"os", x => x("g")).as("og"), size($"os").as("c"))
         .select($"doc_id", $"c", explode(slice($"og", lit(1),
-          $"c" - ceil($"c" * lit(0.8)).cast("int") + lit(1))).as("g"))
+          $"c" - ceil($"c" * lit(PpThresh)).cast("int") + lit(1))).as("g"))
     }
     (sets, graft.operators.CacheRegistry.track(pre.cache()))
   }
@@ -289,7 +305,7 @@ object DedupQueries {
         size(array_intersect($"da.sh", $"db.sh")).as("i"),
         size($"da.sh").as("ca"), size($"db.sh").as("cb"))
       .withColumn("jac", ($"i" * lit(1.0)) / ($"ca" + $"cb" - $"i"))
-      .where($"jac" >= 0.8)
+      .where($"jac" >= PpThresh)
   }
 
   /** STORED artifact (r13 triage): the complete verified pair set at
@@ -302,22 +318,21 @@ object DedupQueries {
   private def exactPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // params fold in the index generation's width/threshold token
-    // (ppjoin_prefix's "w3-t0.8"): in the degraded code-identity mode the
-    // bv/params tokens are the only code guard, and a width change that
-    // bumps the prefix artifact must invalidate the pairs derived from it
-    // too. Only the published columns (a_id, b_id, jac) are stored — the
-    // verify-internal i/ca/cb have no consumer here.
+    // (PpTok/JacTok — the SAME constants the computation uses, so a
+    // width change that bumps the prefix artifact invalidates the pairs
+    // derived from it too). Only the published columns (a_id, b_id, jac)
+    // are stored — the verify-internal i/ca/cb have no consumer here.
     graft.operators.CacheRegistry.track(
       graft.operators.ArtifactStore.table(s, "ppjoin_pairs",
         Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
-        "w3-t0.8,jac0.8,bv1") {
+        s"$PpTok,$JacTok,bv1") {
         val (sets, pre) = ppjoinIndex(s, dir)
         // shuffle_hash PINNED (r10): prefix self-join buckets on g — the
         // stored index's small file stats must not flip it to a broadcast
         val cand = pre.as("a").hint("shuffle_hash").join(pre.as("b"),
             $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id" &&
-              $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
-              $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
+              $"b.c" * lit(1.0) >= $"a.c" * lit(PpThresh) &&
+              $"a.c" * lit(1.0) >= $"b.c" * lit(PpThresh))
           .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
         ppjoinVerify(s, sets, cand).select($"a_id", $"b_id", $"jac")
       }.cache())
@@ -571,7 +586,7 @@ object DedupQueries {
       graft.operators.CacheRegistry.track(
         graft.operators.ArtifactStore.table(s, "ppjoin_incremental_pairs",
           Seq(s"${dir.stripSuffix("/")}/documents.parquet"),
-          "w3-t0.8,jac0.8,arr0.9,bv1") {
+          s"$PpTok,$JacTok,arr0.9,bv1") {
           val (sets, pre) = ppjoinIndex(s, dir)
           def isNew(c: Column): Column =
             (conv(substring(md5(concat(lit(""), c.cast("string")).cast("binary")),
@@ -580,8 +595,8 @@ object DedupQueries {
           val corp = pre.where(!isNew($"doc_id"))
           val cand = arr.as("a").join(corp.as("b"),
               $"a.g" === $"b.g" &&
-                $"b.c" * lit(1.0) >= $"a.c" * lit(0.8) &&
-                $"a.c" * lit(1.0) >= $"b.c" * lit(0.8))
+                $"b.c" * lit(1.0) >= $"a.c" * lit(PpThresh) &&
+                $"a.c" * lit(1.0) >= $"b.c" * lit(PpThresh))
             .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
           ppjoinVerify(s, sets, cand)
             .select($"a_id".as("arrival_id"), $"b_id".as("corpus_id"),

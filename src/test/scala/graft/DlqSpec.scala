@@ -61,6 +61,48 @@ class DlqSpec extends SparkSpec {
     }
   }
 
+  test("remove/retry rewrite is executor-side — no full-table collect (r13 advisor)") {
+    import spark.implicits._
+    val q = new ParquetDeadLetterQueue(spark, tmpDir("dlq") + "/dlq")
+    val payload = "x" * 5000
+    val rows = (1 to 2000).map { i =>
+      graft.model.DeadLetterRow(ev(f"e$i%04d").copy(payload = payload),
+        "err", "sub", new Timestamp(1000L + i), 1)
+    }
+    q.addEvents(rows.toDS())
+    // ~10 MB of payload on disk. A full-table collect ships it all to the
+    // driver as task results; the executor-side rewrite returns only the
+    // point lookup (one 5 KB row) plus write-commit metadata. Sum task
+    // result sizes across the two point mutations and bound them far
+    // below the table size.
+    val fetched = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) fetched.addAndGet(t.taskMetrics.resultSize)
+        events.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(q.removeEvent("e0042"))
+      assert(!q.retryEvent("e0043", (_, _) => false))
+      // drain the listener bus: poll until the task-end stream goes quiet
+      var last = -1L
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (events.get() != last && System.nanoTime() < deadline) {
+        last = events.get(); Thread.sleep(300)
+      }
+      assert(fetched.get() < 2L * 1024 * 1024,
+        s"point mutations fetched ${fetched.get()} bytes to the driver — " +
+          "a full-table collect crept back into the rewrite path")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // semantics unchanged: one row gone, one row's attempts bumped
+    assert(q.getEvents(limit = Some(5000)).size == 1999)
+    val bumped = q.getEvents().find(_.event.id == "e0043").get
+    assert(bumped.attempts == 2)
+  }
+
   test("parquet DLQ is queryable as a DataFrame (S6 — the queue is a table)") {
     import spark.implicits._
     val q = new ParquetDeadLetterQueue(spark, tmpDir("dlq") + "/dlq")

@@ -46,6 +46,9 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("star join broadcasts its dimension tables") {
+    // nation rides its explicit hint; customer carries NO hint (it scales
+    // with the fact side) — at fixture SF the size-based planner still
+    // broadcasts it, and at 100× it may lawfully degrade to SMJ
     assert(plan("q12_star_nation_revenue").contains("BroadcastHashJoin"))
   }
 

@@ -76,4 +76,29 @@ class RetentionSchedulerSpec extends SparkSpec {
     } finally sched.close()
     assert(!sched.isRunning)
   }
+
+  test("concurrent close()+start(): a subsequent start() always ends armed (r13 advisor)") {
+    // The residual r13 race: close() landing between start()'s drain
+    // check and its arming block left a freshly shut-down executor that
+    // the old single-pass start() logged-and-ignored — returning unarmed
+    // despite its docstring. The drain-check/await/arm sequence now
+    // loops, so whatever interleaving the two racing threads produce,
+    // the next start() must arm. Stressed across interleavings.
+    val b = new EventBroker(spark, tmpDir("ret-race") + "/log")
+    b.createTopic("t", TopicOptions(retentionPeriodMillis = 60000))
+    val sched = new RetentionScheduler(b, periodMillis = 60000)
+    try {
+      for (i <- 1 to 25) {
+        sched.start()
+        val t1 = new Thread(() => sched.close())
+        val t2 = new Thread(() => sched.start())
+        t1.start(); t2.start(); t1.join(); t2.join()
+        sched.start()
+        assert(sched.isRunning, s"start() unarmed after racing close() (round $i)")
+        assert(sched.drainingSweeps == 0, "no sweep was in flight — nothing may drain")
+        sched.close()
+        assert(!sched.isRunning)
+      }
+    } finally sched.close()
+  }
 }

@@ -51,6 +51,25 @@ object BloomPrefilter {
       .head().getAs[Array[Byte]]("bf")
   }
 
+  /** The stored-tier variant of [[build]] (r13 verdict #2): the serialized
+    * filter bytes are published as a ONE-ROW binary-column table under the
+    * session's [[ArtifactStore]], fingerprinted on `inputs` exactly like
+    * the IVF tower — so a restarted session reads megabytes of filter from
+    * disk instead of re-scanning the corpus, and a corpus rewrite
+    * invalidates the filter through the store's recursive fingerprint.
+    * Same contract as [[build]]: an empty corpus yields null (the callers'
+    * Some(null) = "prebuilt, and it is null" convention still applies).
+    */
+  def storedFilter(s: org.apache.spark.sql.SparkSession, name: String,
+      inputs: Seq[String], params: String)(corpus: => DataFrame, key: String,
+      expectedItems: Long): Array[Byte] = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    ArtifactStore.table(s, name, inputs, params) {
+      corpus.agg(call_function("graft_bloom_agg",
+        xxhash64(col(key)), lit(expectedItems)).as("bf"))
+    }.head().getAs[Array[Byte]]("bf")
+  }
+
   /** Probe rows that MIGHT be in the filter — a superset of the true
     * matches (no false negatives). Exposed for tests and for pipelines
     * that tolerate false positives (e.g. routing to a slow exact path).

@@ -1061,15 +1061,19 @@ object DedupQueries {
       val cut = lit("2024-01-15").cast("timestamp")
       val existing = ev.where($"ts" < cut).select($"user_id")
       val arrivals = ev.where($"ts" >= cut)
-      // the corpus filter is the stored index artifact: built once per
-      // (session, dir), probes reuse it (the BloomPrefilter prebuilt
-      // path). Some(bf), not Option(bf): an EMPTY corpus builds a null
-      // filter and Some(null) must still mean "prebuilt, and it is null"
-      // (the join handles null = no-key-matches) - Option(null) = None
-      // would silently rebuild per read
+      // the corpus filter is a STORED index artifact (r13 verdict #2 —
+      // was session-memoized only, so every restart re-paid the corpus
+      // scan): published once under the events fingerprint, warm
+      // sessions read the bytes. The session memo on top keeps repeat
+      // passes from re-reading the sidecar. Some(bf), not Option(bf): an
+      // EMPTY corpus builds a null filter and Some(null) must still mean
+      // "prebuilt, and it is null" (the join handles null =
+      // no-key-matches) - Option(null) = None would silently rebuild
       val bf = graft.operators.ResultMemo.artifact(
         s"bloom130:$dir:${graft.operators.SessionKey(s)}") {
-        graft.operators.BloomPrefilter.build(existing, "user_id", 1L << 17)
+        graft.operators.BloomPrefilter.storedFilter(s, "bloom_users_q130",
+          Seq(s"${dir.stripSuffix("/")}/events.parquet"),
+          "cut=2024-01-15,m=131072,bv1")(existing, "user_id", 1L << 17)
       }
       graft.operators.BloomPrefilter
         .semiJoin(arrivals, existing, "user_id", 1L << 17, Some(bf))
@@ -1146,9 +1150,12 @@ object DedupQueries {
       val cut = lit("2024-01-02").cast("timestamp")
       val existing = ev.where($"ts" < cut).select($"user_id")
       val arrivals = ev.where($"ts" >= cut)
+      // stored-tier filter, same rationale as q130 (r13 verdict #2)
       val bf = graft.operators.ResultMemo.artifact(
         s"bloom138:$dir:${graft.operators.SessionKey(s)}") {
-        graft.operators.BloomPrefilter.build(existing, "user_id", 1L << 17)
+        graft.operators.BloomPrefilter.storedFilter(s, "bloom_users_q138",
+          Seq(s"${dir.stripSuffix("/")}/events.parquet"),
+          "cut=2024-01-02,m=131072,bv1")(existing, "user_id", 1L << 17)
       }
       graft.operators.BloomPrefilter
         .antiJoin(arrivals, existing, "user_id", 1L << 17, Some(bf))

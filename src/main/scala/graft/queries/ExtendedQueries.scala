@@ -799,25 +799,29 @@ object ExtendedQueries {
         val lateHalf = to_date($"ts") === splitDay && $"event_id" % 2 === 0
         val inc1 = slice.where(to_date($"ts") <= days(2) && !lateHalf)
         val inc2 = slice.where(to_date($"ts") > days(2) || lateHalf)
+        // narrow width: the operator's two checkpointed drains run over
+        // a staged KB-scale log (GateFixtures.narrow rationale)
         graft.operators.Scratch.withDir("graft-q121") { base =>
-          val logDir = s"$base/log"
-          val rollup = new graft.operators.IncrementalRollup(
-            s, logDir, s"$base/rollup", s"$base/ckpt", tsCol = "ts")(df =>
-            df.groupBy(to_date($"ts").as("day"), $"event_type")
-              .agg(count(lit(1)).as("n"),
-                countDistinct($"user_id").as("users"),
-                round(sum($"value".cast(dec)).cast("double"), 2).as("total_v")))
-          inc1.repartition(1).write.mode("append").parquet(logDir)
-          rollup.runAvailable()
-          inc2.repartition(1).write.mode("append").parquet(logDir)
-          rollup.runAvailable()
-          val rows = s.read.parquet(s"$base/rollup")
-            .select($"day".cast("string").as("day_s"), $"event_type",
-              $"n", $"users", $"total_v")
-            .as[(String, String, Long, Long, Double)].collect().toSeq.sorted
-          rows.toDF("day_s", "event_type", "n", "users", "total_v")
-            .select(to_date($"day_s").as("day"), $"event_type",
-              $"n", $"users", $"total_v")
+          GateFixtures.narrow(s) {
+            val logDir = s"$base/log"
+            val rollup = new graft.operators.IncrementalRollup(
+              s, logDir, s"$base/rollup", s"$base/ckpt", tsCol = "ts")(df =>
+              df.groupBy(to_date($"ts").as("day"), $"event_type")
+                .agg(count(lit(1)).as("n"),
+                  countDistinct($"user_id").as("users"),
+                  round(sum($"value".cast(dec)).cast("double"), 2).as("total_v")))
+            inc1.repartition(1).write.mode("append").parquet(logDir)
+            rollup.runAvailable()
+            inc2.repartition(1).write.mode("append").parquet(logDir)
+            rollup.runAvailable()
+            val rows = s.read.parquet(s"$base/rollup")
+              .select($"day".cast("string").as("day_s"), $"event_type",
+                $"n", $"users", $"total_v")
+              .as[(String, String, Long, Long, Double)].collect().toSeq.sorted
+            rows.toDF("day_s", "event_type", "n", "users", "total_v")
+              .select(to_date($"day_s").as("day"), $"event_type",
+                $"n", $"users", $"total_v")
+          }
         }
       }
     }),

@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-amortized staged fixtures for the procedural gates — the r13
+  * verdict's "share one scratch base" consolidation.
+  *
+  * Every streaming gate (q178-q211) stages a small parquet fixture derived
+  * from the immutable sf tables, then drains it through a checkpointed
+  * streaming query. The DRAIN is per-call gate protocol (it marks
+  * [[graft.operators.ProceduralWork]] and re-runs on every cold
+  * construction — that is what the gate proves); the FIXTURE is a pure
+  * function of the sf dir, so re-writing it 28 times per cold session is
+  * protocol waste, not re-proof. This hub stages each fixture ONCE per
+  * (JVM, sf dir) on the [[graft.operators.Scratch.sessionDir]] tier
+  * (Scratch's documented session-amortized tier: "warm restarts within
+  * the process never re-pay it") and hands gates the path. Through r13
+  * each gate staged its own copy per construction — the dominant share of
+  * the 84 s warm-boot gate tax.
+  *
+  * Thread-safety: `computeIfAbsent` makes each fixture build exactly-once
+  * under concurrent suites sharing the test session.
+  */
+object GateFixtures {
+
+  private val staged = new ConcurrentHashMap[String, String]()
+  private lazy val base = graft.operators.Scratch.sessionDir("graft-gatefix")
+
+  private def slot(dir: String, tag: String): String = {
+    // hashCode alone could collide across dirs; a readable suffix makes
+    // the slot unique in practice and debuggable on disk
+    val safe = dir.replaceAll("[^a-zA-Z0-9.]", "_").takeRight(24)
+    s"$base/d${Integer.toHexString(dir.hashCode)}-$safe/$tag"
+  }
+
+  /** Stage `build` as a parquet fixture once per (JVM, dir, tag); returns
+    * the staged path. `partitions` controls the file count (= micro-batch
+    * count under maxFilesPerTrigger=1).
+    */
+  def parquet(dir: String, tag: String, partitions: Int = 1)(
+      build: => DataFrame): String =
+    staged.computeIfAbsent(s"$dir#$tag", _ => {
+      val p = slot(dir, tag)
+      build.repartition(partitions).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Stage a two-batch fixture: `build` as the main file(s), then
+    * `sentinel` as separate file(s) whose modification time is forced
+    * STRICTLY later — under `maxFilesPerTrigger=1` the file source
+    * (oldest-modified-first) serves the main data as batch 1 and the
+    * sentinel as batch 2, so the event-time watermark advances past the
+    * main data INSIDE one AvailableNow run and timed-out state flushes in
+    * the trailing no-data batch. This replaces the gates' former
+    * two-drain pattern (drain, append sentinel, drain again): one stream
+    * start instead of two, and the fixture stays immutable so it can be
+    * session-amortized.
+    */
+  def parquetWithSentinel(dir: String, tag: String)(build: => DataFrame)(
+      sentinel: => DataFrame): String =
+    staged.computeIfAbsent(s"$dir#$tag", _ => {
+      val p = slot(dir, tag)
+      build.repartition(1).write.mode("overwrite").parquet(p)
+      val f = new java.io.File(p)
+      def parts() = f.listFiles().filter(_.getName.endsWith(".parquet")).toSet
+      val mainParts = parts()
+      val mainMtime = mainParts.map(_.lastModified()).max
+      sentinel.repartition(1).write.mode("append").parquet(p)
+      (parts() -- mainParts).foreach { nf =>
+        // force a strict mtime gap: same-millisecond writes would leave
+        // the batch order to directory-listing luck
+        nf.setLastModified(mainMtime + 60000L)
+      }
+      p
+    })
+
+  /** Stage an arbitrary DIRECTORY fixture once per (JVM, dir, tag):
+    * `build` populates the returned path (e.g. the q251 reference-layout
+    * JSON tree, the q170/q252 pristine base IVF index). Mutating gates
+    * must COPY the fixture into per-call scratch first — the staged tree
+    * itself is immutable by contract.
+    */
+  def dir(dirKey: String, tag: String)(build: String => Unit): String =
+    staged.computeIfAbsent(s"$dirKey#$tag", _ => {
+      val p = slot(dirKey, tag)
+      build(p)
+      p
+    })
+
+  /** Run `f` with `spark.sql.shuffle.partitions` narrowed to `width` —
+    * the streaming-gate drain discipline for gates whose OPERATOR starts
+    * its own checkpointed query (IncrementalRollup, StreamingIvfAppend):
+    * fixture-sized drains at the session's full width just multiply
+    * state-store deltas and task fixed cost per micro-batch. A stream
+    * started inside `f` clones the narrowed conf; the session value is
+    * restored on exit. Batch jobs inside `f` are fixture-sized and AQE
+    * coalesces them regardless.
+    */
+  def narrow[T](s: org.apache.spark.sql.SparkSession, width: Int = 4)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.get(key)
+    s.conf.set(key,
+      math.min(prior.toIntOption.getOrElse(width), width).toString)
+    try f finally s.conf.set(key, prior)
+  }
+
+  /** Run `f` once per key for the JVM's lifetime — session-amortized side
+    * effects that are pure functions of the sf dir (e.g. loading the
+    * embedded JDBC store q65 scans: a restarted deployment connects to a
+    * POPULATED database, it does not re-ingest it).
+    */
+  def once(key: String)(f: => Unit): Unit = {
+    staged.computeIfAbsent(s"once#$key", _ => { f; "done" })
+    ()
+  }
+}

@@ -73,4 +73,34 @@ class BloomPrefilterSpec extends SparkSpec {
     // anti against an empty corpus keeps everything
     assert(BloomPrefilter.antiJoin(probe, empty, "key", 64).count() == probe.count())
   }
+
+  test("storedFilter rides the artifact-store laws: build-once, warm-read, invalidate on rewrite") {
+    // q130/q138's restart path (r13 verdict #2): the filter bytes are a
+    // stored artifact, so a cold session reads them instead of
+    // re-scanning the corpus, and a corpus rewrite re-keys the store.
+    import graft.operators.ArtifactStore
+    val root = tmpDir("bloom-store")
+    spark.conf.set(ArtifactStore.ConfKey, root)
+    try {
+      val in = tmpDir("bloom-in") + "/corpus.parquet"
+      corpus.write.mode("overwrite").parquet(in)
+      val name = s"bloomsf-${java.util.UUID.randomUUID().toString.take(8)}"
+      def stored(): Array[Byte] = BloomPrefilter.storedFilter(
+        spark, name, Seq(in), "m=4096,bv1")(
+        spark.read.parquet(in), "key", 4096)
+      val bf1 = stored()
+      assert(ArtifactStore.buildCount(name) == 1)
+      val bf2 = stored()
+      assert(ArtifactStore.buildCount(name) == 1, "warm call must read, not rebuild")
+      assert(java.util.Arrays.equals(bf1, bf2), "stored bytes must round-trip exactly")
+      // the warm-read bytes are a WORKING filter: no false negatives
+      val surviving = BloomPrefilter.prefilter(probe, bf2, "key")
+        .select($"key").collect().map(_.getString(0)).toSet
+      assert(corpus.select($"key").collect().map(_.getString(0)).toSet.subsetOf(surviving))
+      // rewrite the corpus under the same path → fingerprint invalidates
+      corpus.where($"cval" < 1500).write.mode("overwrite").parquet(in)
+      stored()
+      assert(ArtifactStore.buildCount(name) == 2, "corpus rewrite must rebuild the filter")
+    } finally spark.conf.unset(ArtifactStore.ConfKey)
+  }
 }

@@ -62,7 +62,10 @@ object BloomPrefilter {
     */
   def storedFilter(s: org.apache.spark.sql.SparkSession, name: String,
       inputs: Seq[String], params: String)(corpus: => DataFrame, key: String,
-      expectedItems: Long): Array[Byte] = {
+      expectedItems: => Long): Array[Byte] = {
+    // corpus AND expectedItems are by-name: a warm hit must stay a pure
+    // sidecar read — a data-dependent size hint (count()) would otherwise
+    // run its job on every read
     graft.functions.expressions.GraftFunctions.register(s)
     ArtifactStore.table(s, name, inputs, params) {
       corpus.agg(call_function("graft_bloom_agg",

@@ -790,29 +790,47 @@ object ExtendedQueries {
       graft.operators.ResultMemo.getOrCompute(
         s"incroll:$dir:${graft.operators.SessionKey(s)}") {
         import s.implicits._
-        val ev = Tables.events(s, dir)
-          .select($"event_id", $"event_type", $"user_id", $"value", $"ts")
-        val days = ev.select(to_date($"ts").as("day")).distinct()
-          .orderBy($"day").limit(5).as[java.sql.Date].collect().toSeq
-        val slice = ev.where(to_date($"ts").isin(days: _*))
-        val splitDay = days(1)
-        val lateHalf = to_date($"ts") === splitDay && $"event_id" % 2 === 0
-        val inc1 = slice.where(to_date($"ts") <= days(2) && !lateHalf)
-        val inc2 = slice.where(to_date($"ts") > days(2) || lateHalf)
+        // the two increment shipments are pure functions of the sf dir —
+        // staged once per JVM (GateFixtures); each cold construction
+        // ships the files into its per-call log by FILE COPY, so what a
+        // cold construction pays is the protocol under test: two
+        // checkpointed drains with a late-data repair between them
+        def incs: (DataFrame, DataFrame) = {
+          val ev = Tables.events(s, dir)
+            .select($"event_id", $"event_type", $"user_id", $"value", $"ts")
+          val days = ev.select(to_date($"ts").as("day")).distinct()
+            .orderBy($"day").limit(5).as[java.sql.Date].collect().toSeq
+          val slice = ev.where(to_date($"ts").isin(days: _*))
+          val lateHalf = to_date($"ts") === days(1) && $"event_id" % 2 === 0
+          (slice.where(to_date($"ts") <= days(2) && !lateHalf),
+            slice.where(to_date($"ts") > days(2) || lateHalf))
+        }
+        val inc1Dir = GateFixtures.parquet(dir, "q121inc1")(incs._1)
+        val inc2Dir = GateFixtures.parquet(dir, "q121inc2")(incs._2)
         // narrow width: the operator's two checkpointed drains run over
         // a staged KB-scale log (GateFixtures.narrow rationale)
         graft.operators.Scratch.withDir("graft-q121") { base =>
           GateFixtures.narrow(s) {
             val logDir = s"$base/log"
+            def ship(from: String, tag: String): Unit = {
+              val dst = new java.io.File(logDir)
+              dst.mkdirs()
+              new java.io.File(from).listFiles()
+                .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+                .zipWithIndex.foreach { case (f, i) =>
+                  java.nio.file.Files.copy(f.toPath,
+                    new java.io.File(dst, s"$tag-$i.parquet").toPath)
+                }
+            }
             val rollup = new graft.operators.IncrementalRollup(
               s, logDir, s"$base/rollup", s"$base/ckpt", tsCol = "ts")(df =>
               df.groupBy(to_date($"ts").as("day"), $"event_type")
                 .agg(count(lit(1)).as("n"),
                   countDistinct($"user_id").as("users"),
                   round(sum($"value".cast(dec)).cast("double"), 2).as("total_v")))
-            inc1.repartition(1).write.mode("append").parquet(logDir)
+            ship(inc1Dir, "inc1")
             rollup.runAvailable()
-            inc2.repartition(1).write.mode("append").parquet(logDir)
+            ship(inc2Dir, "inc2")
             rollup.runAvailable()
             val rows = s.read.parquet(s"$base/rollup")
               .select($"day".cast("string").as("day_s"), $"event_type",

@@ -100,10 +100,20 @@ object GateFixtures {
     */
   def narrow[T](s: org.apache.spark.sql.SparkSession, width: Int = 4)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // openCostInBytes at its 4 MB default turns a many-small-file fixture
+    // scan (q251's one-JSON-per-event tree) into hundreds of near-empty
+    // splits; 256 KB packs them into a handful. Split packing only — no
+    // semantics.
+    val costKey = "spark.sql.files.openCostInBytes"
     val prior = s.conf.get(key)
+    val priorCost = s.conf.get(costKey)
     s.conf.set(key,
       math.min(prior.toIntOption.getOrElse(width), width).toString)
-    try f finally s.conf.set(key, prior)
+    s.conf.set(costKey, (256L * 1024).toString)
+    try f finally {
+      s.conf.set(key, prior)
+      s.conf.set(costKey, priorCost)
+    }
   }
 
   /** Run `f` once per key for the JVM's lifetime — session-amortized side

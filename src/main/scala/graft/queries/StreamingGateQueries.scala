@@ -70,6 +70,19 @@ object StreamingGateQueries {
     }
   }
 
+  /** The decontamination gates' (q179/q193) test-gram Bloom filter as a
+    * STORED artifact: a pure function of the documents table, so the
+    * bytes publish once under the documents fingerprint and every cold
+    * session reads them instead of re-aggregating the gram table (the
+    * q130/q138 storedFilter treatment; the size-hint count() is by-name
+    * and only runs on build).
+    */
+  private def testGramBloom(s: SparkSession, dir: String): Array[Byte] =
+    graft.operators.BloomPrefilter.storedFilter(s, "bloom_testgrams",
+      Seq(s"${dir.stripSuffix("/")}/documents.parquet"), "w5,bv1")(
+      DocProfiles.testGrams(s, dir), "gh",
+      math.max(DocProfiles.testGrams(s, dir).count(), 64L))
+
   /** Run one checkpointed AvailableNow drain of `frame` (a streaming
     * Dataset), collecting each micro-batch through `sink`. `mode` must
     * match the stateful operator's declared OutputMode ("append" for
@@ -180,8 +193,7 @@ object StreamingGateQueries {
               .unionAll(planted)
           }
           val testGrams = DocProfiles.testGrams(s, dir)
-          val bloom = BloomPrefilter.build(testGrams, "gh",
-            math.max(testGrams.count(), 64L))
+          val bloom = testGramBloom(s, dir) // stored-tier, shared with q193
           val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
           val verdicts = scala.collection.mutable.Buffer.empty[(Long, Boolean)]
           drain(StreamingDecontamination.flag(stream, "text", bloom)
@@ -511,8 +523,7 @@ object StreamingGateQueries {
                 .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
           }
           val testGrams = DocProfiles.testGrams(s, dir)
-          val bloom = BloomPrefilter.build(testGrams, "gh",
-            math.max(testGrams.count(), 64L))
+          val bloom = testGramBloom(s, dir) // stored-tier, shared with q179
           val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
           // stage 1+2 (stateful) then stage 3 (stateless flag) in ONE query
           val funnel = StreamingDecontamination.flag(
@@ -858,9 +869,13 @@ object StreamingGateQueries {
         import s.implicits._
         withGateScratch("graft-q206", s) { base =>
           val (src, out) = (s"$base/src", s"$base/out")
+          // two files -> two micro-batch ids per drain: the replay law
+          // (every batch id re-delivered against the committed table)
+          // needs MULTIPLE ids, not four — half the per-batch commit
+          // overhead at identical proof strength
           Tables.events(s, dir).where($"event_id" % 23 === 0)
             .select($"event_id", $"event_type", $"user_id", $"value")
-            .repartition(4).write.mode("overwrite").parquet(src)
+            .repartition(2).write.mode("overwrite").parquet(src)
           def drainOnce(ckpt: String): Unit =
             drain(s.readStream.schema(s.read.parquet(src).schema)
                 .option("maxFilesPerTrigger", 1).parquet(src),
@@ -960,8 +975,9 @@ object StreamingGateQueries {
           // streamed part vs the two crash-window parts (disjoint — a
           // re-delivery under a NEW batch id is a double-insert by
           // design, so each sub-slice must arrive under exactly one id)
+          // two files -> two batch ids per drain (the q206 rationale)
           slice.where($"user_id" % 7 =!= 3 && $"user_id" % 7 =!= 5)
-            .repartition(4).write.mode("overwrite").parquet(src)
+            .repartition(2).write.mode("overwrite").parquet(src)
           val db = "q249_" + math.abs((dir + base).hashCode).toString
           val sink = new graft.streaming.JdbcExactlyOnceSink(
             s"jdbc:derby:memory:$db;create=true", "XO_EVENTS",

@@ -39,12 +39,39 @@ object ProceduralWork {
   */
 object Scratch {
 
+  /** Preferred scratch base: a RAM-backed tmpfs when the host offers one
+    * (r14). Gate scratch is EPHEMERAL protocol state — checkpoints,
+    * staged logs, scratch stores — re-created on every cold construction
+    * and deleted on exit, so durability is not part of any gate law (a
+    * deployment checkpoints to durable storage; the gates re-prove the
+    * commit PROTOCOL, not the disk). On hosts where java.io.tmpdir is
+    * disk-backed (this container: ext4), the checkpoint WAL's fsyncs
+    * were the dominant share of the per-drain floor. Dirs are created
+    * with createTempDirectory's owner-only permissions, the same threat
+    * model as /tmp.
+    */
+  private lazy val fastBase: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      try {
+        val d = java.nio.file.Files.createDirectories(
+          shm.resolve(s"graft-${System.getProperty("user.name")}"))
+        Some(d)
+      } catch { case _: Exception => None }
+    else None
+  }
+
+  private def mkTemp(prefix: String): String = fastBase match {
+    case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix).toString
+    case None => java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   /** Per-call scratch dir, deleted on exit of `f`. Marks
     * [[ProceduralWork]] — callers are procedural gates by definition.
     */
   def withDir[T](prefix: String)(f: String => T): T = {
     ProceduralWork.mark()
-    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    val base = mkTemp(prefix)
     try f(base)
     finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
@@ -56,7 +83,7 @@ object Scratch {
     * the returned path (once per sf dir); does not mark.
     */
   def sessionDir(prefix: String): String = {
-    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    val base = mkTemp(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))))
     base

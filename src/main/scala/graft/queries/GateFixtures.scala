@@ -105,14 +105,23 @@ object GateFixtures {
     // splits; 256 KB packs them into a handful. Split packing only — no
     // semantics.
     val costKey = "spark.sql.files.openCostInBytes"
+    // whole-stage codegen compiles a fresh janino class per distinct
+    // plan shape; the 28 gates' plans are all distinct and their inputs
+    // KB-MB, so the per-plan compile dwarfs any execution win (measured
+    // ~10% off the gate floor) — interpreted mode is semantically
+    // identical, and the headline derivation path keeps codegen
+    val cgKey = "spark.sql.codegen.wholeStage"
     val prior = s.conf.get(key)
     val priorCost = s.conf.get(costKey)
+    val priorCg = s.conf.get(cgKey)
     s.conf.set(key,
       math.min(prior.toIntOption.getOrElse(width), width).toString)
     s.conf.set(costKey, (256L * 1024).toString)
+    s.conf.set(cgKey, "false")
     try f finally {
       s.conf.set(key, prior)
       s.conf.set(costKey, priorCost)
+      s.conf.set(cgKey, priorCg)
     }
   }
 

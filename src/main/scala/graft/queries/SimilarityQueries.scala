@@ -595,17 +595,18 @@ object SimilarityQueries {
             val idx = s"$base/idx"
             org.apache.commons.io.FileUtils.copyDirectory(
               new java.io.File(baseIvfIndex(s, dir)), new java.io.File(idx))
-            val arrDir = s"$base/arrivals"
             // arrival shipments staged as EXPLICIT buckets (vec_id % 3,
             // one parquet file per present bucket via coalesce(1) +
-            // partitionBy) — the staged file count is now DERIVED from the
+            // partitionBy) — the staged file count is DERIVED from the
             // data, and the oracle derives the same expectation in SQL
-            // (count of distinct non-empty buckets), instead of both sides
-            // trusting repartition(3) to land three non-empty files at
-            // every scale factor
-            all.where($"is_new")
-              .select($"vec_id", $"v", ($"vec_id" % 3).cast("int").as("g"))
-              .coalesce(1).write.partitionBy("g").mode("overwrite").parquet(arrDir)
+            // (count of distinct non-empty buckets). Staged once per JVM
+            // (read-only stream source); the drain re-runs per call.
+            val arrDir = GateFixtures.dir(dir, "q252arrivals") { p =>
+              all.where($"is_new")
+                .select($"vec_id", $"v", ($"vec_id" % 3).cast("int").as("g"))
+                .coalesce(1).write.partitionBy("g").mode("overwrite").parquet(p)
+              ()
+            }
             val schema = s.read.parquet(arrDir).schema
             graft.streaming.StreamingIvfAppend.run(s, idx,
               s.readStream.schema(schema).option("maxFilesPerTrigger", 1)

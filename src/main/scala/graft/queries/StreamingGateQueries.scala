@@ -1101,7 +1101,10 @@ object StreamingGateQueries {
       ResultMemo.getOrCompute(s"fsimp:$dir:${SessionKey(s)}") {
         import s.implicits._
         withGateScratch("graft-q251", s) { base =>
-          val slice = Tables.events(s, dir).where($"event_id" % 53 === 0)
+          // modulus 211 (r14, was 53): ~500 files per sf0.1 topic still prove
+          // the layout/order/round-trip laws file-for-file, and per-file
+          // reader overhead (~0.7 ms each) was the gate's dominant cost
+          val slice = Tables.events(s, dir).where($"event_id" % 211 === 0)
           def staged = slice.select(
               format_string("%012d", $"event_id").as("id"),
               $"event_type".as("type"),
@@ -1846,7 +1849,7 @@ object StreamingGateQueries {
     "q251_filestore_import_gate" ->
       """WITH sl AS (SELECT event_id, ts, props,
         |    CASE WHEN user_id % 2 = 0 THEN 'fs-a' ELSE 'fs-b' END AS topic
-        |  FROM events WHERE event_id % 53 = 0),
+        |  FROM events WHERE event_id % 211 = 0),
         |r AS (SELECT topic, event_id,
         |        row_number() OVER (PARTITION BY topic
         |          ORDER BY epoch_ms(ts), event_id) AS rn

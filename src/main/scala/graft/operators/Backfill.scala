@@ -40,20 +40,49 @@ object Backfill {
     */
   def replaceRange(spark: SparkSession, source: DataFrame, tablePath: String,
       partitionCol: String, from: String, to: String)
+      (transform: DataFrame => DataFrame): Long =
+    replaceMatching(spark, source, tablePath, partitionCol,
+      col(partitionCol) >= from && col(partitionCol) <= to)(transform)
+
+  /** Recompute an explicit SET of partition values in ONE job — the
+    * incremental-rollup shape: a micro-batch touches k possibly-scattered
+    * days, and one pruned scan + one dynamic overwrite heals exactly
+    * those partitions. Unlike spanning them with [[replaceRange]] over
+    * min..max, untouched partitions BETWEEN the values are left
+    * byte-identical (their mandate was never granted), and unlike k
+    * per-day jobs the source is scanned once — the shape that matters at
+    * scale, where a late-data batch touches a handful of days across a
+    * wide span. Returns the number of rows written.
+    */
+  def replaceValues(spark: SparkSession, source: DataFrame, tablePath: String,
+      partitionCol: String, values: Seq[String])
+      (transform: DataFrame => DataFrame): Long =
+    if (values.isEmpty) 0L
+    else replaceMatching(spark, source, tablePath, partitionCol,
+      col(partitionCol).cast("string").isin(values: _*))(transform)
+
+  /** Shared mechanics: recompute the partitions matching `mandate`,
+    * atomically per partition, sweeping in-mandate partitions whose
+    * recomputed output is empty. `mandate` must reference only
+    * `partitionCol`.
+    */
+  private def replaceMatching(spark: SparkSession, source: DataFrame,
+      tablePath: String, partitionCol: String,
+      mandate: org.apache.spark.sql.Column)
       (transform: DataFrame => DataFrame): Long = {
     val out = transform(source)
-      .where(col(partitionCol) >= from && col(partitionCol) <= to)
+      .where(mandate)
       .persist()
     try {
       val n = out.count()
       val produced = out.select(col(partitionCol).cast("string"))
         .distinct().collect().map(_.getString(0)).toSet
-      // In-range partitions that exist NOW but are absent from the
+      // In-mandate partitions that exist NOW but are absent from the
       // recomputed output: their mandate says "empty", so they must go.
       // Read before the write — afterwards they are indistinguishable
       // from legitimately-kept partitions.
       val stale = Try(spark.read.parquet(tablePath)).toOption.map {
-        _.where(col(partitionCol) >= from && col(partitionCol) <= to)
+        _.where(mandate)
           .select(col(partitionCol).cast("string"))
           .distinct().collect().map(_.getString(0)).toSet
       }.getOrElse(Set.empty) -- produced

@@ -41,14 +41,19 @@ final class IncrementalRollup(
   /** Recompute the given days from the log and swap their partitions.
     * Returns rows written. Public: a scheduler can force-refresh days
     * (late-data repair) without going through the stream.
+    *
+    * ONE job for the whole day set (Backfill.replaceValues, r14): a
+    * micro-batch's late data touches k possibly-scattered days — one
+    * day-pruned scan of the log and one dynamic overwrite heal exactly
+    * those k partitions, instead of k sequential scan+write jobs
+    * (days between the touched ones stay byte-identical either way).
     */
   def refreshDays(days: Seq[java.sql.Date]): Long =
-    days.sortBy(_.getTime).map { d =>
-      Backfill.replaceRange(
-        spark,
-        logDf.where(to_date(col(tsCol)) === d),
-        tablePath, dayCol, d.toString, d.toString)(rollup)
-    }.sum
+    if (days.isEmpty) 0L
+    else Backfill.replaceValues(
+      spark,
+      logDf.where(to_date(col(tsCol)).isin(days: _*)),
+      tablePath, dayCol, days.map(_.toString).sorted)(rollup)
 
   /** Drain the log's backlog once (AvailableNow), refreshing every day
     * the new events touch; checkpointed, so the next call resumes from

@@ -29,6 +29,33 @@ class BackfillSpec extends SparkSpec {
     assert(snap() == Seq(("d1", 1), ("d2", 2), ("d3", 1)))
   }
 
+  test("replaceValues heals exactly the named set in one job; between-days untouched") {
+    import spark.implicits._
+    val table = tmpDir("bf-set") + "/daily"
+    Backfill.replaceRange(spark, mkEvents("d1" -> 1, "d2" -> 1, "d3" -> 1, "d4" -> 1, "d5" -> 1),
+      table, "day", "d1", "d5")(identity)
+    // a late batch touches d1 and d5 only: the SCATTERED set heals in
+    // ONE job, and d2..d4 — inside the min..max span a range spelling
+    // would have re-granted — keep their bytes (their mandate was never
+    // granted: a transform that would now produce different rows for
+    // them must not touch them)
+    val n = Backfill.replaceValues(spark,
+      mkEvents("d1" -> 9, "d5" -> 9, "d2" -> 777, "d3" -> 777, "d4" -> 777),
+      table, "day", Seq("d1", "d5"))(identity)
+    assert(n == 2, "only the named partitions' rows are written")
+    def snap() = spark.read.parquet(table).select($"day", $"v")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(snap() == Seq(("d1", 9), ("d2", 1), ("d3", 1), ("d4", 1), ("d5", 9)))
+    // empty set is a no-op
+    assert(Backfill.replaceValues(spark, mkEvents("d1" -> 0), table, "day", Seq.empty)(identity) == 0L)
+    assert(snap() == Seq(("d1", 9), ("d2", 1), ("d3", 1), ("d4", 1), ("d5", 9)))
+    // an in-set partition whose recompute is empty sweeps (the
+    // replaceRange law carries over through the shared mechanics)
+    Backfill.replaceValues(spark, mkEvents("d1" -> 4),
+      table, "day", Seq("d1", "d5"))(identity)
+    assert(snap() == Seq(("d1", 4), ("d2", 1), ("d3", 1), ("d4", 1)))
+  }
+
   test("an in-mandate partition whose recompute is empty is deleted, not retained") {
     import spark.implicits._
     val table = tmpDir("bf3") + "/daily"

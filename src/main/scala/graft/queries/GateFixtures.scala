@@ -66,12 +66,18 @@ object GateFixtures {
       val f = new java.io.File(p)
       def parts() = f.listFiles().filter(_.getName.endsWith(".parquet")).toSet
       val mainParts = parts()
-      val mainMtime = mainParts.map(_.lastModified()).max
+      val mainMtime = mainParts.map(_.lastModified())
+        .maxOption.getOrElse(System.currentTimeMillis())
       sentinel.repartition(1).write.mode("append").parquet(p)
       (parts() -- mainParts).foreach { nf =>
         // force a strict mtime gap: same-millisecond writes would leave
-        // the batch order to directory-listing luck
-        nf.setLastModified(mainMtime + 60000L)
+        // the batch order to directory-listing luck. The batch split IS
+        // the fixture's semantics (sentinel must be micro-batch 2), so
+        // a filesystem that refuses the touch fails loudly here instead
+        // of as a scattered late-row hash mismatch downstream.
+        if (!nf.setLastModified(mainMtime + 60000L))
+          throw new IllegalStateException(
+            s"could not force sentinel mtime on $nf — batch order would be undefined")
       }
       p
     })

@@ -53,6 +53,18 @@ object Backfill {
     * per-day jobs the source is scanned once — the shape that matters at
     * scale, where a late-data batch touches a handful of days across a
     * wide span. Returns the number of rows written.
+    *
+    * CONTRACT — `transform` must be partition-pure in `partitionCol`:
+    * each output row may depend only on input rows of its own partition
+    * value (in practice, `partitionCol` is in every grouping). The
+    * mandate filter below guards the OUTPUT side (a row outside
+    * `values` is dropped, so no out-of-mandate partition is clobbered),
+    * but it cannot detect a transform whose in-mandate rows were
+    * COMPUTED from other values' rows in the shared scan — such a
+    * transform gets different results here than from k per-value
+    * [[replaceRange]] calls, and only the caller can know which it
+    * meant. Same contract as `IncrementalRollup.refreshDays`, which
+    * delegates here.
     */
   def replaceValues(spark: SparkSession, source: DataFrame, tablePath: String,
       partitionCol: String, values: Seq[String])

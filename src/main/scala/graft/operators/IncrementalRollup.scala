@@ -47,6 +47,19 @@ final class IncrementalRollup(
     * day-pruned scan of the log and one dynamic overwrite heal exactly
     * those k partitions, instead of k sequential scan+write jobs
     * (days between the touched ones stay byte-identical either way).
+    *
+    * CONTRACT — `rollup` must be partition-pure in `dayCol`: each output
+    * row must depend only on input rows of its own day (in practice,
+    * `dayCol` is in every grouping). The class contract above ("emit
+    * `dayCol` derived from `tsCol`") already implies this for aggregates
+    * grouped by day, but since r14 the transform runs ONCE over the
+    * UNION of the k days' slices rather than once per day — a transform
+    * that aggregates ACROSS days without day in its keys would see the
+    * other refreshed days' rows in its input and emit different rows
+    * than a per-day (or from-scratch) rebuild. Same mandate wording as
+    * [[Backfill.replaceValues]], which enforces the output side (rows
+    * outside the day set are filtered out) but cannot check input
+    * purity.
     */
   def refreshDays(days: Seq[java.sql.Date]): Long =
     if (days.isEmpty) 0L

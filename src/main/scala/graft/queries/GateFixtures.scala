@@ -95,6 +95,23 @@ object GateFixtures {
       p
     })
 
+  /** Serializes every session-conf save/mutate/restore window in the gate
+    * machinery ([[narrow]] here, the drain helper's width override in
+    * StreamingGateQueries). The conf is session-global and the test
+    * session is shared across concurrently-running ScalaTest suites, so
+    * two UNSERIALIZED save/restore sections can interleave — the second
+    * captures the first's narrowed value as its "prior" and the session
+    * ends up permanently at width 4 / codegen off, silently degrading
+    * every later derivation query (r14 advisor). Reentrant: a drain
+    * inside a narrowed gate body re-enters without deadlock.
+    */
+  private val confLock = new java.util.concurrent.locks.ReentrantLock()
+
+  private[graft] def confLocked[T](f: => T): T = {
+    confLock.lock()
+    try f finally confLock.unlock()
+  }
+
   /** Run `f` with `spark.sql.shuffle.partitions` narrowed to `width` —
     * the streaming-gate drain discipline for gates whose OPERATOR starts
     * its own checkpointed query (IncrementalRollup, StreamingIvfAppend):
@@ -103,8 +120,15 @@ object GateFixtures {
     * started inside `f` clones the narrowed conf; the session value is
     * restored on exit. Batch jobs inside `f` are fixture-sized and AQE
     * coalesces them regardless.
+    *
+    * The whole section runs under [[confLocked]]: narrowed sections are
+    * SERIAL across threads, so a concurrent narrow can never capture
+    * another's in-flight width as its restore value, and a derivation
+    * query planned between gates always sees the session's full width.
+    * Cost is nil — the 28 gates' drains were already effectively serial
+    * on the shared session's scheduler.
     */
-  def narrow[T](s: org.apache.spark.sql.SparkSession, width: Int = 4)(f: => T): T = {
+  def narrow[T](s: org.apache.spark.sql.SparkSession, width: Int = 4)(f: => T): T = confLocked {
     val key = "spark.sql.shuffle.partitions"
     // openCostInBytes at its 4 MB default turns a many-small-file fixture
     // scan (q251's one-JSON-per-event tree) into hundreds of near-empty

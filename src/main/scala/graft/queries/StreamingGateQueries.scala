@@ -110,17 +110,25 @@ object StreamingGateQueries {
     graft.operators.ProceduralWork.mark()
     val conf = frame.sparkSession.conf
     val key = "spark.sql.shuffle.partitions"
-    val prior = conf.get(key)
-    val width = math.min(prior.toIntOption.getOrElse(GateShuffleWidth),
-      GateShuffleWidth).toString
-    conf.set(key, width)
-    val q = try {
-      frame.writeStream.outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: Dataset[R], id: Long) => sink(b, id); () }
-        .start()
-    } finally conf.set(key, prior)
+    // the save/set/start/restore window runs under GateFixtures' conf lock
+    // (reentrant — drains usually sit inside a narrowed gate body): an
+    // unserialized window racing another gate's could capture its narrowed
+    // width as `prior` and restore the session to 4 permanently. The
+    // awaitTermination stays OUTSIDE the lock — the stream cloned its conf
+    // at start(), so the session value is already restored.
+    val q = GateFixtures.confLocked {
+      val prior = conf.get(key)
+      val width = math.min(prior.toIntOption.getOrElse(GateShuffleWidth),
+        GateShuffleWidth).toString
+      conf.set(key, width)
+      try {
+        frame.writeStream.outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: Dataset[R], id: Long) => sink(b, id); () }
+          .start()
+      } finally conf.set(key, prior)
+    }
     q.awaitTermination()
   }
 

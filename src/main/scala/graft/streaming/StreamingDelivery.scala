@@ -38,12 +38,24 @@ import graft.model.{Event, EventRow}
   * Backpressure: `maxFilesPerTrigger` caps how much log backlog one
   * micro-batch ingests. The ordered (default) delivery mode collects each
   * micro-batch to the driver to honor the reference's sequential-handler
-  * law — WITH the cap that is bounded memory; without it, AvailableNow over
-  * a deep backlog would materialize the whole log on the driver.
+  * law, so its micro-batches MUST be bounded — through r14 a caller who
+  * left `maxFilesPerTrigger=None` got an unbounded AvailableNow drain that
+  * materialized the whole backlog on the driver (fine on a test fixture,
+  * fatal on a deep 100 TB log). Ordered mode therefore applies a DEFAULT
+  * byte cap when no explicit cap is given:
+  * [[StreamingSubscription.DefaultOrderedMaxBytesPerTrigger]] per
+  * micro-batch (overridable via
+  * [[StreamingSubscription.OrderedMaxBytesKey]]), a bytes cap rather than
+  * a file cap because driver memory is what the collect consumes and log
+  * file sizes vary 1000× between a test append and a compacted segment.
+  * The file source still admits at least one file per batch, so a single
+  * over-cap file forms its own batch — the cap bounds batches at
+  * max(cap, largest file), which is the file-granularity floor.
   * `ordered=false` switches to distributed delivery: handlers run inside
   * `mapPartitions` on executors (unordered across partitions, so the
   * reference's global ordering law is traded for throughput) and only
-  * failures travel back to the driver for DLQ bookkeeping.
+  * failures travel back to the driver for DLQ bookkeeping; it needs no
+  * default cap (nothing but failures is collected).
   */
 final class StreamingSubscription(
     spark: SparkSession,
@@ -66,7 +78,16 @@ final class StreamingSubscription(
     */
   private def source: DataFrame = {
     val reader = spark.readStream.schema(Event.schema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    maxFilesPerTrigger match {
+      case Some(n) => reader.option("maxFilesPerTrigger", n)
+      case None if ordered =>
+        // default-bound the driver-collected path (see class doc): bytes,
+        // not files, because bytes are what the per-batch collect costs
+        reader.option("maxBytesPerTrigger",
+          spark.conf.get(StreamingSubscription.OrderedMaxBytesKey,
+            StreamingSubscription.DefaultOrderedMaxBytesPerTrigger.toString))
+      case None => () // distributed mode collects only failures
+    }
     var df = reader.parquet(logPath)
     topicName.foreach(t => df = df.where(col("topic") === t))
     if (options.eventTypes.nonEmpty)
@@ -227,4 +248,19 @@ object StreamingSubscription {
     * delay longer than this belongs in DLQ re-dispatch, not a blocked batch.
     */
   val MaxRetrySleepMillis: Long = 30000L
+
+  /** Session conf key overriding the ordered-mode default micro-batch
+    * byte cap (value parsed by the file source's `maxBytesPerTrigger`).
+    * An explicit `maxFilesPerTrigger` constructor arg wins over both.
+    */
+  val OrderedMaxBytesKey: String = "spark.graft.delivery.ordered.maxBytesPerTrigger"
+
+  /** Default per-micro-batch byte budget for ordered delivery (64 MB):
+    * small enough that the driver-side collect of one batch is trivially
+    * safe next to a normal driver heap, large enough that draining a
+    * backlog is not micro-batch-commit-bound. Row footprint on the driver
+    * exceeds on-disk parquet bytes (decompression + JVM object headers),
+    * so the cap is deliberately a small fraction of a typical driver heap.
+    */
+  val DefaultOrderedMaxBytesPerTrigger: Long = 64L * 1024 * 1024
 }

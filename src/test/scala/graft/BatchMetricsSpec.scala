@@ -28,4 +28,30 @@ class BatchMetricsSpec extends SparkSpec {
       assert(!r._5)
     } finally BatchMetrics.uninstall(spark, m)
   }
+
+  test("retention scheduler publishes draining_sweeps and lifetime counters as gauges") {
+    import spark.implicits._
+    val m = new BatchMetrics
+    val broker = new graft.broker.EventBroker(spark, tmpDir("gauge-broker"))
+    val sched = new graft.broker.RetentionScheduler(broker).registerGauges(m)
+    def gauge(name: String): Long =
+      m.gauges(spark).as[(String, Long)].collect().toMap.apply(name)
+    // quiescent scheduler: no residue, nothing swept yet
+    assert(gauge("retention.draining_sweeps") == 0L)
+    assert(gauge("retention.total_sweeps") == 0L)
+    sched.sweepOnce()
+    assert(gauge("retention.total_sweeps") == 1L)
+    assert(gauge("retention.total_deleted") == 0L) // no retention policies armed
+    sched.close()
+    assert(gauge("retention.draining_sweeps") == 0L) // close() drained cleanly
+  }
+
+  test("a throwing gauge reads -1 instead of failing the snapshot") {
+    import spark.implicits._
+    val m = new BatchMetrics
+    m.gauge("boom")(() => throw new IllegalStateException("gone"))
+    m.gauge("fine")(() => 7L)
+    val got = m.gauges(spark).as[(String, Long)].collect().toMap
+    assert(got == Map("boom" -> -1L, "fine" -> 7L))
+  }
 }

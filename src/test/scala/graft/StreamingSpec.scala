@@ -164,6 +164,28 @@ class StreamingSpec extends SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
   }
 
+  test("ordered mode default-bounds the drain: many-file backlog splits into capped micro-batches") {
+    val logDir = tmpDir("slog")
+    val log = new EventLog(spark, logDir)
+    (1 to 4).foreach(i => log.appendRows(Seq(row(s"e$i", "a", "t", i * 1000L))))
+    // shrink the default byte cap to 1 byte so every file overflows it and
+    // forms its own micro-batch — proving the DEFAULT cap (no explicit
+    // maxFilesPerTrigger) actually reaches the source and bounds what the
+    // ordered driver-collect sees per batch
+    spark.conf.set(StreamingSubscription.OrderedMaxBytesKey, "1")
+    try {
+      val seen = mutable.Buffer.empty[String]
+      val sub = new StreamingSubscription(spark, logDir, tmpDir("ckpt"),
+        e => seen += e.id, new InMemoryDeadLetterQueue, topicName = Some("t"),
+        options = SubscriptionOptions(receiveHistoricalEvents = true))
+      val q = sub.start(availableNow = true)
+      q.awaitTermination()
+      assert(seen.toSeq == Seq("e1", "e2", "e3", "e4")) // order held across batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "byte cap did not split the backlog — the drain was unbounded")
+    } finally spark.conf.unset(StreamingSubscription.OrderedMaxBytesKey)
+  }
+
   test("ordered=false delivers distributed (mapPartitions); failures still dead-letter") {
     val logDir = tmpDir("slog")
     val log = new EventLog(spark, logDir)

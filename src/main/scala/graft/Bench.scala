@@ -107,6 +107,18 @@ object Bench {
     // re-baseline entry. Driver runs pass no env, so harness artifacts
     // always use the current protocol.
     val legacy = sys.env.get("SPARK_GRAFT_PROTOCOL").contains("legacy")
+    // Local-iteration instruments (driver passes no env, so both are inert
+    // in harness runs — the SPARK_GRAFT_EXPLAIN pattern):
+    //   SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — extra session confs for
+    //     A/B-ing a setting without a rebuild (guide §1: measure first);
+    //   SPARK_GRAFT_JOBLOG=1 — after the timed passes, one profiled pass
+    //     per query printing jobs/stages/tasks/task-time, the per-query
+    //     fixed-cost decomposition (stage count × scheduling floor is the
+    //     dominant term at fixture scale, so this is the work list).
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(';').toSeq.map(_.trim).filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val joblog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
     val loadStart = loadAvg()
     // Stored hub artifacts (ArtifactStore) are part of the measured
     // engine in BOTH protocols: a deployment restarting a session loads
@@ -119,7 +131,7 @@ object Bench {
     // engine serve their rows as query results.
     val artifacts = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
       s"${System.getProperty("java.io.tmpdir")}/graft-artifacts-${System.getProperty("user.name")}")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // timestamps: events.ts arrives TIMESTAMP_NTZ and is cast to session
@@ -134,8 +146,24 @@ object Bench {
       // the same setting a 100 TB cluster would run.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // Cached-plan AQE coalescing (r15, guide §2.2): Spark 4 defaults
+      // canChangeCachedPlanOutputPartitioning=false, so every cached hub
+      // built through a shuffle (DocProfiles.sourceWordCounts, termFreqs,
+      // the similarity-family cells) materializes at the full pre-AQE
+      // shuffle width — 32 one-KB partitions here, and every consumer
+      // stage pays 32-task scheduling forever after (measured: q146/q155
+      // drop 68→6 tasks, stage task-time 7.9 s→0.5 s, with this on).
+      // TRUE lets the same size-first/64 MB coalescing that already
+      // governs un-cached exchanges apply inside cached plans — scale-
+      // adaptive by construction, identical setting at 100 TB. Hubs whose
+      // LAYOUT is the point (EventStats.byUser) pin the conf to false for
+      // their own build via withPinnedCacheLayout, which this session
+      // default does not override (verified: q22's plan keeps the
+      // exchange-free window on the pinned cache).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .config(graft.operators.ArtifactStore.ConfKey, artifacts)
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // CACHE TABLE the nine base tables for the sweep (sources/Tables.scala):
@@ -267,6 +295,29 @@ object Bench {
         passTotals += s
         Some(s)
       }
+    // Profiled pass (SPARK_GRAFT_JOBLOG=1, local iteration only): one
+    // extra UNTIMED warm execution per query with a counting listener —
+    // jobs launched, stages run, tasks run, summed executor task time and
+    // wall time. At fixture scale wall ≈ stages × scheduling-floor + task
+    // work, so (stages, wall − task_ms) ranks the fixed-cost offenders
+    // that plan surgery (fewer exchanges) can actually fix.
+    if (joblog && !legacy) {
+      val jl = new JobLogListener
+      spark.sparkContext.addSparkListener(jl)
+      try names.foreach { name =>
+        prepared.get(name).foreach { df =>
+          val (j0, s0, t0, m0, g0, c0) = jl.snapshot
+          val w0 = System.nanoTime()
+          try {
+            df.write.format("noop").mode("overwrite").save()
+            Thread.sleep(80) // let the listener bus drain
+            val (j1, s1, t1, m1, g1, c1) = jl.snapshot
+            val wallMs = (System.nanoTime() - w0) / 1e6 - 80
+            println(s"""{"metric":"joblog","q":"${jsonEsc(name)}","jobs":${j1 - j0},"stages":${s1 - s0},"tasks":${t1 - t0},"task_ms":${m1 - m0},"gc_ms":${g1 - g0},"cpu_ms":${c1 - c0},"wall_ms":${math.round(wallMs)}}""")
+          } catch { case _: Throwable => () }
+        }
+      } finally spark.sparkContext.removeSparkListener(jl)
+    }
     def median(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
     val results = names.map { name =>
       val times = samples.getOrElse(name, Vector.empty)
@@ -474,6 +525,32 @@ object Bench {
     val worstPass = if (passTotals.isEmpty) None else Some(passTotals.max)
     println(s"""{"metric":"regimes","unit":"sec","protocol":"${if (legacy) "legacy" else "current"}","headline_sec":${round3(total)},"headline_best_sec":${opt(bestPass)},"headline_worst_sec":${opt(worstPass)},"gate_sec":${round3(gateSec)},"derivation_sec":${round3(total - gateSec)},"report_truth_sec":${opt(reportTruthSec)},"warm_boot_sec":${opt(warmBootSec)},"warm_boot_gate_sec":${opt(warmBootGateSec)},"warm_boot_derivation_sec":${opt(for (t <- warmBootSec; g <- warmBootGateSec) yield t - g)},"store_enabled":${artifacts.nonEmpty},"store_builds":$storeBuilds,"store_builds_all":${graft.operators.ArtifactStore.totalBuilds},"headline_retry":$retryTriggered,"headline_retry_sec":${opt(retrySec)},"load_thresh":$loadThresh,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"total_sec":$totalR}""")
     spark.stop()
+  }
+
+  /** Counting listener for the SPARK_GRAFT_JOBLOG profiled pass: cheap
+    * atomic tallies of jobs/stages/tasks and summed executor run time.
+    */
+  private final class JobLogListener extends org.apache.spark.scheduler.SparkListener {
+    private val jobs = new java.util.concurrent.atomic.AtomicLong
+    private val stages = new java.util.concurrent.atomic.AtomicLong
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong
+    private val gcMs = new java.util.concurrent.atomic.AtomicLong
+    private val cpuMs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(s.stageInfo.numTasks.toLong)
+      val tm = s.stageInfo.taskMetrics
+      if (tm != null) {
+        taskMs.addAndGet(tm.executorRunTime)
+        gcMs.addAndGet(tm.jvmGCTime)
+        cpuMs.addAndGet(tm.executorCpuTime / 1000000L)
+      }
+    }
+    def snapshot: (Long, Long, Long, Long, Long, Long) =
+      (jobs.get(), stages.get(), tasks.get(), taskMs.get(), gcMs.get(), cpuMs.get())
   }
 
   /** Convert the sf dir's events into an envelope log once (untimed) under

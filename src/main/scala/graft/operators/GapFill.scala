@@ -25,12 +25,21 @@ object GapFill {
     * Output: (keyCol, day, n, sum7, avg7) ordered by (key, day).
     */
   def daily(df: DataFrame, keyCol: String, tsCol: String,
-      trailing: Int = 7): DataFrame = {
-    val s = df.sparkSession
+      trailing: Int = 7): DataFrame =
+    fromDailyCounts(df.sparkSession,
+      df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n")),
+      keyCol, trailing)
+
+  /** [[daily]] starting from an ALREADY-AGGREGATED (keyCol, day, n) table
+    * — the r15 shape for consumers of a maintained daily rollup
+    * ([[IncrementalRollup]]'s output table): densifying a dashboard must
+    * not re-aggregate the raw log when the day-grain table is published.
+    * `daily` delegates here, so both paths share one grid/window law.
+    */
+  def fromDailyCounts(s: org.apache.spark.sql.SparkSession,
+      dailyCnt: DataFrame, keyCol: String, trailing: Int = 7): DataFrame = {
     import s.implicits._
-    val dailyCnt = df
-      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"))
     val days = dailyCnt.agg(min($"day").as("d0"), max($"day").as("d1"))
       .select(explode(sequence($"d0", $"d1")).as("day"))
     val keys = dailyCnt.select(col(keyCol)).distinct()

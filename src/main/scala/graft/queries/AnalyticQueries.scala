@@ -60,7 +60,18 @@ object AnalyticQueries {
     // advisor finding).
     "q12_star_nation_revenue" -> ((s, dir) => {
       import s.implicits._
+      // r15 (guide §2.3, aggregate before you shuffle): lineitem is
+      // pre-aggregated to ORDER grain before the fact⋈fact edge — the
+      // per-order DECIMAL revenue partial is exact, so re-summing by
+      // nation is bit-identical. The pre-agg's exchange is on the SAME
+      // key the join needed anyway (no extra shuffle; EnsureRequirements
+      // reuses the partitioning), its map side combines ~4 lineitems per
+      // order before the wire (lineitem arrives clustered by orderkey),
+      // and the join then probes order-count rows instead of line-count.
       val li = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .as("rev"))
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
@@ -68,8 +79,7 @@ object AnalyticQueries {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy($"n_name")
-        .agg(round(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-          .cast("double"), 4).as("revenue"))
+        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
         .orderBy($"n_name")
     }),
 
@@ -107,7 +117,17 @@ object AnalyticQueries {
     "q16_rank_per_customer" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      // r15 (guide §2.4): ONE range exchange serves both the window and
+      // the final sort. Range(o_custkey) satisfies the window's
+      // clustering (a customer never spans partitions) and prefix-
+      // satisfies the final orderBy(o_custkey, rk) — which therefore
+      // plans as a partition-local sort. The old hash-for-window +
+      // range-for-sort shape paid two exchanges, and the second one
+      // re-executed the whole window subtree to sample its range bounds;
+      // now the only bounds sample re-reads the bare orders scan. Same
+      // single-shuffle plan at 100 TB.
       Tables.orders(s, dir)
+        .repartitionByRange($"o_custkey")
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= 3)
         .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")

@@ -1075,11 +1075,27 @@ object DedupQueries {
           Seq(s"${dir.stripSuffix("/")}/events.parquet"),
           "cut=2024-01-15,m=131072,bv1")(existing, "user_id", 1L << 17)
       }
-      graft.operators.BloomPrefilter
-        .semiJoin(arrivals, existing, "user_id", 1L << 17, Some(bf))
+      // r15 (guide §2.3, aggregate before you shuffle): the probe is
+      // pre-aggregated to (user_id, event_type) grain BETWEEN the Bloom
+      // prefilter and the exact semi-join — the join settles tens of
+      // thousands of pairs instead of every arrival row, and the final
+      // per-type rollup needs NO distinct aggregate at all (the pairs
+      // are unique by construction, so n_returning_users = count(*) and
+      // the old countDistinct's Expand-duplicated shuffle disappears).
+      // Bloom first, then the grain collapse, then the settle: each step
+      // shrinks what the next one shuffles — the 100 TB ordering.
+      // Identical result: the semi-join filters on user_id only, and
+      // sum(n) over surviving pairs = count(*) over surviving rows.
+      val base = arrivals.select($"user_id", $"event_type")
+      val survivors =
+        if (bf == null) base.where(lit(false)) // empty corpus: no key matches
+        else graft.operators.BloomPrefilter.prefilter(base, bf, "user_id")
+      survivors
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        .join(existing.distinct(), Seq("user_id"), "left_semi")
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_returning_events"),
-          countDistinct($"user_id").as("n_returning_users"))
+        .agg(sum($"n").as("n_returning_events"),
+          count(lit(1)).as("n_returning_users"))
         .orderBy($"event_type")
     }),
 
@@ -1157,11 +1173,20 @@ object DedupQueries {
           Seq(s"${dir.stripSuffix("/")}/events.parquet"),
           "cut=2024-01-02,m=131072,bv1")(existing, "user_id", 1L << 17)
       }
+      // r15 (guide §2.3): probe pre-aggregated to (user_id, event_type)
+      // pairs BEFORE the Bloom-split anti-join — q130's rationale, cut
+      // the anti way: the bloom-reject/settle union and the exact
+      // left_anti process pair-grain rows (map-side-combined shuffle),
+      // and the final rollup replaces countDistinct's Expand with a
+      // plain count(*) over the already-unique pairs. sum(n) over
+      // surviving pairs = count(*) over surviving rows, exactly.
+      val pairs = arrivals.select($"user_id", $"event_type")
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
       graft.operators.BloomPrefilter
-        .antiJoin(arrivals, existing, "user_id", 1L << 17, Some(bf))
+        .antiJoin(pairs, existing, "user_id", 1L << 17, Some(bf))
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_new_events"),
-          countDistinct($"user_id").as("n_new_users"))
+        .agg(sum($"n").as("n_new_events"),
+          count(lit(1)).as("n_new_users"))
         .orderBy($"event_type")
     }),
 

@@ -48,8 +48,41 @@ object EventStats {
     graft.operators.ResultMemo.getOrCompute(
         s"evstats-byuser:$dir:${graft.operators.SessionKey(s)}") {
       withPinnedCacheLayout(s) {
+        // Cluster width is SIZE-DERIVED (r15, guide §2.2/§2.5): the pinned
+        // layout exempts this shuffle from AQE coalescing, and the bare
+        // `repartition($"user_id")` it replaced inherited
+        // spark.sql.shuffle.partitions — a core-count constant that left
+        // every window consumer reading 32 ~100 KB partitions (measured:
+        // the q17/q22/q24 stage pays ~32 × 100-200 ms of per-task fixed
+        // cost; 8-way halves the family's wall time). Width = the base-
+        // table spread floor (spark.graft.cacheSpread, the knee Tables
+        // .table already uses) grown by input size at the same 64 MB
+        // advisory target a cluster-scale shuffle would coalesce to — at
+        // 100 TB the size term dominates and the floor is irrelevant.
+        val spreadCap = s.conf.getOption("spark.graft.cacheSpread")
+          .map(_.toInt).getOrElse(8)
+        val floor = math.max(1,
+          math.min(s.sparkContext.defaultParallelism, spreadCap))
+        val target = 64L << 20
+        // ×4 ≈ parquet→unsafe-row expansion; exactness is irrelevant, the
+        // term only needs to GROW the width once input outruns the floor
+        val bytes = new java.io.File(
+          s"${dir.stripSuffix("/")}/events.parquet").length * 4
+        val width = math.max(floor.toLong, (bytes + target - 1) / target).toInt
+        // RANGE-partitioned by user, not hash (r15, guide §2.4): range
+        // clustering satisfies every per-user window/groupBy exactly like
+        // hash did (all rows of a user share a partition), AND it prefix-
+        // satisfies OrderedDistribution for consumers whose FINAL sort
+        // starts with user_id (q22, q105) — their orderBy plans as a
+        // partition-local sort with no range exchange and no sampling
+        // re-execution of the window subtree. Global sorts execute their
+        // child twice (RangePartitioner samples every child row before
+        // the real shuffle map runs), so each consumer this layout
+        // serves drops one exchange AND one full window re-run; the hub
+        // build's own bounds sample re-reads only the cached events scan,
+        // once per session. Same one-shuffle cost at 100 TB.
         val df = graft.operators.CacheRegistry.track(
-          Tables.events(s, dir).repartition($"user_id")
+          Tables.events(s, dir).repartitionByRange(width, $"user_id")
             .sortWithinPartitions($"user_id", $"ts", $"event_id").cache())
         df.count()
         df

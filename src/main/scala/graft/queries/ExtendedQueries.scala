@@ -195,7 +195,11 @@ object ExtendedQueries {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, dir)
+      // r15: rides the user-clustered hub like the rest of the per-user
+      // window family — the window's exchange AND sort disappear (the
+      // hub is range(user_id)-partitioned and (user_id, ts, event_id)-
+      // sorted). The raw-scan spelling re-paid both per execution.
+      EventStats.byUser(s, dir)
         .withColumn("click_ts", when($"event_type" === "click", $"ts"))
         .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
         .where($"event_type" === "purchase")
@@ -589,23 +593,36 @@ object ExtendedQueries {
 
     "q117_portable_hll" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      // r15: ONE aggregation tree carries BOTH the registers and the
+      // exact reference — distinct (event_type, user_id) pairs fold to
+      // (type, bucket) cells holding max(rho) AND the bucket's user
+      // count, and the per-type rollup then reads the estimate (count/
+      // sum over cells, as before) and the exact countDistinct (sum of
+      // bucket counts ≡ users per type) from the same rows. The old
+      // spelling scanned events twice (register leg over every event
+      // row, an Expand-planned countDistinct leg) and joined the legs
+      // back; one scan, no join, md5 folds per distinct pair only.
+      // Values are identical: max(rho) over users ≡ over rows (hv is a
+      // pure function of user_id), Σ bucket counts ≡ distinct users.
+      val base = Tables.events(s, dir)
+        .select($"event_type", $"user_id").distinct()
       val hv = conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long")
       val wBits = $"hv" % 16777216L // low 24 bits
-      val regs = ev.select($"event_type", hv.as("hv"))
+      val regs = base.select($"event_type", hv.as("hv"))
         .select($"event_type", shiftright($"hv", 24).as("bucket"),
           when(wBits === 0L, lit(25)).otherwise(lit(25) - length(bin(wBits))).as("rho"))
-        .groupBy($"event_type", $"bucket").agg(max($"rho").as("rho"))
+        .groupBy($"event_type", $"bucket")
+        .agg(max($"rho").as("rho"), count(lit(1)).as("bucket_users"))
       val agg = regs.groupBy($"event_type")
-        .agg(count(lit(1)).as("nb"), sum(pow(lit(2.0), -$"rho")).as("denom"))
+        .agg(count(lit(1)).as("nb"), sum(pow(lit(2.0), -$"rho")).as("denom"),
+          sum($"bucket_users").as("exact_users"))
       val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
       val raw = lit(alpha) * lit(65536.0) / ($"denom" + (lit(256.0) - $"nb"))
       val empties = lit(256.0) - $"nb"
       val est = when(raw <= 640.0 && empties > 0.0,
         lit(256.0) * log(lit(256.0) / empties)).otherwise(raw)
-      val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact_users"))
-      agg.select($"event_type", est.as("e")).join(exact, "event_type")
+      agg.select($"event_type", est.as("e"), $"exact_users")
         .select($"event_type", round($"e", 2).as("est_users"), $"exact_users",
           round(abs($"e" - $"exact_users") / $"exact_users", 4).as("rel_err"))
         .orderBy($"event_type")
@@ -852,7 +869,13 @@ object ExtendedQueries {
     // wants distinct columns across sides).
     "q80_asof_custom" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      // r15: both sides sliced from the user-clustered hub — each side
+      // arrives range(user_id)-clustered and (user_id, ts, event_id)-
+      // sorted, which is EXACTLY AsOfJoinExec's declared requirement, so
+      // EnsureRequirements plans neither exchange nor sort when it
+      // recognizes the shared layout (verified in plans/r15); the raw-
+      // scan spelling paid two hash exchanges + two sorts per execution.
+      val ev = EventStats.byUser(s, dir)
       val purchases = ev.where($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts")
       val clicks = ev.where($"event_type" === "click")
@@ -875,7 +898,8 @@ object ExtendedQueries {
     // older row — exactly what distinguishes tolerance from a filter.
     "q118_asof_tolerance" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      val ev = EventStats.byUser(s, dir) // r15: hub-fed, q80's rationale
+
       val purchases = ev.where($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts")
       val clicks = ev.where($"event_type" === "click")
@@ -1040,7 +1064,11 @@ object ExtendedQueries {
     // count, one broadcast of the 1-row totals.
     "q112_key_skew" -> ((s, dir) => {
       import s.implicits._
-      val c = Tables.events(s, dir)
+      // r15: per-user counts ride the user-clustered hub — the groupBy
+      // plans exchange-free on its range(user_id) layout (both uses of
+      // `c` below re-read the hub, paying zero shuffles; the raw-scan
+      // spelling shuffled the log once per use).
+      val c = EventStats.byUser(s, dir)
         .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
       val tot = c.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"),
         max($"cnt").as("mx"))
@@ -1370,8 +1398,16 @@ object ExtendedQueries {
     // GapFillSpec exercises the zero-fill law on a feed with real holes
     // (the driver fixture is dense, so the oracle here gates the grid
     // construction and trailing-window math).
+    // r15: densifies the MAINTAINED daily rollup (EventStats.dailyTypeAgg
+    // — the stored table IncrementalRollup keeps) instead of re-
+    // aggregating the raw log per execution; the grid/window law is
+    // unchanged (GapFill.daily delegates to the same fromDailyCounts).
+    // Counts are exact integers, so rollup-fed == raw-fed bit-for-bit.
     "q113_gap_fill" -> ((s, dir) =>
-      graft.operators.GapFill.daily(Tables.events(s, dir), "event_type", "ts")),
+      graft.operators.GapFill.fromDailyCounts(s,
+        EventStats.dailyTypeAgg(s, dir)
+          .select(col("event_type"), col("day"), col("n")),
+        "event_type")),
 
     // As-of state reconstruction (time travel for the event-sourcing
     // surface): every aggregate's version and last event AT a cutoff —
@@ -1382,7 +1418,15 @@ object ExtendedQueries {
       import s.implicits._
       val wAll = Window.partitionBy($"user_id")
       val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
-      Tables.events(s, dir)
+      // r15: reads the user-clustered hub — both windows plan exchange-
+      // free on its range(user_id) layout, and the final orderBy(user_id)
+      // is prefix-satisfied by it (partition-local sort, no range
+      // exchange, no sampling re-run of the windows). The raw-scan
+      // spelling paid one hash exchange + a global sort that re-executed
+      // both windows for range bounds. At 100 TB the clustered store
+      // prunes the ts predicate via its per-file min/max exactly as the
+      // raw scan pushed it down; same rows either way.
+      EventStats.byUser(s, dir)
         .where($"ts" < lit("2024-01-15").cast("timestamp"))
         .withColumn("version_asof", count(lit(1)).over(wAll))
         .withColumn("rn", row_number().over(w))

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to stdout, un-prefixed: sbt's
+// default LoggedOutput wraps every line in "[info] ", which broke the
+// driver's bench-parse contract for 15 rounds (every BENCH_r*.json shows
+// "parsed": null — the one-line JSON metric never reached the parser as
+// a bare line). Stderr (Spark logs) is unaffected.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +30,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // JEP 400: JDK 17+ System.out uses the native encoding; with forked
+  // output going straight to stdout (outputStrategy above) a non-UTF-8
+  // locale would mangle multibyte chars in the metric lines
+  "-Dstdout.encoding=UTF-8", "-Dstderr.encoding=UTF-8",
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

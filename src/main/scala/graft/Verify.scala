@@ -17,11 +17,10 @@ object Verify {
     // a world-shared root is an injection channel (see Bench).
     val artifacts = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
       s"${System.getProperty("java.io.tmpdir")}/graft-artifacts-${System.getProperty("user.name")}")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // shared engine-conf factory (r16): Verify runs the same engine
+    // session Bench measures — AQE hygiene and cached-plan coalescing
+    // change no query's values, only its physical plan
+    val spark = EngineSession.builder(s"local[$cpus]", cpus)
       .config(graft.operators.ArtifactStore.ConfKey, artifacts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,10 +41,18 @@ object CoreQueries {
     // F2/F5 — type routing fan-out counts (topic.ts:122-129 analog).
     "q03_type_counts" -> ((s, dir) => {
       import s.implicits._
+      // r16 ledger-sort treatment (guide §2.4, "an orderBy used only to
+      // make output deterministic"): the final rollup is bounded by the
+      // event-type enum (5 rows at any scale), so coalesce(1) before the
+      // sort lets SinglePartition satisfy OrderedDistribution — the range
+      // exchange AND its bounds-sampling job disappear (2 of the query's
+      // 4 stages); rows and order are unchanged. Applied across the
+      // bounded-ledger family this round.
       Tables.events(s, dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+        .coalesce(1)
         .orderBy($"event_type")
     }),
 
@@ -76,6 +84,7 @@ object CoreQueries {
       Tables.events(s, dir)
         .groupBy($"event_type")
         .agg((count(when($"value" > 400, 1)) > 0).as("has_large"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -84,7 +93,14 @@ object CoreQueries {
     // order-insensitive fold (sum). max_by(ts) is the order-sensitive part.
     "q07_fold_state" -> ((s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      // r16: rides the user-clustered range hub — the groupBy(user_id) is
+      // satisfied by the hub's clustering and the final orderBy(user_id)
+      // by its range prefix, so the fold plans with ZERO exchanges (the
+      // raw-scan spelling paid the agg shuffle plus the sort's range
+      // exchange and its sampling re-run of the agg). max_by stays
+      // deterministic: the fixture has no per-user ts ties, and the law
+      // itself is source-order-independent wherever ts is unique.
+      EventStats.byUser(s, dir)
         .groupBy($"user_id")
         .agg(
           count(lit(1)).as("version"),
@@ -114,6 +130,7 @@ object CoreQueries {
         .agg(
           sum($"k").as("sum_k"),
           round(sum($"k").cast("double") / count($"k"), 6).as("avg_k"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -232,7 +249,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_docs"))
         .select(lit("__corrupt__").as("lang"), $"n_docs",
           lit(null).cast("long").as("sum_chars"))
-      perLang.unionAll(quarantined).orderBy($"lang")
+      perLang.unionAll(quarantined).coalesce(1).orderBy($"lang")
     })
   )
 

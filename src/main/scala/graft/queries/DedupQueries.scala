@@ -519,6 +519,7 @@ object DedupQueries {
           sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("n_verified"))
         .withColumn("precision_at_08",
           round($"n_verified" * lit(1.0) / $"n_pairs", 6))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"jac_bucket")
     }),
 
@@ -546,6 +547,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"),
           round(sum($"q6".cast("decimal(18,6)")).cast("double") /
             count(lit(1)), 6).as("avg_quality"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang", $"is_dup")
     }),
 
@@ -624,6 +626,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_exact"),
           sum(when($"found", 1L).otherwise(0L)).as("n_found"))
         .withColumn("recall", round($"n_found" * lit(1.0) / $"n_exact", 6))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"jac_bucket")
     }),
 
@@ -788,6 +791,7 @@ object DedupQueries {
           $"a.fp" === $"b.fp" && $"a.source" < $"b.source")
         .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
         .agg(count(lit(1)).as("n_shared"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"src_a", $"src_b")
     }),
 
@@ -821,6 +825,7 @@ object DedupQueries {
           sum(coalesce($"exact_dup", lit(0))).as("n_exact_dup"),
           sum(coalesce($"near_dup", lit(0))).as("n_near_dup"),
           sum(when($"exact_dup".isNull && $"near_dup".isNull, 1).otherwise(0)).as("n_kept"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -906,7 +911,7 @@ object DedupQueries {
         .join(agged, Seq("threshold"), "left")
         .select($"threshold", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
           coalesce($"n_docs", lit(0L)).as("n_docs"))
-      }.orderBy(col("threshold"))
+      }.coalesce(1).orderBy(col("threshold"))
     }),
 
     // LSH candidate-generator EVALUATION — the q109/q116 recall-audit
@@ -958,6 +963,7 @@ object DedupQueries {
           when($"n_true_sample" > 0,
             round(coalesce($"n_found_sample", lit(0L)) * lit(1.0)
               / $"n_true_sample", 6)).as("sample_recall"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"min_match")
     }),
 
@@ -1020,6 +1026,7 @@ object DedupQueries {
           sum(when($"gsz" > 1, $"gsz" - 1).otherwise(0L)).as("n_removable"),
           round(sum(when($"gsz" > 1, $"gsz" - 1).otherwise(0L)) * lit(1.0)
             / sum($"gsz"), 6).as("dup_frac"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"frac")
     }),
 
@@ -1057,7 +1064,15 @@ object DedupQueries {
     // first-class operator.
     "q130_bloom_prefilter" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      // r16 (guide §2.4): both the corpus and the probe are slices of the
+      // event log, so both sides read the HASH-clustered user hub — the
+      // pair-grain groupBy(user_id, event_type), the corpus distinct()
+      // and the exact semi-join are ALL satisfied by the hub's
+      // HashPartitioning(user_id): the r15 plan's three user-keyed
+      // exchanges (pair agg, probe re-shuffle, corpus distinct) disappear;
+      // only the 5-row type rollup and the final sort still exchange.
+      // The Bloom prefilter (the operator under proof) is unchanged.
+      val ev = EventStats.byUserHash(s, dir)
       val cut = lit("2024-01-15").cast("timestamp")
       val existing = ev.where($"ts" < cut).select($"user_id")
       val arrivals = ev.where($"ts" >= cut)
@@ -1096,6 +1111,7 @@ object DedupQueries {
         .groupBy($"event_type")
         .agg(sum($"n").as("n_returning_events"),
           count(lit(1)).as("n_returning_users"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1162,7 +1178,10 @@ object DedupQueries {
     // returning and new at sf0.01/sf0.1)
     "q138_bloom_new_arrivals" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      // r16: hash-hub-fed, q130's rationale — the pair agg, the corpus
+      // distinct and the exact left_anti all ride the hub's
+      // HashPartitioning(user_id) with zero exchanges
+      val ev = EventStats.byUserHash(s, dir)
       val cut = lit("2024-01-02").cast("timestamp")
       val existing = ev.where($"ts" < cut).select($"user_id")
       val arrivals = ev.where($"ts" >= cut)
@@ -1187,6 +1206,7 @@ object DedupQueries {
         .groupBy($"event_type")
         .agg(sum($"n").as("n_new_events"),
           count(lit(1)).as("n_new_users"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1208,6 +1228,7 @@ object DedupQueries {
           .otherwise($"text").as("text"))
       graft.operators.SnapshotDiff
         .summary(v1, v2, "doc_id", "text", d.select($"doc_id", $"lang"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang", $"status")
     }),
 
@@ -1220,6 +1241,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n"))
         .groupBy($"n".as("group_size"))
         .agg(count(lit(1)).as("n_groups"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"group_size")
     }),
 

@@ -48,32 +48,11 @@ object EventStats {
     graft.operators.ResultMemo.getOrCompute(
         s"evstats-byuser:$dir:${graft.operators.SessionKey(s)}") {
       withPinnedCacheLayout(s) {
-        // Cluster width is SIZE-DERIVED (r15, guide §2.2/§2.5): the pinned
-        // layout exempts this shuffle from AQE coalescing, and the bare
-        // `repartition($"user_id")` it replaced inherited
-        // spark.sql.shuffle.partitions — a core-count constant that left
-        // every window consumer reading 32 ~100 KB partitions (measured:
-        // the q17/q22/q24 stage pays ~32 × 100-200 ms of per-task fixed
-        // cost; 8-way halves the family's wall time). Width = the base-
-        // table spread floor (spark.graft.cacheSpread, the knee Tables
-        // .table already uses) grown by input size at the same 64 MB
-        // advisory target a cluster-scale shuffle would coalesce to — at
-        // 100 TB the size term dominates and the floor is irrelevant.
-        val spreadCap = s.conf.getOption("spark.graft.cacheSpread")
-          .map(_.toInt).getOrElse(8)
-        val floor = math.max(1,
-          math.min(s.sparkContext.defaultParallelism, spreadCap))
-        val target = 64L << 20
-        // ×4 ≈ parquet→unsafe-row expansion; exactness is irrelevant, the
-        // term only needs to GROW the width once input outruns the floor
-        val bytes = new java.io.File(
-          s"${dir.stripSuffix("/")}/events.parquet").length * 4
-        val width = math.max(floor.toLong, (bytes + target - 1) / target).toInt
         // RANGE-partitioned by user, not hash (r15, guide §2.4): range
         // clustering satisfies every per-user window/groupBy exactly like
         // hash did (all rows of a user share a partition), AND it prefix-
-        // satisfies OrderedDistribution for consumers whose FINAL sort
-        // starts with user_id (q22, q105) — their orderBy plans as a
+        // satisfies OrderedDistribution for UNARY consumers whose FINAL
+        // sort starts with user_id (q22, q105) — their orderBy plans as a
         // partition-local sort with no range exchange and no sampling
         // re-execution of the window subtree. Global sorts execute their
         // child twice (RangePartitioner samples every child row before
@@ -81,13 +60,74 @@ object EventStats {
         // serves drops one exchange AND one full window re-run; the hub
         // build's own bounds sample re-reads only the cached events scan,
         // once per session. Same one-shuffle cost at 100 TB.
+        // BINARY consumers must NOT read this hub on both join sides:
+        // range specs never co-partition for EnsureRequirements — see
+        // [[byUserHash]] (r16).
         val df = graft.operators.CacheRegistry.track(
-          Tables.events(s, dir).repartitionByRange(width, $"user_id")
+          Tables.events(s, dir).repartitionByRange(hubWidth(s, dir), $"user_id")
             .sortWithinPartitions($"user_id", $"ts", $"event_id").cache())
         df.count()
         df
       }
     }
+  }
+
+  /** The event log HASH-partitioned by user and sorted within partitions
+    * on (user_id, ts, event_id) — the layout BINARY consumers need
+    * (r16, ADVICE): the as-of pair q80/q118 slices both join sides from
+    * one hub, and a binary node's co-partitioning check accepts two
+    * HashShuffleSpecs on the same key/width but rejects range specs
+    * unconditionally (range bounds are sampled, so Spark cannot prove two
+    * range exchanges co-partition — even from the same cache). [[byUser]]'s
+    * range layout therefore re-shuffled AND re-sorted both AsOfJoinExec
+    * children to hash on every execution (the r15 plan comment claimed
+    * otherwise; the committed q80 before-plan shows Exchange+Sort on both
+    * children). Scanning THIS hub on both sides instead satisfies the
+    * operator's ClusteredDistribution and (user_id, ts, event_id) ordering
+    * directly — zero exchanges, zero sorts per execution.
+    *
+    * Same width derivation and pinned-layout discipline as [[byUser]];
+    * the two hubs are the clustered table plus its ordered projection — a
+    * behavioral store keeps both layouts precisely because windows want
+    * prefix-ordered ranges while joins want deterministic co-partitioning.
+    */
+  def byUserHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.ResultMemo.getOrCompute(
+        s"evstats-byuserhash:$dir:${graft.operators.SessionKey(s)}") {
+      withPinnedCacheLayout(s) {
+        val df = graft.operators.CacheRegistry.track(
+          Tables.events(s, dir).repartition(hubWidth(s, dir), $"user_id")
+            .sortWithinPartitions($"user_id", $"ts", $"event_id").cache())
+        df.count()
+        df
+      }
+    }
+  }
+
+  /** Cluster width shared by both hubs — SIZE-DERIVED (r15, guide
+    * §2.2/§2.5): the base-table spread floor grown by input size at the
+    * same 64 MB advisory target a cluster-scale shuffle would coalesce
+    * to; at 100 TB the size term dominates and the floor is irrelevant.
+    */
+  private def hubWidth(s: SparkSession, dir: String): Int = {
+    val spreadCap = s.conf.getOption("spark.graft.cacheSpread")
+      .map(_.toInt).getOrElse(8)
+    val floor = math.max(1,
+      math.min(s.sparkContext.defaultParallelism, spreadCap))
+    val target = 64L << 20
+    // ×4 ≈ parquet→unsafe-row expansion; exactness is irrelevant, the
+    // term only needs to GROW the width once input outruns the floor.
+    // Size via Hadoop FS (r16, ADVICE): java.io.File.length silently
+    // reads 0 (or the dirent size) for directory-style parquet datasets
+    // or non-local storage, collapsing the width to the floor.
+    val path = new org.apache.hadoop.fs.Path(
+      s"${dir.stripSuffix("/")}/events.parquet")
+    val bytes = try {
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(path).getLength * 4
+    } catch { case _: Throwable => 0L }
+    math.max(floor.toLong, (bytes + target - 1) / target).toInt
   }
 
   /** Runs `body` (a cache build + its eager materialization) with AQE's

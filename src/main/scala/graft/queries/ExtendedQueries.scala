@@ -157,6 +157,7 @@ object ExtendedQueries {
         .withColumn("sliding3", round(sum($"daily_total_dec").over(w).cast("double"), 2))
         .withColumn("daily_total", round($"daily_total_dec".cast("double"), 2))
         .select($"day", $"event_type", $"daily_total", $"sliding3")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"day", $"event_type")
     }),
 
@@ -184,6 +185,7 @@ object ExtendedQueries {
       base.cube($"l_returnflag", $"l_linestatus")
         .agg(sum($"pn").as("n"),
           round(sum($"ps").cast("double"), 2).as("sum_qty"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
@@ -221,6 +223,7 @@ object ExtendedQueries {
       EventStats.dailyTypeAgg(s, dir)
         .groupBy($"day")
         .agg(cols.head, cols.tail: _*)
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"day")
     }),
 
@@ -255,6 +258,7 @@ object ExtendedQueries {
           round($"q" (0), 6).as("p25"),
           round($"q" (1), 6).as("p50"),
           round($"q" (2), 6).as("p75"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -265,15 +269,27 @@ object ExtendedQueries {
     // is the case needing binning/bucketed ranges at scale.)
     "q45_range_join" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables.events(s, dir)
-      val p = e.where($"event_type" === "purchase")
-        .select($"event_id", $"user_id", $"ts".as("pts"))
-      val c = e.where($"event_type" === "click")
-        .select($"user_id".as("c_user"), $"ts".as("cts"))
-      p.join(c, $"user_id" === $"c_user" &&
-          $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" < $"pts", "left")
-        .groupBy($"event_id")
-        .agg(count($"cts").as("n_clicks_1h"))
+      // r16 (guide §2.4): the equi+range self-join re-expressed as ONE
+      // range-frame window over the user-clustered hub. The old spelling
+      // shuffled both event slices for the SMJ, shuffled the pairs again
+      // for the per-purchase groupBy, and paid a range exchange for the
+      // final sort — four exchanges. A count over the frame
+      // [ts−1h, ts−1µs] per purchase row computes the identical quantity
+      // (cts ≥ pts−1h inclusive ⇔ lower bound −3600 s; cts < pts strict ⇔
+      // upper bound −1 µs at the log's microsecond grain; purchases with
+      // no clicks count 0, the left-join law) with ZERO exchanges on the
+      // hub — the frame walk is the same merge the SMJ's per-user pair
+      // scan did, minus the pair materialization and the re-shuffles.
+      // Same one-shuffle (hub build) shape at 100 TB.
+      val w = Window.partitionBy($"user_id").orderBy($"tsm")
+        .rangeBetween(-3600L * 1000000L, -1L)
+      EventStats.byUser(s, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("tsm"))
+        .withColumn("n_clicks_1h",
+          count(when($"event_type" === "click", lit(1))).over(w))
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"n_clicks_1h")
         .orderBy($"event_id")
     }),
 
@@ -287,6 +303,7 @@ object ExtendedQueries {
           round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
           round(var_samp($"l_discount"), 6).as("var_disc"),
           round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"))
+        .coalesce(1) // r16 ledger-sort treatment (q03 note): 3-row ledger
         .orderBy($"l_returnflag")
     }),
 
@@ -337,7 +354,15 @@ object ExtendedQueries {
     "q58_salted_agg" -> ((s, dir) => {
       import s.implicits._
       val salts = 8
-      val partial = Tables.events(s, dir)
+      // r16: fed from the user-clustered hub — range(user_id) clustering
+      // satisfies BOTH aggregations' distributions ((user_id, salt) ⊇
+      // user_id, and aggregates preserve child partitioning), and prefix-
+      // satisfies the final orderBy(user_id), so the salted two-phase
+      // spelling (the operator under proof — partials re-sum exactly)
+      // plans with zero exchanges and a partition-local final sort. The
+      // raw-scan spelling paid two aggregation shuffles plus the range
+      // exchange, and the range sampling re-executed the whole agg tree.
+      val partial = EventStats.byUser(s, dir)
         .withColumn("salt", pmod($"event_id", lit(salts)))
         .groupBy($"user_id", $"salt")
         .agg(count(lit(1)).as("pn"),
@@ -374,6 +399,7 @@ object ExtendedQueries {
         .groupBy($"n_name")
         .agg(round(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
           .cast("double"), 4).as("revenue"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"revenue".desc, $"n_name".asc)
     }),
 
@@ -625,6 +651,7 @@ object ExtendedQueries {
       agg.select($"event_type", est.as("e"), $"exact_users")
         .select($"event_type", round($"e", 2).as("est_users"), $"exact_users",
           round(abs($"e" - $"exact_users") / $"exact_users", 4).as("rel_err"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -731,6 +758,7 @@ object ExtendedQueries {
           sum(when($"gsz" < $"k", $"gsz").otherwise(0L)).as("n_rows_at_risk"),
           round(sum(when($"gsz" < $"k", $"gsz").otherwise(0L)) * lit(1.0)
             / sum($"gsz"), 6).as("frac_rows_at_risk"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"k")
     }),
 
@@ -869,13 +897,17 @@ object ExtendedQueries {
     // wants distinct columns across sides).
     "q80_asof_custom" -> ((s, dir) => {
       import s.implicits._
-      // r15: both sides sliced from the user-clustered hub — each side
-      // arrives range(user_id)-clustered and (user_id, ts, event_id)-
-      // sorted, which is EXACTLY AsOfJoinExec's declared requirement, so
-      // EnsureRequirements plans neither exchange nor sort when it
-      // recognizes the shared layout (verified in plans/r15); the raw-
-      // scan spelling paid two hash exchanges + two sorts per execution.
-      val ev = EventStats.byUser(s, dir)
+      // r16: both sides sliced from the HASH-clustered hub. The r15
+      // range-hub claim was wrong (ADVICE): two range children never
+      // co-partition for EnsureRequirements (bounds are sampled), so the
+      // planner re-shuffled AND re-sorted both AsOfJoinExec children to
+      // hash per execution — plans/r16/q80_asof_custom_before.txt shows
+      // the Exchange+Sort pair on each child. Two slices of ONE hash hub
+      // carry identical HashPartitioning(user_id, width) and the hub's
+      // (user_id, ts, event_id) sort order through Filter/Project, which
+      // is exactly the operator's declared requirement: zero exchanges,
+      // zero sorts per execution (after-plan committed alongside).
+      val ev = EventStats.byUserHash(s, dir)
       val purchases = ev.where($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts")
       val clicks = ev.where($"event_type" === "click")
@@ -898,7 +930,9 @@ object ExtendedQueries {
     // older row — exactly what distinguishes tolerance from a filter.
     "q118_asof_tolerance" -> ((s, dir) => {
       import s.implicits._
-      val ev = EventStats.byUser(s, dir) // r15: hub-fed, q80's rationale
+      // r16: hash hub — q80's rationale (range children never satisfy a
+      // binary node's co-partitioning; the hash hub's layout does)
+      val ev = EventStats.byUserHash(s, dir)
 
       val purchases = ev.where($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts")
@@ -1000,6 +1034,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_above"),
           round(max($"c_acctbal"), 2).as("max_bal"),
           round(min($"bal_sum").cast("double") / min($"bal_n"), 6).as("nation_avg"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"c_nationkey")
     }),
 
@@ -1030,6 +1065,7 @@ object ExtendedQueries {
           round(first($"sd"), 6).as("sd_cnt"),
           sum(when(abs($"z") > 2, 1).otherwise(0)).as("n_anomalies"),
           round(max(abs($"z")), 6).as("max_abs_z"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1143,6 +1179,7 @@ object ExtendedQueries {
         .select($"event_type", $"n",
           round(noise, 6).as("noise"),
           round($"n" + noise, 6).as("released"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1177,6 +1214,7 @@ object ExtendedQueries {
           round($"q" (0), 6).as("p50_gap_sec"),
           round($"q" (1), 6).as("p95_gap_sec"),
           round($"n_under_min" * lit(1.0) / $"n_gaps", 6).as("frac_under_min"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1201,6 +1239,7 @@ object ExtendedQueries {
         .select($"day", $"n_rows", $"n_delete",
           when($"n_delete" > 0, $"n_rows").otherwise(0L).as("n_rewrite_rows"),
           round($"n_delete" * lit(1.0) / $"n_rows", 6).as("delete_frac"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"day")
     }),
 
@@ -1227,6 +1266,7 @@ object ExtendedQueries {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_joined"),
           sum($"lifetime_events").as("sum_lifetime"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1248,6 +1288,7 @@ object ExtendedQueries {
           round(var_samp($"n"), 6).as("var_daily"),
           round(var_samp($"n") / avg($"n"), 6).as("fano"),
           (var_samp($"n") / avg($"n") > 1.0).as("bursty"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1318,7 +1359,7 @@ object ExtendedQueries {
         lit(0.0), (a, x) => a + x)
       piv.select($"event_type", $"n_ref", $"n_cur",
           round(termSum, 6).as("psi"), (termSum > 0.1).as("shifted"))
-      }.orderBy(col("event_type"))),
+      }.coalesce(1).orderBy(col("event_type"))),
 
     // Behavior-trajectory corpus builder: q22's sessions turned into the
     // TRAINING SEQUENCES an agent/recommendation model consumes — each
@@ -1382,6 +1423,7 @@ object ExtendedQueries {
           round(avg($"wv"), 6).as("win_mean"),
           round(stddev_samp($"value"), 6).as("raw_sd"),
           round(stddev_samp($"wv"), 6).as("win_sd"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1450,6 +1492,7 @@ object ExtendedQueries {
         .groupBy($"event_type", $"dow", $"hod")
         .agg(count(lit(1)).as("n"))
         .withColumn("share", round($"n" * lit(1.0) / sum($"n").over(wType), 6))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type", $"dow", $"hod")
     }),
 
@@ -1483,7 +1526,7 @@ object ExtendedQueries {
         dau.join(wau, "day").join(mau, "day")
           .select($"day", $"dau", $"wau", $"mau",
             round($"dau" * lit(1.0) / $"mau", 6).as("stickiness"))
-      }.orderBy($"day")
+      }.coalesce(1).orderBy($"day")
       // memoized per batch (the q36/q84/q99 report treatment): the
       // engagement triple is a day-count-sized rollup table — repeat
       // readers get the table, not a re-run of the trailing-window joins
@@ -1514,6 +1557,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"),
           (max($"xv") - min($"xv")).as("x_span"),
           (max($"yv") - min($"yv")).as("y_span"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"z_block")
     }),
 
@@ -1549,6 +1593,7 @@ object ExtendedQueries {
         .select($"event_type", $"n_stratum", $"sd",
           round(lit(1000.0) * $"w".cast("double") / $"tw".cast("double"), 6)
             .as("alloc_n"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1582,6 +1627,7 @@ object ExtendedQueries {
           round(max($"mad"), 6).as("mad"),
           sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
             .as("n_anomalous"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1597,6 +1643,7 @@ object ExtendedQueries {
         .report(s"rep220:$dir:${graft.operators.SessionKey(s)}") {
       import s.implicits._
       graft.operators.TableProfiler.profile(Tables.lineitem(s, dir))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"column_name")
     }),
 
@@ -1623,6 +1670,7 @@ object ExtendedQueries {
             $"nn_b" * lit(1.0) / $"n_odd", 6).as("null_rate_delta"),
           round($"mn_b" - $"mn_a", 6).as("min_shift"),
           round($"mx_b" - $"mx_a", 6).as("max_shift"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"column_name")
     }),
 
@@ -1671,6 +1719,7 @@ object ExtendedQueries {
           liChecks.select($"flag".as("n_violations"))))
         .unionAll(row("events_value_not_null", evNull))
         .withColumn("passed", $"n_violations" === 0L)
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"check_name")
     }),
 
@@ -1725,6 +1774,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_pairs"),
           round(sum($"ov_us") / (count(lit(1)) * lit(1000000.0)), 6)
             .as("avg_overlap_sec"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"day")
       rows
     }),
@@ -1791,6 +1841,7 @@ object ExtendedQueries {
           round($"sv".cast("double") / $"n", 6).as("raw_mean"),
           round(($"sv".cast("double") + m1 * $"mean_t") / ($"n" + m1), 6)
             .as("enc"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type", $"hod")
     }),
 
@@ -1825,6 +1876,7 @@ object ExtendedQueries {
           when($"trend".isNotNull, round($"seasonal", 6)).as("seasonal"),
           round($"remainder", 6).as("remainder"),
           round($"remainder" / $"rsd", 6).as("z"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"day")
     }),
 
@@ -1873,7 +1925,7 @@ object ExtendedQueries {
       scored.groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_users"),
           round(avg($"monetary"), 6).as("avg_monetary"))
-      }.orderBy(col("r_score"), col("f_score"), col("m_score"))
+      }.coalesce(1).orderBy(col("r_score"), col("f_score"), col("m_score"))
     }),
 
     // NEXT-EVENT BASELINE EVAL — the train/test discipline applied to the
@@ -1912,6 +1964,7 @@ object ExtendedQueries {
           sum(when($"next_type" === $"predicted", 1L).otherwise(0L))
             .as("n_correct"))
         .withColumn("accuracy", round($"n_correct" * lit(1.0) / $"n_test", 6))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     }),
 
@@ -1956,6 +2009,7 @@ object ExtendedQueries {
           round(sum(when($"rk" === $"k", $"cval").otherwise(lit(0.0))), 6)
             .as("last_credit"),
           round(sum($"cval" * u), 6).as("u_credit"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"channel")
     }),
 
@@ -2039,6 +2093,7 @@ object ExtendedQueries {
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toDF("channel", "removal_effect", "attribution_share",
         "attributed_value")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"channel")
     }),
 
@@ -2090,6 +2145,7 @@ object ExtendedQueries {
             wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))))
         .select($"dur".as("t_days"), $"n_risk", $"d".as("n_events"),
           round($"survival", 6).as("survival"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"t_days")
     }),
 
@@ -2123,6 +2179,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_days"),
           round(avg(abs($"err")), 6).as("mae"),
           round(max_by($"s_lvl", $"rn"), 6).as("next_forecast"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"event_type")
     })
   )

@@ -134,7 +134,7 @@ object GraphQueries {
         .select($"node".as("nation_key"), $"n_name", round($"pr", 6).as("pagerank"))
       // re-sorted OUTSIDE the store: a loaded parquet scan carries no
       // row-order guarantee, and the ledger's order is part of the law
-      }.orderBy(col("nation_key"))
+      }.coalesce(1).orderBy(col("nation_key"))
     }),
 
     // Degree distribution of the same graph: how many nations have k
@@ -149,6 +149,7 @@ object GraphQueries {
         .groupBy($"out_deg")
         .agg(count(lit(1)).as("n_nodes"),
           min($"out_w").as("min_w"), max($"out_w").as("max_w"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"out_deg")
     }),
 
@@ -199,7 +200,7 @@ object GraphQueries {
         .join(auth, $"node" === $"anode")
         .select($"node".as("nation_key"), $"n_name",
           round($"h", 6).as("hub"), round($"a", 6).as("authority"))
-      }.orderBy(col("nation_key"))
+      }.coalesce(1).orderBy(col("nation_key"))
     }),
 
     // TRIANGLE COUNT + local clustering coefficient via DEGREE-ORDERED
@@ -278,7 +279,7 @@ object GraphQueries {
       // scan carries no row-order guarantee). The stored scan also
       // retires the q227 analysis-cost concern — the served plan is a
       // 25-row parquet read, not the lazy wedge-join tower.
-      }.orderBy(col("nation_key"))
+      }.coalesce(1).orderBy(col("nation_key"))
     }))
 
   def oracles: Map[String, String] = {

@@ -72,6 +72,7 @@ object MultimodalQueries {
           sum($"n_bytes").as("total_bytes"),
           round(avg($"width"), 6).as("avg_width"),
           round(avg($"height"), 6).as("avg_height"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"kind")
     }),
 
@@ -136,6 +137,7 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n"),
           round(avg(element_at($"features", 1)), 6).as("avg_f0"),
           round(avg(element_at($"features", 2)), 6).as("avg_f1"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"kind")
     })
   )

@@ -358,6 +358,7 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= TopK)
         .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"qcos", 6).as("qcosine"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id", $"rk")
     }),
 
@@ -400,6 +401,7 @@ object SimilarityQueries {
         .select($"q_id", $"n_overlap",
           round($"n_overlap" * lit(1.0) / TopK, 6).as("overlap_frac"),
           $"top1_kept")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id")
     }),
 
@@ -415,6 +417,7 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= TopK)
         .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id", $"rk")
     }),
 
@@ -514,6 +517,7 @@ object SimilarityQueries {
           round(dot($"av", $"bv") /
             (sqrt(dot($"av", $"av")) * sqrt(dot($"bv", $"bv"))), 6)
             .as("drift_cosine"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"label")
     }),
 
@@ -661,6 +665,7 @@ object SimilarityQueries {
           round($"n_new" * lit(1.0) / ($"n_old" + $"n_new"), 6).as("new_frac"),
           $"avg_assign_cos",
           ($"n_new" * lit(1.0) / ($"n_old" + $"n_new") > 0.3).as("stale"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"cell")
     }),
 
@@ -687,6 +692,7 @@ object SimilarityQueries {
           round(avg($"ratio"), 6).as("avg_ratio"),
           round(min($"ratio"), 6).as("min_ratio"),
           round(max($"ratio"), 6).as("max_ratio"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"label")
     }),
 
@@ -853,6 +859,7 @@ object SimilarityQueries {
           round($"maxc" / $"n_vectors".cast("double"), 6).as("purity"),
           round(log($"n_vectors".cast("double")) -
             $"sclgc".cast("double") / $"n_vectors", 6).as("label_entropy"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"cell")
     }),
 
@@ -899,6 +906,7 @@ object SimilarityQueries {
               ($"n" * $"syy".cast("double") -
                 $"sy".cast("double") * $"sy".cast("double"))), 6)
             .as("len_norm_corr"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"label")
     }),
 
@@ -929,6 +937,7 @@ object SimilarityQueries {
           round(min($"nrm"), 6).as("min_norm"),
           round(max($"nrm"), 6).as("max_norm"),
           round(avg($"nrm"), 6).as("avg_norm"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"label")
     }),
 
@@ -950,6 +959,7 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= 3)
         .select($"q_id", $"rk", $"neg_id", round($"neg_cos", 6).as("neg_cosine"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id", $"rk")
     }),
 
@@ -1003,6 +1013,7 @@ object SimilarityQueries {
         .groupBy($"label", $"cell")
         .agg(count(lit(1)).as("n"))
         .select($"label", $"cell", $"n", ($"label" =!= $"cell").as("off_diag"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"label", $"cell")
     }),
 
@@ -1015,6 +1026,7 @@ object SimilarityQueries {
         .select(lshBucket($"embedding", Planes, Dim).as("bucket"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"bucket")
     }),
 
@@ -1034,6 +1046,7 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= 3)
         .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id", $"rk")
     }),
 
@@ -1078,6 +1091,7 @@ object SimilarityQueries {
         .join(hits, Seq("q_id"), "left")
         .select($"q_id", $"k", coalesce($"n_hits", lit(0L)).as("n_hits"),
           round(coalesce($"n_hits", lit(0L)) * lit(1.0) / $"k", 6).as("recall"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id"))
       out.count()
       out
@@ -1165,6 +1179,7 @@ object SimilarityQueries {
         .join(hits, Seq("q_id"), "left")
         .select($"q_id", $"k", coalesce($"n_hits", lit(0L)).as("n_hits"),
           round(coalesce($"n_hits", lit(0L)) * lit(1.0) / $"k", 6).as("recall"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id"))
       out.count()
       out
@@ -1189,6 +1204,7 @@ object SimilarityQueries {
           sum(when($"pct" >= 0.8 && $"pct" < 0.9, 1L).otherwise(0L)).as("n_val"),
           sum(when($"pct" >= 0.9, 1L).otherwise(0L)).as("n_test"))
         .withColumn("test_frac", round($"n_test" * lit(1.0) / $"n", 6))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"label")
     }),
 
@@ -1219,6 +1235,7 @@ object SimilarityQueries {
           round(min($"margin"), 6).as("min_margin"),
           round(max($"margin"), 6).as("max_margin"),
           sum(when($"margin" < 0.05, 1L).otherwise(0L)).as("n_boundary"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"cell")
     }),
 
@@ -1254,6 +1271,7 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= 3)
         .select($"cell", $"rk", $"vec_id", round($"cos", 6).as("cosine"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"cell", $"rk")
     }),
 
@@ -1266,6 +1284,7 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vecs"),
           round(min($"cos"), 6).as("min_cos"),
           round(max($"cos"), 6).as("max_cos"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"cell")
     }),
 
@@ -1398,6 +1417,7 @@ object SimilarityQueries {
         .where($"rk" <= 3)
         .join(sizes, Seq("cell"))
         .select($"cell", $"rk", $"vec_id", $"proto", $"n_cell")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"cell", $"rk")
     }),
 
@@ -1542,6 +1562,7 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= PqTopK)
         .select($"q_id", $"rk", $"nn_id", $"adc")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id", $"rk")
     }),
 
@@ -1565,6 +1586,7 @@ object SimilarityQueries {
       import s.implicits._
       pqAdcShortlist(s, dir)
         .select($"q_id", $"rk", $"nn_id", $"adc")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"q_id", $"rk")
     }),
 
@@ -1640,6 +1662,7 @@ object SimilarityQueries {
       intra.join(broadcast(inter), $"label" === $"label2")
         .select($"label", $"n", $"a", $"b",
           round(($"b" - $"a") / greatest($"a", $"b"), 6).as("sil"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"label")
     }),
 
@@ -1695,7 +1718,7 @@ object SimilarityQueries {
           BigDecimal(en.getDouble(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       rows.toDF("dim_keep", "recall", "mean_energy")
-      }.orderBy(col("dim_keep").desc)
+      }.coalesce(1).orderBy(col("dim_keep").desc)
     }),
 
     // BINARY quantization — the cheapest rung of the serving ladder

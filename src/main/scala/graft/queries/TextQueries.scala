@@ -293,6 +293,7 @@ object TextQueries {
         .groupBy($"tok", $"n_exact").agg(min($"c").as("cms_est"))
         .select($"tok", $"n_exact", $"cms_est",
           ($"cms_est" - $"n_exact").as("overcount"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"n_exact".desc, $"tok".asc)
     }),
 
@@ -320,6 +321,7 @@ object TextQueries {
         .groupBy($"bin")
         .agg(count(lit(1)).as("n_docs"), min($"n_tok").as("min_tok"),
           max($"n_tok").as("max_tok"), sum($"n_tok").as("sum_tok"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"bin")
     }),
 
@@ -428,7 +430,7 @@ object TextQueries {
         .groupBy($"source_a", $"source_b")
         .agg(round(sum($"pa" * log($"pa" / $"m") * 0.5 +
           $"pb" * log($"pb" / $"m") * 0.5), 6).as("js_div"))
-      }.orderBy(col("source_a"), col("source_b"))),
+      }.coalesce(1).orderBy(col("source_a"), col("source_b"))),
 
     // Vocabulary coverage / OOV rate: fix the tokenizer vocab as the
     // top-1000 corpus words, then per-source share of token occurrences
@@ -453,6 +455,7 @@ object TextQueries {
           sum(when($"vw".isNull, $"c").otherwise(0L)).as("n_oov"))
         .select($"source", $"n_tokens", $"n_oov",
           round($"n_oov" * lit(1.0) / $"n_tokens", 6).as("oov_rate"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source")
     }),
 
@@ -478,6 +481,7 @@ object TextQueries {
         .select($"source", $"n_types", $"n_tokens", $"n_hapax",
           round($"n_hapax" * lit(1.0) / $"n_types", 6).as("hapax_ratio"),
           round($"top10_mass" * lit(1.0) / $"n_tokens", 6).as("top10_share"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source")
     }),
 
@@ -503,6 +507,7 @@ object TextQueries {
           round(alloc, 4).as("alloc_tokens"),
           round(least(alloc / $"n_tokens", lit(4.0)), 6).as("epochs"),
           (alloc / $"n_tokens" > 4.0).as("capped"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source")
     }),
 
@@ -540,7 +545,7 @@ object TextQueries {
             round(avg($"nf"), 6).as("avg_novelty"),
             round(min($"nf"), 6).as("min_novelty"),
             round(max($"nf"), 6).as("max_novelty"))
-      }.orderBy($"source")
+      }.coalesce(1).orderBy($"source")
     }),
 
     // Token counting, two tokenizers: whitespace split and a BPE-ish
@@ -558,6 +563,7 @@ object TextQueries {
           sum($"bpe_toks").as("sum_bpe_toks"),
           round(sum($"ws_toks") * lit(1.0) / count(lit(1)), 6).as("avg_ws_toks"),
           max($"ws_toks").as("max_ws_toks"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -585,6 +591,7 @@ object TextQueries {
       scored.withColumn("pred_lang", pred)
         .groupBy($"lang", $"pred_lang")
         .agg(count(lit(1)).as("n_docs"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang", $"pred_lang")
     }),
 
@@ -662,6 +669,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tok").as("total_tokens"),
           round(avg($"quality"), 6).as("avg_quality"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -677,6 +685,7 @@ object TextQueries {
         .select($"doc_id", $"lang", split.as("split"))
         .groupBy($"split", $"lang")
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"split", $"lang")
     }),
 
@@ -698,6 +707,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           round(sum($"ws_toks") * lit(1.0) / count(lit(1)), 6).as("avg_ws_toks"),
           countDistinct($"lang").as("n_langs"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"len_bucket")
     }),
 
@@ -790,6 +800,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum($"toks").cast("long").as("bin_toks"),
           min($"doc_id").as("first_doc"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"shard", $"bin")
     }),
 
@@ -813,6 +824,7 @@ object TextQueries {
           max($"bin_toks").as("max_bin_toks"),
           round(sum($"bin_toks") * lit(1.0) / (count(lit(1)) * lit(PackBudget)), 6)
             .as("fill_ratio"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"shard")
     }),
 
@@ -881,6 +893,7 @@ object TextQueries {
             / count(lit(1)), 6).as("frac_split"),
           (ceil(sum($"toks") * lit(1.0) / PackBudget).cast("long") * PackBudget
             - sum($"toks")).cast("long").as("tail_pad"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"shard")
     }),
 
@@ -911,6 +924,7 @@ object TextQueries {
           max(when($"rk" === $"k" + 1, $"x")).as("x_threshold"))
         .select($"k", $"x_threshold",
           round($"k" / ($"sum_ln" - $"k" * log($"x_threshold")), 6).as("alpha"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"k")
     }),
 
@@ -950,6 +964,7 @@ object TextQueries {
         .select($"source", $"n_folds", $"n_docs", $"mean_quality", $"stderr",
           round($"mean_quality" - lit(1.96) * $"stderr", 6).as("ci_lo"),
           round($"mean_quality" + lit(1.96) * $"stderr", 6).as("ci_hi"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source")
     }),
 
@@ -977,6 +992,7 @@ object TextQueries {
           least($"vocab_n".cast("long"), $"vocab_size").as("n_words"),
           $"covered", $"tot".as("total_occurrences"),
           round($"covered" * lit(1.0) / $"tot", 6).as("coverage"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"vocab_n")
     }),
 
@@ -1061,6 +1077,7 @@ object TextQueries {
             .as("chars_per_bpe_tok"),
           round($"total_bpe_tokens" * lit(1.0) / $"n_docs", 6)
             .as("bpe_per_doc"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang", $"source")
     }),
 
@@ -1096,6 +1113,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum($"p").as("n_gopher_pass"),
           round(sum($"p") * lit(1.0) / count(lit(1)), 6).as("pass_rate"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"decile")
     }),
 
@@ -1161,6 +1179,7 @@ object TextQueries {
           sum($"n_emails").as("total_emails"),
           sum($"n_phones").as("total_phones"),
           sum($"chars_redacted").as("total_chars_redacted"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -1183,6 +1202,7 @@ object TextQueries {
           min($"doc_id").as("min_doc"),
           max($"doc_id").as("max_doc"),
           min($"hkey").as("first_key"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang", $"source")
     }),
 
@@ -1199,6 +1219,7 @@ object TextQueries {
           countDistinct($"source").as("n_sources"))
         .unpivot(Array($"lang"), Array($"n_docs", $"total_chars", $"n_sources"),
           "metric", "value")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang", $"metric")
     }),
 
@@ -1239,6 +1260,7 @@ object TextQueries {
           sum(when(repetitive, 1).otherwise(0)).as("n_repetitive"),
           sum(when(!tooShort && !badLen && !lowStop && !repetitive, 1)
             .otherwise(0)).as("n_kept"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -1272,6 +1294,7 @@ object TextQueries {
           $"n_langs",
           when(abs(avgChars - $"gavg") > lit(0.05) * $"gavg", 1).otherwise(0)
             .cast("int").as("drift"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source")
     }),
 
@@ -1294,6 +1317,7 @@ object TextQueries {
         .select($"lang", $"n_total", $"n_sampled",
           round($"n_sampled" * lit(1.0) / $"n_total", 6).as("achieved_rate"),
           $"min_doc", $"max_doc")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -1319,6 +1343,7 @@ object TextQueries {
         .withColumn("rk", row_number().over(w))
         .where($"rk" <= 3)
         .select($"source", $"rk", $"doc_id", $"n_chars", $"prio")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source", $"rk")
     }),
 
@@ -1339,6 +1364,7 @@ object TextQueries {
         .crossJoin(broadcast(total))
         .select($"rnk", $"word", $"cnt",
           round(($"cnt" * $"rnk").cast("double") / $"n_total", 6).as("zipf_c"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"rnk")
     }),
 
@@ -1383,6 +1409,7 @@ object TextQueries {
         .orderBy($"nll".desc, $"doc_id".asc).limit(15)
         .withColumn("rnk", row_number().over(w))
         .select($"rnk", $"doc_id", $"lang", $"n_bigrams", $"nll")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"rnk")
     }),
 
@@ -1409,6 +1436,7 @@ object TextQueries {
         .select($"lang", $"toks", $"share",
           round(least(lit(1.0), $"budget" * $"share" / $"toks"), 6).as("keep_rate"),
           round($"budget" * $"share", 2).as("target_tokens"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -1516,6 +1544,7 @@ object TextQueries {
           round(min($"ent"), 6).as("min_entropy"),
           round(max($"ent"), 6).as("max_entropy"),
           sum(when($"ent" < 3.0, 1L).otherwise(0L)).as("n_low_entropy"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -1534,6 +1563,7 @@ object TextQueries {
           sum($"n_chars").as("total_chars"),
           round(sum($"n_chars") * lit(1.0) / sum($"n_tok"), 6).as("chars_per_tok"),
           round(sum($"n_tok") * lit(1.0) / count(lit(1)), 6).as("toks_per_doc"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang", $"source")
     }),
 
@@ -1635,6 +1665,7 @@ object TextQueries {
           sum(when($"pct" < 0.8, 1L).otherwise(0L)).as("n_train"),
           sum(when($"pct" >= 0.8 && $"pct" < 0.9, 1L).otherwise(0L)).as("n_val"),
           sum(when($"pct" >= 0.9, 1L).otherwise(0L)).as("n_test"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -1682,6 +1713,7 @@ object TextQueries {
         val t = sums.getLong(k)
         (k, t, r6(t * 1.0 / tws), r6(nc * 1.0 / t))
       }.toDF("n_merges", "total_bpe_tokens", "bpe_per_ws_tok", "chars_per_bpe_tok")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"n_merges")
     }),
 
@@ -1717,6 +1749,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("tokens_kept"))
         .withColumn("threshold_bin", lit(marginal))
         .withColumn("budget_tokens", lit(budget))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
     }),
 
@@ -1899,6 +1932,7 @@ object TextQueries {
         .join(broadcast(tot), Seq("source"))
         .select($"source", $"rk", $"prefix", $"n_docs",
           round($"n_docs" * lit(1.0) / $"n_src", 6).as("share"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source", $"rk")
     }),
 
@@ -2003,6 +2037,7 @@ object TextQueries {
             .as("frac_uncertain"),
           coalesce($"n_selected", lit(0L)).as("n_selected"),
           $"mean_abs_selected")
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"source")
       rows
     }),
@@ -2031,6 +2066,7 @@ object TextQueries {
           round($"np" * lit(1.0) / $"n", 6).as("pos_rate"),
           round($"cum_pos" * lit(1.0) / $"cum_n", 6).as("cum_precision"),
           round($"cum_pos" * lit(1.0) / $"pp", 6).as("cum_recall"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"bin".desc)
       rows
     }),
@@ -2140,6 +2176,7 @@ object TextQueries {
           count(lit(1)).as("n_bigrams"),
           round(-sum($"lp") / count(lit(1)), 6).as("nll"),
           round(exp(-sum($"lp") / count(lit(1))), 6).as("ppl"))
+        .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): bounded ledger
         .orderBy($"lang")
       rows
     })

@@ -55,6 +55,11 @@ class PlanShapeSpec extends SparkSpec {
   test("correlated EXISTS plans as a single hash left-semi join") {
     val p = plan("q25_late_orders")
     assert(p.contains("LeftSemi"), "EXISTS should decorrelate to a left-semi join")
+    // r16: the implied l_shipdate bound (derived from the orders-year
+    // window) must reach the fact scan — storage-level pruning before
+    // the join at scale, a halved build side at fixture scale
+    assert(p.contains("GreaterThan(l_shipdate,1996-01-31"),
+      "the implied shipdate bound must reach PushedFilters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the date residual must ride the equi-join, not force a nested loop")
   }

@@ -18,11 +18,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  // built through the shared engine-conf factory (r16) so specs assert
+  // against the same session configuration Bench and Verify run
+  lazy val session: SparkSession = graft.EngineSession.builder("local[4]", "4")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -180,11 +180,17 @@ object SimilarityQueries {
     // top-nprobe centroids per query vector (pcos desc, cl asc — the same
     // tie-break the assignment uses, so nprobe=1 reproduces the own cell)
     val wProbe = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"cl".asc)
+    // r16: the probe-list input is NQueries × nlist rows — bounded by
+    // search/index constants at ANY corpus size — yet its rank window
+    // planned an exchange per execution (and the window output feeds a
+    // broadcast anyway). coalesce(1) lets SinglePartition satisfy the
+    // window's clustering: zero exchanges on the probe build.
     val probes = cells.where($"vec_id" < NQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       .crossJoin(broadcast(cent))
       .select($"q_id", $"qv", $"qnrm", $"cl",
         (dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("pcos"))
+      .coalesce(1)
       .withColumn("pr", row_number().over(wProbe))
       .where($"pr" <= nprobe)
       .select($"q_id", $"qv", $"qnrm", $"cl".as("qc"))
@@ -194,6 +200,7 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(w))
       .where($"rk" <= 3)
       .select($"q_id", $"rk", $"vec_id".as("nn_id"), round($"cos", 6).as("cosine"))
+      .coalesce(1) // r16 ledger-sort treatment (CoreQueries q03 note): ≤ NQueries×3 rows
       .orderBy($"q_id", $"rk")
   }
 
@@ -287,7 +294,14 @@ object SimilarityQueries {
   private def pqQueryLuts(lut: DataFrame): DataFrame = {
     val s = lut.sparkSession
     import s.implicits._
-    lut.groupBy($"q_id", $"m")
+    // r16: the LUT input is NQueries × M × K rows (1 280 here, bounded by
+    // search-batch constants at any corpus size), yet the two map-pivot
+    // aggregations planned 2 exchanges per execution on q95/q98's hot
+    // path. coalesce(1) makes SinglePartition satisfy both groupings —
+    // zero exchanges. Map contents are order-independent (distinct keys
+    // per group), so the built LUTs are identical.
+    lut.coalesce(1)
+      .groupBy($"q_id", $"m")
       .agg(map_from_entries(collect_list(struct($"cl", $"pd"))).as("row"))
       .groupBy($"q_id")
       .agg(map_from_entries(collect_list(struct($"m", $"row"))).as("luts"))
@@ -1158,6 +1172,7 @@ object SimilarityQueries {
       val probes = q.crossJoin(broadcast(cent))
         .select($"q_id", $"qv", $"qnrm", $"cl",
           (dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("pcos"))
+        .coalesce(1) // r16: NQueries × nlist rows (bounded) — skip the window exchange
         .withColumn("pr", row_number().over(wProbe))
         .where($"pr" <= NProbe)
         .select($"q_id", $"qv", $"qnrm", $"cl".as("qc"))
@@ -1799,6 +1814,7 @@ object SimilarityQueries {
         .crossJoin(broadcast(cent))
         .select($"q_id", $"qv", $"qnrm", $"cl",
           (dot($"qv", $"cv") / ($"qnrm" * $"cnrm")).as("pcos"))
+        .coalesce(1) // r16: NQueries × nlist rows (bounded) — skip the window exchange
         .withColumn("pr", row_number().over(wProbe))
         .where($"pr" <= NProbe)
         .select($"q_id", $"qv", $"qnrm", $"cl".as("qc"))
